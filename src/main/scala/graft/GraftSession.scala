@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Local mode is a stand-in for a multi-executor cluster: shuffle
+  * partitions track core count (not the 200 default), AQE is on so
+  * skewed shuffles re-plan at runtime, and the session time zone is
+  * pinned to UTC for oracle parity (reference parses dates in local
+  * TZ — documented divergence, SURVEY.md §7.2.6).
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

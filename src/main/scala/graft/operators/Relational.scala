@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.sql.Timestamp
+
+import graft.Tables
+
+/** Relational parity surface of the reference engine, re-expressed as
+  * declarative Spark plans (SURVEY.md §2).
+  *
+  * Design rules applied throughout:
+  *  - Filters and projections are plain `filter`/`select` so Catalyst
+  *    pushes them into the parquet scan (`PushedFilters`/`ReadSchema`)
+  *    — the reference hand-rolls this per-row at CSV parse time
+  *    (`table.cpp:83-251`); here it is free and verified in tests.
+  *  - Every computed column is aliased identically to the DuckDB oracle
+  *    SQL in [[graft.SparkEntry.oracleSql]].
+  *  - Result rows are ordered by the full projected column list so the
+  *    output sequence is deterministic across engines and partitionings.
+  *  - Small dimensions (nation/region) get explicit `broadcast()`;
+  *    fact-to-fact joins stay shuffle joins and rely on AQE at scale.
+  *  - Float accumulations (SUM/AVG) are rounded in both engines: the
+  *    reference computes in float32 (`column.h:66`), we compute in
+  *    double (SURVEY §7.2.1), and cross-engine double reduction order
+  *    differs below the rounded digit.
+  */
+object Relational {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---- SampleTest query shapes (reference golden suite, SURVEY §5) ----
+
+  /** query1 shape: equi join + pushed filter + ungrouped AVG
+    * (`SampleTest.zip/query1.txt`, plan at SURVEY §3.2). */
+  def q1JoinAvg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .filter(orders("o_totalprice") > 150000.0)
+      .agg(round(avg("c_acctbal"), 2).as("avg_acctbal"))
+  }
+
+  /** query2 shape: timestamp filter + projection + ORDER BY ASC
+    * (`SampleTest.zip/query2.txt`, plan at SURVEY §3.1). */
+  def q2FilterSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") > lit(ts("1995-01-01 00:00:00")))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+
+  /** query3 shape: correlated scalar subquery + ORDER BY DESC
+    * (`SampleTest.zip/query3.txt`). Uses Spark SQL so Catalyst's
+    * decorrelation rewrites it to an aggregate + outer join — the
+    * reference receives it pre-decorrelated from DuckDB (SURVEY §4.1). */
+  def q3SubqueryDesc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c.c_name,
+        |       (SELECT round(sum(o.o_totalprice), 2) FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey) AS total_spent
+        |FROM customer c
+        |ORDER BY total_spent DESC NULLS LAST, c.c_name ASC""".stripMargin)
+  }
+
+  // ---- Ungrouped aggregates (reference §2.4; A1-A8) ----
+
+  def aggSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"))
+
+  /** AVG — the reference rewrites AVG to SUM ÷ post-filter count on the
+    * host (`main.cpp:563-567,600-610`); Spark's partial/final avg is the
+    * same shape, distributed. */
+  def aggAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(round(avg("l_quantity"), 4).as("avg_qty"))
+
+  /** COUNT = rows surviving the scan filter (`aggregate.cpp:285-291`). */
+  def aggCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_discount") > 0.05)
+      .agg(count(lit(1)).as("cnt"))
+
+  def aggMin(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(min("l_extendedprice").as("min_price"))
+
+  def aggMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(max("l_extendedprice").as("max_price"))
+
+  /** MIN/MAX over DATE — the reference's only date aggregates
+    * (`aggregate.cu:296-351`: DATE supports MIN/MAX, SUM throws). */
+  def aggMinDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").agg(min("l_shipdate").as("min_shipdate"))
+
+  def aggMaxDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").agg(max("l_shipdate").as("max_shipdate"))
+
+  /** Several aggregates over one scan — exercises the reference's
+    * (col,fn)-dedup so shared columns transfer once (`aggregate.cpp`
+    * A2); in Spark one scan feeds all five via partial aggregation. */
+  def aggMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(ts("1995-06-01 00:00:00")))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        count(lit(1)).as("cnt"))
+
+  // ---- Filters / projection (reference §2.2; P1-P4) ----
+
+  /** Conjunctive constant filters — pushed to the parquet scan, the
+    * declarative analogue of the reference's scan-time row filter
+    * (`table.cpp:677-730`). */
+  def filterAnd(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30.0 && col("l_discount") < 0.03)
+      .select("l_orderkey", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_quantity", "l_discount")
+
+  /** OR filter — the reference *throws* on OR conjunctions pushed to the
+    * scan (`main.cpp:152-163`); we implement real disjunction. */
+  def filterOr(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" || col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_returnflag", "l_quantity")
+
+  /** `!=` on STRING (comparison matrix `enums.h:28-47`). */
+  def filterNeString(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_linestatus") =!= "F")
+      .select("l_orderkey", "l_linestatus")
+      .orderBy("l_orderkey", "l_linestatus")
+
+  /** DATE range (`<=`/`>=` on the ns-int64 date repr, `column.cpp:236-264`). */
+  def filterDateRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(ts("1994-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(ts("1995-01-01 00:00:00")))
+      .select("o_orderkey", "o_orderdate")
+      .orderBy("o_orderkey", "o_orderdate")
+
+  // ---- Joins (reference §2.3; J1-J4) ----
+
+  /** Inner equi join. Catalyst picks broadcast-hash for the small side
+    * (the reference always block-nested-loops, `join.cpp:142-195`). */
+  def joinEqui(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .filter(orders("o_totalprice") > 250000.0)
+      .select(customer("c_custkey"), customer("c_name"),
+              orders("o_orderkey"), orders("o_totalprice"))
+      .orderBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+  }
+
+  /** Theta join (non-equi comparison, all 6 ops supported by the
+    * reference's JoinCondition, `enums.cpp:40-58`). Broadcast-NL with
+    * the 25-row nation side broadcast — stays cheap at any SF. */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+    val nation = Tables.load(spark, dir, "nation")
+    supplier
+      .join(broadcast(nation), supplier("s_nationkey") < nation("n_nationkey"))
+      .select(supplier("s_suppkey"), supplier("s_nationkey"), nation("n_nationkey"))
+      .orderBy("s_suppkey", "s_nationkey", "n_nationkey")
+  }
+
+  /** Multi-condition join with correct AND semantics — the reference's
+    * condition loop lets the last condition win (`join.cpp:166-172`,
+    * bug documented in SURVEY §7.2.2); we match the SQL standard. */
+  def joinMultiCond(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    lineitem
+      .join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey") &&
+        lineitem("l_shipdate") > orders("o_orderdate"))
+      .filter(orders("o_totalprice") > 300000.0)
+      .select(lineitem("l_orderkey"), lineitem("l_linenumber"),
+              lineitem("l_shipdate"), orders("o_orderdate"))
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+  }
+
+  // ---- Sort / limit (reference §2.5; O1-O5) ----
+
+  /** Single-key ASC over the full table — the reference sorts only the
+    * first batch (`main.cpp:451`); Spark range-partitions and spills. */
+  def sortAsc(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select("l_extendedprice", "l_orderkey")
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc)
+
+  /** True DESC sort — the reference fakes DESC by writing the ASC batch
+    * backwards into the CSV sink (`table.cpp:271-285`). */
+  def sortDesc(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select("l_extendedprice", "l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc)
+
+  /** STRING sort key (reference routes to CPU `std::sort`, O4). */
+  def sortString(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select("c_name", "c_custkey")
+      .orderBy(col("c_name").asc, col("c_custkey").asc)
+
+  /** DATE sort key (reference GPU radix path on the int64 ns repr, O2). */
+  def sortDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select("o_orderdate", "o_orderkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  /** ORDER BY + LIMIT — absent in the reference (O5: the TopN header is
+    * included but never handled); Spark plans TakeOrderedAndProject,
+    * which never materializes the full sort. */
+  def sortTopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select("o_totalprice", "o_orderkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  // ---- Beyond-parity relational extensions (SURVEY §2.6 gaps) ----
+
+  /** Grouped aggregation (TPC-H Q1 shape) — absent in the reference
+    * (A1 handles UNGROUPED_AGGREGATE only). */
+  def groupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Window function: top-3 orders per customer by price. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Set operation: customers with no orders (EXCEPT ≡ anti join). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey")
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"))
+    customer.except(orders).orderBy("c_custkey")
+  }
+
+  /** Batch windowed aggregation over the event stream table — the batch
+    * twin of [[graft.streaming.EventStream]]'s streaming query. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type", "n_events", "sum_value")
+}
