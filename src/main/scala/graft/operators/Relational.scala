@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import java.sql.Timestamp
 
 import graft.Tables
 
@@ -28,7 +27,11 @@ import graft.Tables
   */
 object Relational {
 
-  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  /** Timestamp literal resolved through the SESSION time zone (pinned
+    * UTC in GraftSession) — `java.sql.Timestamp.valueOf` would parse in
+    * the JVM default zone and shift every date filter vs the DuckDB
+    * oracle on a non-UTC host. */
+  private def ts(s: String): Column = to_timestamp(lit(s))
 
   // ---- SampleTest query shapes (reference golden suite, SURVEY §5) ----
 
@@ -47,7 +50,7 @@ object Relational {
     * (`SampleTest.zip/query2.txt`, plan at SURVEY §3.1). */
   def q2FilterSort(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
-      .filter(col("o_orderdate") > lit(ts("1995-01-01 00:00:00")))
+      .filter(col("o_orderdate") > ts("1995-01-01 00:00:00"))
       .select("o_orderkey", "o_totalprice")
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
 
@@ -56,7 +59,7 @@ object Relational {
     * decorrelation rewrites it to an aggregate + outer join — the
     * reference receives it pre-decorrelated from DuckDB (SURVEY §4.1). */
   def q3SubqueryDesc(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.register(spark, dir, Seq("customer", "orders"))
     spark.sql(
       """SELECT c.c_name,
         |       (SELECT round(sum(o.o_totalprice), 2) FROM orders o
@@ -105,7 +108,7 @@ object Relational {
     * A2); in Spark one scan feeds all five via partial aggregation. */
   def aggMulti(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
-      .filter(col("l_shipdate") > lit(ts("1995-06-01 00:00:00")))
+      .filter(col("l_shipdate") > ts("1995-06-01 00:00:00"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(avg("l_quantity"), 4).as("avg_qty"),
@@ -142,8 +145,8 @@ object Relational {
   /** DATE range (`<=`/`>=` on the ns-int64 date repr, `column.cpp:236-264`). */
   def filterDateRange(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
-      .filter(col("o_orderdate") >= lit(ts("1994-01-01 00:00:00")) &&
-              col("o_orderdate") < lit(ts("1995-01-01 00:00:00")))
+      .filter(col("o_orderdate") >= ts("1994-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1995-01-01 00:00:00"))
       .select("o_orderkey", "o_orderdate")
       .orderBy("o_orderkey", "o_orderdate")
 
@@ -233,7 +236,7 @@ object Relational {
     * (A1 handles UNGROUPED_AGGREGATE only). */
   def groupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00")))
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
