@@ -1,16 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main — prints ONE JSON line per the driver contract.
   *
-  * Queries are forced through the `noop` sink, not `.count()`:
-  * count() lets Catalyst's EliminateSorts drop the very Sort being
-  * measured, and noop also exercises full result production. The
-  * headline set maps onto BASELINE.md: ungrouped AVG/MAX(date)
-  * (reference README.md:50-53) and single-key float/date/string sorts
-  * (README.md:59-61), plus join/group/window shapes the reference
-  * can't run but a real workload would.
+  * Methodology (BASELINE.md §"Our target" promised load/compute
+  * split):
+  *  - `load_s`: one-time read+cache of every input table (the analogue
+  *    of the reference's CSV parse, which dominates its "query total"
+  *    numbers, README.md:44-62).
+  *  - per-query: one untimed warm run (plan compilation + codegen JIT,
+  *    paid once per JVM in any real deployment), then the MEDIAN of 3
+  *    timed runs. `cold` records each query's first-run time so the
+  *    JIT cost stays visible instead of polluting the steady-state
+  *    number.
+  *  - Queries are forced through the `noop` sink, not `.count()`:
+  *    count() lets Catalyst's EliminateSorts drop the very Sort being
+  *    measured, and noop also exercises full result production.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,30 +23,39 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val tLoad = System.nanoTime()
+    Tables.preload(spark, sfDir)
+    val loadS = (System.nanoTime() - tLoad) / 1e9
+
     val headline = Seq(
       "agg_avg", "agg_max_date", "agg_multi",
       "sort_asc", "sort_date", "sort_string", "sort_topn",
       "join_equi", "join_multicond", "group_agg", "window_rank",
       "q1_join_avg", "q3_subquery_desc", "events_window",
     ).filter(SparkEntry.queries.contains) ++
-      SparkEntry.queries.keys.filter(_.startsWith("dedup_")).toSeq.sorted ++
-      SparkEntry.queries.keys.filter(_.startsWith("embed_")).toSeq.sorted
+      SparkEntry.queries.keys.filter(n =>
+        n.startsWith("dedup_") || n.startsWith("embed_") ||
+        n.startsWith("text_") || n.startsWith("multimodal_")).toSeq.sorted
 
-    // Warm the JVM/codegen once so per-query numbers measure the
-    // engine, not first-call classloading.
-    try SparkEntry.queries(headline.head)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     var errors = List.empty[(String, String)]
-    val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    var cold = List.empty[(String, Double)]
+    val results = headline.flatMap { name =>
+      try {
+        cold ::= (name, runOnce(name)) // warm-up; JIT + plan cost
+        val times = Seq.fill(3)(runOnce(name)).sorted
+        Some(name -> times(1)) // median
+      } catch {
+        case e: Throwable =>
+          errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
 
     def jstr(s: String): String =
@@ -50,12 +63,12 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"load_s":$loadS,"runs":3,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
+import graft.operators.{Documents, Embeddings, Multimodal, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,23 @@ object SparkEntry {
     "window_rank" -> (Relational.windowRank _),
     "set_except" -> (Relational.setExcept _),
     "events_window" -> (Relational.eventsWindow _),
+    // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
+    "dedup_exact" -> (Documents.dedupExact _),
+    "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
+    "dedup_minhash" -> (Documents.dedupMinhash _),
+    "dedup_simhash" -> (Documents.dedupSimhash _),
+    // LLM-pipeline: text analysis / fingerprinting
+    "doc_fingerprint" -> (Documents.docFingerprint _),
+    "text_stats" -> (Documents.textStats _),
+    "text_tokens" -> (Documents.textTokens _),
+    "text_langid" -> (Documents.textLangId _),
+    // LLM-pipeline: embedding similarity search
+    "embed_knn" -> (Embeddings.embedKnn _),
+    "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
+    "embed_centroid" -> (Embeddings.embedCentroid _),
+    // LLM-pipeline: multimodal binary columns
+    "multimodal_pack" -> (Multimodal.multimodalPack _),
+    "multimodal_decode" -> (Multimodal.multimodalDecode _),
   )
 
   /** DuckDB oracle SQL per query (driver runs these on the same parquet
@@ -182,5 +199,69 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY w_start, event_type, n_events, sum_value""".stripMargin,
+    // ---- LLM-pipeline oracles (dedup_minhash / dedup_simhash /
+    // text_langid / embed_ann_lsh are rows-only: they depend on
+    // Spark-side hash functions or LSH randomness the oracle can't
+    // reproduce; their quality bars live in the ScalaTest specs). ----
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(common::DOUBLE / (n1.n + n2.n - common), 4) AS jaccard
+        |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |fps AS (SELECT doc_id, min(md5(s)) AS fp_shingle FROM sh GROUP BY 1)
+        |SELECT d.doc_id, md5(d.text) AS fp_md5, fps.fp_shingle
+        |FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t, text FROM documents)
+        |SELECT doc_id, lang,
+        |  len(t) AS n_tokens_ws,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS n_tokens_re,
+        |  round(length(replace(text, ' ', ''))::DOUBLE / len(t), 4) AS avg_tok_len,
+        |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT lang, tok, count(*) AS n FROM c GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk FROM g)
+        |SELECT lang, tok, n, rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "embed_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |        round(list_sum(list_transform(range(1, len(q_emb) + 1),
+        |                i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+        |          / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |           * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+        |      FROM q, e WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
+        |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "embed_centroid" ->
+      """WITH x AS (SELECT label,
+        |             unnest(range(0, len(embedding))) AS pos,
+        |             unnest(list_transform(embedding, v -> v::DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT label, pos, round(avg(v), 6) AS v FROM x
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "multimodal_pack" ->
+      """SELECT d.doc_id, octet_length(d.text::BLOB) AS n_bytes, d.lang,
+        |       len(e.embedding) AS dim, e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

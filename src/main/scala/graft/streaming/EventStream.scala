@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming tier over the events table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is strictly batch (SURVEY.md §2.6); this is the
+  * beyond-parity streaming surface. [[graft.operators.Relational.eventsWindow]]
+  * is the batch twin of [[windowedCounts]] — same plan shape, so a
+  * backfill and the live stream produce identical aggregates.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Hourly per-type counts/sums with a watermark — late events beyond
+    * the watermark are dropped, which bounds state size on an unbounded
+    * stream (the thing a batch engine never has to think about). */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user running totals via explicit state — the
+    * `mapGroupsWithState` shape used for custom sessionization logic
+    * that windowed aggregation can't express. State is per-key and
+    * partitioned by user_id, so it scales horizontally with users. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(user, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            SessionSummary(user, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming read of an events parquet directory (new files are
+    * picked up incrementally — the standard lake-ingest pattern). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = graft.Tables.load(spark, dir, "events").schema
+    spark.readStream.schema(batchSchema)
+      .parquet(s"$dir/events.parquet")
+  }
+
+  /** Convenience: run [[windowedCounts]] on [[readEvents]] into an
+    * in-memory sink (used by the spec; production would writeStream to
+    * a table/sink with a checkpoint dir). */
+  def startToMemory(spark: SparkSession, dir: String, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Documents
+
+/** Recall/precision bars for the near-dup operators, on a corpus with
+  * PLANTED near-duplicates (so ground truth is known exactly), plus
+  * oracle-shape checks for exact dedup. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 40 base docs of pseudo-random word soup (deterministic LCG), plus
+    * a near-dup of each base doc with 2 of ~60 tokens changed
+    * (Jaccard on 3-gram shingles ≈ 0.85-0.95) and one exact dup. */
+  private lazy val planted = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    var seed = 12345L
+    def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
+    val bases = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = bases.map { case (i, text) =>
+      val toks = text.split(" ")
+      toks(7) = "zulu"; toks(31) = "yankee"
+      (i + 100, toks.mkString(" "))
+    }
+    val exactDup = Seq((999L, bases.head._2))
+    (bases ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  private lazy val truePairs: Set[(Long, Long)] =
+    (0 until 40).map(i => (i.toLong, i + 100L)).toSet
+
+  test("dedupExact keeps min doc_id per distinct text") {
+    val out = planted.groupBy("text").agg(min("doc_id").as("doc_id"))
+    assert(out.count() === 80) // 81 rows, one exact dup collapses
+    val keeper = out.filter(col("doc_id") === 0L).count()
+    assert(keeper === 1) // doc 999 collapsed into doc 0
+  }
+
+  test("minhashPairs recall >= 0.9 on planted near-dups") {
+    val found = Documents.minhashPairs(planted, simThreshold = 0.6)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = truePairs.count(found.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"recall $recall, found ${found.size} pairs")
+  }
+
+  test("simhashPairs finds planted near-dups via band join") {
+    // 2 changed tokens out of 60 flip only a few simhash bits; allow
+    // hamming <= 12 here (the production threshold is use-case tuned).
+    val sims = planted
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), Documents.simhashCol.as("simhash"))
+    val found = Documents.simhashPairs(sims, maxHamming = 12)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = truePairs.count(found.contains).toDouble / truePairs.size
+    assert(recall >= 0.8, s"recall $recall, found ${found.size} pairs")
+    // the exact dup must be at hamming 0
+    assert(found.contains((0L, 999L)))
+  }
+
+  test("ngram-jaccard inverted-index join finds planted pairs with correct scores") {
+    val sh = Documents.shingles(planted)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") / (col("n1.n") + col("n2.n") - col("common"))).as("j"))
+    val strong = pairs.filter(col("j") >= 0.6)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = truePairs.count(strong.contains).toDouble / truePairs.size
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("langId predicts constructed texts") {
+    val samples = Seq(
+      ("the cat and the dog of the house is with us", "en"),
+      ("der hund und die katze das ist gut und der tag", "de"),
+      ("el gato y la casa los dias es grande y el sol", "es"),
+      ("xyzzy qwerty plugh", "unk"))
+      .toDF("text", "expected")
+    val out = samples.withColumn("pred", Documents.langIdCol(col("text")))
+      .filter(col("pred") === col("expected"))
+    assert(out.count() === samples.count())
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Embeddings
+
+/** ANN quality bars: the LSH path must reproduce the brute-force
+  * baseline's neighbors (recall@10) on the real embeddings table. */
+class EmbeddingsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, SparkSpec.sfTiny, "embeddings").select("vec_id", "embedding")
+
+  test("knnBrute returns k neighbors per query, sims in [-1, 1] descending") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Embeddings.knnBrute(emb, queries, k = 10)
+      .select("q_id", "vec_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 50)
+    assert(out.forall { case (_, _, s, _) => s >= -1.000001 && s <= 1.000001 })
+    out.groupBy(_._1).values.foreach { g =>
+      val sims = g.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims descending by rank")
+    }
+  }
+
+  test("annLsh recall@10 >= 0.9 vs brute force") {
+    // sf0.01 (500 vectors): a corpus big enough that top-10 quality is
+    // meaningful; at sf0.001 half the true top-10 sits at cross-cluster
+    // distances where range-LSH recall is definitionally limited.
+    val emb = Tables.load(spark, SparkSpec.sfSmall, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Embeddings.annLsh(emb, col("vec_id") < 10, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      val got = approx.getOrElse(q, Set.empty)
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"mean recall@10 $recall (per-query: ${recalls.toSeq.sorted})")
+  }
+
+  test("embedCentroid emits one row per (label, pos)") {
+    val out = Embeddings.embedCentroid(spark, SparkSpec.sfTiny)
+    val labels = emb.sparkSession.read
+      .parquet(s"${SparkSpec.sfTiny}/embeddings.parquet")
+      .select(countDistinct("label")).as[Long].head()
+    assert(out.count() === labels * 64)
+  }
+}

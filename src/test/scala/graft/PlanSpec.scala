@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Relational
+
+/** Scale guards: assert the PHYSICAL PLAN shapes that make these
+  * queries survive a 100× scale-up — pushed filters, pruned scans,
+  * broadcast dims, TakeOrderedAndProject for top-k. A regression here
+  * is a 100-TB incident even if sf0.01 results stay correct. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_and pushes predicates into the parquet scan") {
+    val p = plan(Relational.filterAnd(spark, SparkSpec.sfTiny))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0"), p)
+  }
+
+  test("projection prunes the scan to selected columns only") {
+    val p = plan(Relational.sortAsc(spark, SparkSpec.sfTiny))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), "scan must not read unprojected columns:\n" + p)
+  }
+
+  test("theta join broadcasts the 25-row nation side") {
+    val p = plan(Relational.joinTheta(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sort_topn plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.sortTopN(spark, SparkSpec.sfTiny))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("flagship entry broadcasts the nation dim") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("events scan converts ns to timestamp without double-precision loss") {
+    val df = Tables.load(spark, SparkSpec.sfTiny, "events")
+    assert(df.schema("ts").dataType.typeName === "timestamp")
+  }
+}

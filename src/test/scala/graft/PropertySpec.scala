@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SC}
+
+/** ScalaCheck algebraic identities over generated data — engine-level
+  * invariants that must hold at any scale or partitioning
+  * (FIXTURES.md §3). Run through raw ScalaCheck (scalatestplus bridge
+  * is not in the offline dependency cache). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 5): Unit = {
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rows =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(-100.0, 100.0)))
+      .map(_.take(200))
+
+  test("sum is partition-invariant: repartitioned sum equals local sum") {
+    check(Prop.forAll(rows) { xs =>
+      val sparkSum = xs.toDF("k", "v").repartition(7).agg(sum("v")).as[Double].head()
+      math.abs(sparkSum - xs.map(_._2).sum) < 1e-6
+    })
+  }
+
+  test("orderBy is a total sort: output equals locally sorted input") {
+    check(Prop.forAll(rows) { xs =>
+      val sorted = xs.toDF("k", "v").repartition(5)
+        .orderBy(col("k").asc, col("v").asc).as[(Long, Double)].collect().toSeq
+      sorted == xs.sorted
+    })
+  }
+
+  test("groupBy counts sum to the row count") {
+    check(Prop.forAll(rows) { xs =>
+      val total = xs.toDF("k", "v").repartition(3)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(sum("n")).as[Long].head()
+      total == xs.size
+    })
+  }
+
+  test("inner equi join against deduped keys preserves row count") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 9L))) { ks =>
+      val joined = ks.toDF("k").join(ks.distinct.toDF("k"), "k").count()
+      joined == ks.size
+    })
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming semantics via MemoryStream: the windowed agg
+  * must match its batch twin, and stateful per-user totals must fold
+  * across micro-batches. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),
+    Event(3, ts("2024-01-01 10:40:00"), 2, "view", 3.0),
+    Event(4, ts("2024-01-01 11:10:00"), 2, "click", 4.0))
+  private val batch2 = Seq(
+    Event(5, ts("2024-01-01 11:30:00"), 1, "view", 5.0),
+    Event(6, ts("2024-01-01 12:05:00"), 3, "click", 6.0))
+
+  test("streaming windowedCounts matches the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("win_test")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      val batch = EventStream.windowedCounts((batch1 ++ batch2).toDF())
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_._3).sum === 6L)
+    } finally q.stop()
+  }
+
+  test("runningUserTotals folds state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      // Update mode: last emitted row per user is the running total.
+      val latest = spark.table("state_test")
+        .as[EventStream.SessionSummary].collect()
+        .groupBy(_.user_id).view.mapValues(_.last).toMap
+      assert(latest(1L).n_events === 3 && math.abs(latest(1L).total_value - 8.0) < 1e-9)
+      assert(latest(2L).n_events === 2 && math.abs(latest(2L).total_value - 7.0) < 1e-9)
+      assert(latest(3L).n_events === 1)
+    } finally q.stop()
+  }
+}
