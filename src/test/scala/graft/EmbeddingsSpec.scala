@@ -47,6 +47,23 @@ class EmbeddingsSpec extends SparkSuite {
     assert(recall >= 0.9, s"mean recall@10 $recall (per-query: ${recalls.toSeq.sorted})")
   }
 
+  test("embedCosinePairs finds planted near-dup vectors") {
+    // 60 deterministic pseudo-random vectors + a near-copy of each of
+    // the first 10 (tiny perturbation, cosine > 0.999).
+    var seed = 42L
+    def rnd(): Float = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33).toInt % 1000) / 1000.0f }
+    val bases = (0 until 60).map(i => (i.toLong, Array.fill(32)(rnd())))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 100, v.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.001f else x })
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val found = Embeddings.embedCosinePairs(df, simThreshold = 0.99)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(i => (i.toLong, i + 100L)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"recall $recall, found $found")
+  }
+
   test("embedCentroid emits one row per (label, pos)") {
     val out = Embeddings.embedCentroid(spark, SparkSpec.sfTiny)
     val labels = emb.sparkSession.read

@@ -42,4 +42,21 @@ class PlanSpec extends SparkSuite {
     val df = Tables.load(spark, SparkSpec.sfTiny, "events")
     assert(df.schema("ts").dataType.typeName === "timestamp")
   }
+
+  test("ngram dedup shuffles on the shingle (inverted index), no self-join") {
+    val p = plan(graft.operators.Documents.dedupNgramJaccard(spark, SparkSpec.sfTiny))
+    assert(p.contains("Exchange hashpartitioning(s#"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "must never go all-pairs")
+  }
+
+  test("brute-force kNN broadcasts the query set, not the corpus") {
+    val p = plan(graft.operators.Embeddings.embedKnn(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
+  }
+
+  test("exact dedup is a single hash aggregate on text") {
+    val p = plan(graft.operators.Documents.dedupExact(spark, SparkSpec.sfTiny))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
