@@ -68,6 +68,9 @@ object SparkEntry {
     "window_rank" -> (Relational.windowRank _),
     "set_except" -> (Relational.setExcept _),
     "events_window" -> (Relational.eventsWindow _),
+    "join_skew_salted" -> (Relational.joinSkewSalted _),
+    "agg_count_distinct" -> (Relational.aggCountDistinct _),
+    "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -200,6 +203,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY w_start, event_type, n_events, sum_value""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 350000
+        |ORDER BY l_orderkey, l_linenumber, o_totalprice""".stripMargin,
+    "agg_count_distinct" ->
+      "SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     // ---- LLM-pipeline oracles (dedup_minhash / dedup_simhash /
     // text_langid / embed_ann_lsh are rows-only: they depend on
     // Spark-side hash functions or LSH randomness the oracle can't

@@ -264,6 +264,45 @@ object Relational {
     customer.except(orders).orderBy("c_custkey")
   }
 
+  /** Salted equi join — the skew-mitigation pattern for a hot join
+    * key at scale: the probe side gets a deterministic salt in [0, S),
+    * the build side is replicated S ways, and the join key becomes
+    * (key, salt), splitting any single hot key's rows across S
+    * shuffle partitions. Results are IDENTICAL to the plain join (the
+    * oracle runs the unsalted SQL); AQE's skew-join handles moderate
+    * skew automatically — explicit salting is for the pathological
+    * keys AQE can't split (single-key hash aggregation). */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    lineitem
+      .join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey") &&
+        lineitem("salt") === orders("salt"))
+      .filter(orders("o_totalprice") > 350000.0)
+      .select(lineitem("l_orderkey"), lineitem("l_linenumber"), orders("o_totalprice"))
+      .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+  }
+
+  /** Exact distinct count — plans as a two-level aggregation (partial
+    * distinct per partition, final merge), the distributed shape for
+    * cardinality at scale. */
+  def aggCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(countDistinct("l_orderkey").as("n_orders"))
+
+  /** HyperLogLog++ sketch cardinality — constant memory per partition
+    * regardless of cardinality; the only viable distinct-count at
+    * 100 TB. Sketch-dependent, so no cross-engine oracle; the ≤2%
+    * error bound vs the exact count is asserted in RelationalSpec. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(approx_count_distinct("l_orderkey", 0.02).as("n_orders_approx"))
+
   /** Batch windowed aggregation over the event stream table — the batch
     * twin of [[graft.streaming.EventStream]]'s streaming query. */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =

@@ -61,6 +61,24 @@ class RelationalSpec extends SparkSuite {
     assert(except === (all -- withOrders))
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    val salted = Relational.joinSkewSalted(spark, dir).collect().toSeq
+    val plain = Tables.load(spark, dir, "lineitem").as("l")
+      .join(Tables.load(spark, dir, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .filter(col("o_totalprice") > 350000.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+      .collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("approx distinct is within 2% of exact distinct") {
+    val exact = Relational.aggCountDistinct(spark, dir).as[Long].head().toDouble
+    val approx = Relational.aggApproxDistinct(spark, dir).as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact <= 0.02, s"approx $approx vs exact $exact")
+  }
+
   test("events_window counts sum to total events") {
     val total = Tables.load(spark, dir, "events").count()
     val sum = Relational.eventsWindow(spark, dir)
