@@ -30,7 +30,9 @@ object Bench {
     val headline = Seq(
       "agg_avg", "agg_max_date", "agg_multi",
       "sort_asc", "sort_date", "sort_string", "sort_topn",
-      "join_equi", "join_multicond", "group_agg", "window_rank",
+      "join_equi", "join_multicond", "join_skew_salted",
+      "agg_count_distinct", "agg_approx_distinct",
+      "group_agg", "window_rank",
       "q1_join_avg", "q3_subquery_desc", "events_window",
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>

@@ -99,31 +99,54 @@ object Embeddings {
   def embedAnnLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
 
-  /** Embedding-cosine near-dup pairs: LSH bucket candidates + EXACT
-    * cosine verify at `simThreshold`. On unit vectors cos = 1 − d²/2,
-    * so the LSH euclidean range d ≤ √(2−2·simThreshold) is exactly the
-    * cosine band — candidates come from bucket joins (never
-    * all-pairs), the exact filter makes precision 1.0, and recall is
-    * the LSH collision probability asserted in the spec on planted
-    * duplicate vectors. */
+  /** 64-bit sign-random-projection signature (SimHash for vectors):
+    * bit p = sign(⟨embedding, r_p⟩) for 64 fixed ±1 random vectors.
+    * Hamming distance estimates the angle, so near-cosine vectors
+    * share 16-bit bands with high probability. Single aggregate pass —
+    * the embedding is referenced once (array-accumulator pattern, see
+    * Documents.simhashCol for why that matters). Supports dims ≤ 64. */
+  private def signatureCol: Column = expr(
+    """aggregate(
+      |  zip_with(embedding, sequence(0, size(embedding) - 1),
+      |           (e, j) -> struct(CAST(e AS DOUBLE) AS e, j AS j)),
+      |  array_repeat(CAST(0 AS DOUBLE), 64),
+      |  (acc, x) -> zip_with(acc, sequence(0, 63), (s, p) -> s + x.e * signs[p][x.j]),
+      |  acc -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+      |         (b, p) -> b + CASE WHEN acc[p] > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
+      |                        ELSE CAST(0 AS BIGINT) END))""".stripMargin)
+
+  /** Embedding-cosine near-dup pairs: sign-LSH band candidates + EXACT
+    * cosine verify at `simThreshold`. 4×16-bit band join — a pair is a
+    * candidate iff some band matches, so candidate volume is governed
+    * by the angle (≈100% at cos ≥ 0.99, ~15% of random far pairs),
+    * never all-pairs; the exact filter then makes precision 1.0.
+    * Spark's BucketedRandomProjectionLSH is the wrong tool for a tight
+    * cosine band: single-projection OR-amplified hashes on unit
+    * vectors degenerate to ~2 buckets per table (all-pairs in
+    * disguise — measured 233 s cold at 5k vectors vs ~3 s for this). */
   def embedCosinePairs(corpus: DataFrame, simThreshold: Double): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
-    val unit = corpus.select(col("vec_id"),
-      array_to_vector(expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE) / " +
-          "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"))
-        .as("features"))
-      .repartition(col("vec_id"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(1.0).setNumHashTables(6).setSeed(42)
-    val model = lsh.fit(unit)
-    val dMax = math.sqrt(2.0 - 2.0 * simThreshold)
-    model.approxSimilarityJoin(unit, unit, dMax, "dist")
-      .select(col("datasetA.vec_id").as("d1"), col("datasetB.vec_id").as("d2"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
-      .filter(col("d1") < col("d2"))
+    val rng = new scala.util.Random(42)
+    val signs: Seq[Seq[Double]] =
+      Seq.fill(64)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val sigs = corpus
+      .withColumn("signs", typedlit(signs))
+      .select(col("vec_id"), signatureCol.as("sig"))
+      .repartition(col("vec_id")) // materialize sig before the band join
+    val banded = sigs.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 3),
+        |          b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS v))""".stripMargin)).as("bv"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val e1 = corpus.select(col("vec_id").as("d1"), col("embedding").as("emb1"))
+    val e2 = corpus.select(col("vec_id").as("d2"), col("embedding").as("emb2"))
+    cands.join(e1, "d1").join(e2, "d2")
+      .select(col("d1"), col("d2"),
+        round(dotCol("emb1", "emb2") / (normCol("emb1") * normCol("emb2")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= simThreshold)
       .orderBy("d1", "d2")
   }
 
