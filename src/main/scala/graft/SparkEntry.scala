@@ -69,6 +69,7 @@ object SparkEntry {
     "set_except" -> (Relational.setExcept _),
     "events_window" -> (Relational.eventsWindow _),
     "join_skew_salted" -> (Relational.joinSkewSalted _),
+    "events_json_props" -> (Relational.eventsJsonProps _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
@@ -210,6 +211,11 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, o_totalprice""".stripMargin,
     "agg_count_distinct" ->
       "SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+        |       max(CAST(props->>'k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ---- LLM-pipeline oracles (dedup_minhash / dedup_simhash /
     // text_langid / embed_ann_lsh are rows-only: they depend on
     // Spark-side hash functions or LSH randomness the oracle can't

@@ -303,6 +303,22 @@ object Relational {
     Tables.load(spark, dir, "lineitem")
       .agg(approx_count_distinct("l_orderkey", 0.02).as("n_orders_approx"))
 
+  /** Semi-structured extraction: parse the events `props` JSON column
+    * with an explicit schema (`from_json` — schema-on-read, codegen'd,
+    * no UDF) and aggregate the extracted field per event type. The
+    * standard lake pattern for event payloads that are too ragged for
+    * columns. */
+  def eventsJsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Batch windowed aggregation over the event stream table — the batch
     * twin of [[graft.streaming.EventStream]]'s streaming query. */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -44,6 +45,35 @@ class StreamingSpec extends SparkSuite {
         .as[(Timestamp, String, Long, Double)].collect().toSeq
       assert(streamed === batch)
       assert(streamed.map(_._3).sum === 6L)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // 1h window + 2h watermark: once max(ts) reaches 14:00, windows
+    // ending before 12:00 are finalized; an event at 09:30 then
+    // arriving is beyond the watermark and must be dropped.
+    val q = EventStream.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 09:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 14:00:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(3, ts("2024-01-01 09:30:00"), 1, "click", 99.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(4, ts("2024-01-01 17:00:00"), 1, "click", 1.0)))
+      q.processAllAvailable() // advance watermark so 09:00 window emits
+      val nineOClock = spark.table("late_test")
+        .filter(col("w_start") === ts("2024-01-01 09:00:00"))
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(nineOClock.length === 1)
+      // late event 3 dropped: count 1, sum 1.0 (not 2 / 100.0)
+      assert(nineOClock.head._3 === 1L)
+      assert(math.abs(nineOClock.head._4 - 1.0) < 1e-9)
     } finally q.stop()
   }
 
