@@ -32,8 +32,8 @@ object Bench {
       "sort_asc", "sort_date", "sort_string", "sort_topn",
       "join_equi", "join_multicond", "join_skew_salted",
       "agg_count_distinct", "agg_approx_distinct",
-      "group_agg", "window_rank",
-      "q1_join_avg", "q3_subquery_desc", "events_window",
+      "group_agg", "group_rollup", "window_rank",
+      "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>
         n.startsWith("dedup_") || n.startsWith("embed_") ||

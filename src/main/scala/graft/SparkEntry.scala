@@ -67,6 +67,9 @@ object SparkEntry {
     "group_agg" -> (Relational.groupAgg _),
     "window_rank" -> (Relational.windowRank _),
     "set_except" -> (Relational.setExcept _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "group_rollup" -> (Relational.groupRollup _),
+    "scalar_funcs" -> (Relational.scalarFuncs _),
     "events_window" -> (Relational.eventsWindow _),
     "join_skew_salted" -> (Relational.joinSkewSalted _),
     "events_json_props" -> (Relational.eventsJsonProps _),
@@ -198,6 +201,26 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 48
+        |INTERSECT
+        |SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY okey""".stripMargin,
+    "group_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(substr(o_orderpriority, 1, 4)) AS prio4,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       round(sqrt(o_totalprice), 4) AS sqrt_price,
+        |       CAST(length(o_orderpriority) AS INT) AS prio_len
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "events_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -256,6 +256,42 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
+  /** ROLLUP grouping sets — subtotal rows per (returnflag) and a grand
+    * total alongside the detail groups; plans as a single Expand +
+    * hash aggregate, not one pass per grouping set. Absent in the
+    * reference (A1 is ungrouped-only). */
+  def groupRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Set operation: order keys present in BOTH lineitem and orders
+    * (INTERSECT ≡ semi join on distinct). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 48.0).select(col("l_orderkey").as("okey"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0).select(col("o_orderkey").as("okey"))
+    li.intersect(o).orderBy("okey")
+  }
+
+  /** Scalar string/date/math functions in projections — the reference
+    * cannot compute ANY expression in a projection (P1 is
+    * column-selection only, SURVEY §2.2); this is the everyday surface
+    * a SQL user expects. All codegen'd built-ins. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        length(col("o_orderpriority")).as("prio_len"))
+      .orderBy("o_orderkey")
+
   /** Set operation: customers with no orders (EXCEPT ≡ anti join). */
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer").select("c_custkey")
