@@ -51,11 +51,21 @@ object EventStream {
   }
 
   /** Streaming read of an events parquet directory (new files are
-    * picked up incrementally — the standard lake-ingest pattern). */
+    * picked up incrementally — the standard lake-ingest pattern).
+    * The stream must use the RAW file schema (ts as int64 nanos via
+    * the legacy nanosAsLong read) and apply the same ns→µs conversion
+    * as the batch path — feeding the converted schema to the file
+    * source would misinterpret the raw longs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = graft.Tables.load(spark, dir, "events").schema
-    spark.readStream.schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory; glob the single table file
+    // with an explicit basePath so a real lake layout (directory of
+    // part files) works identically
+    spark.readStream.schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.[p]arquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Convenience: run [[windowedCounts]] on [[readEvents]] into an

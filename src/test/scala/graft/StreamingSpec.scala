@@ -77,6 +77,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over events.parquet matches the batch twin") {
+    val q = EventStream.startToMemory(spark, SparkSpec.sfTiny, "file_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+      // append mode emits only watermark-finalized windows; every
+      // emitted row must match the batch twin exactly
+      val batch = graft.operators.Relational.eventsWindow(spark, SparkSpec.sfTiny)
+        .withColumnRenamed("n_events", "n_b").withColumnRenamed("sum_value", "s_b")
+      val joined = streamed.join(batch, Seq("w_start", "event_type"))
+      assert(streamed.count() > 0, "stream emitted nothing")
+      assert(joined.count() === streamed.count(), "streamed row missing from batch result")
+      assert(joined.filter(col("n_events") =!= col("n_b")).count() === 0)
+    } finally q.stop()
+  }
+
   test("runningUserTotals folds state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
