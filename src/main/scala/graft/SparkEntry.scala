@@ -88,6 +88,7 @@ object SparkEntry {
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
+    "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
     // LLM-pipeline: multimodal binary columns

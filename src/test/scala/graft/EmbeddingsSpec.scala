@@ -47,6 +47,37 @@ class EmbeddingsSpec extends SparkSuite {
     assert(recall >= 0.9, s"mean recall@10 $recall (per-query: ${recalls.toSeq.sorted})")
   }
 
+  /** IVF needs a corpus whose clusters align with cosine geometry —
+    * on the driver's embeddings table only 11% of true top-10
+    * neighbors share the query's label (measured via DuckDB), so no
+    * coarse quantizer derived from those labels can retrieve well (the
+    * documented IVF failure mode; LSH is the right variant there).
+    * The recall bar therefore runs on constructed clustered data. */
+  test("annIvf recall@10 >= 0.9 on genuinely clustered vectors (3/10 probes)") {
+    var seed = 7L
+    def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33).toInt % 2000) / 1000.0 - 1.0 }
+    val centroids = Seq.fill(10)(Array.fill(32)(rnd()))
+    val vecs = for {
+      c <- 0 until 10
+      m <- 0 until 20
+    } yield (c * 20L + m, centroids(c).map(x => (x + rnd() * 0.15).toFloat), c)
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val queryPred = col("vec_id") % 20 === 0 // one query per cluster
+    val queries = df.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(df.select("vec_id", "embedding"), queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Embeddings.annIvf(df, queryPred, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      truth.count(ivf.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"mean recall@10 $recall (per-query ${recalls.toSeq.sorted})")
+  }
+
   test("embedCosinePairs finds planted near-dup vectors") {
     // 60 deterministic pseudo-random vectors + a near-copy of each of
     // the first 10 (tiny perturbation, cosine > 0.999).
