@@ -241,9 +241,10 @@ object SparkEntry {
         |       max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ---- LLM-pipeline oracles (dedup_minhash / dedup_simhash /
-    // text_langid / embed_ann_lsh are rows-only: they depend on
-    // Spark-side hash functions or LSH randomness the oracle can't
-    // reproduce; their quality bars live in the ScalaTest specs). ----
+    // embed_ann_lsh / embed_ann_ivf are rows-only: they depend on
+    // Spark-side hash functions or LSH/quantizer internals the oracle
+    // can't reproduce; their quality bars live in the ScalaTest
+    // specs). ----
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -274,6 +275,25 @@ object SparkEntry {
         |  round(length(replace(text, ' ', ''))::DOUBLE / len(t), 4) AS avg_tok_len,
         |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             string_split_regex(lower(text), '[^a-z]+') AS tk
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(tk, x -> x IN ('the','and','of','is','with'))) AS s_en,
+        |  len(list_filter(tk, x -> x IN ('el','la','los','es','y'))) AS s_es,
+        |  len(list_filter(tk, x -> x IN ('le','la','les','est','et'))) AS s_fr,
+        |  len(list_filter(tk, x -> x IN ('de','shi','bu','le','wo'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unk'
+        |       WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |       WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |       WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |g AS (SELECT lang, tok, count(*) AS n FROM c GROUP BY 1, 2),

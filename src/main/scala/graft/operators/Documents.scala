@@ -78,18 +78,33 @@ object Documents {
       .select("doc_id", "text")
       .orderBy("doc_id")
 
-  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.6, via inverted-index
-    * join: explode distinct shingles, self-join on the shingle, count
-    * common shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+  /** Near-dup pairs by word-k-gram Jaccard ≥ `threshold`, via
+    * inverted-index join: explode distinct shingles, bucket doc lists
+    * per shingle, count common shingles per pair, compute
+    * |A∩B| / (|A|+|B|-|A∩B|).
     *
     * Scale shape: the join shuffles on the shingle value, so cost is
     * Σ_shingle (docs-with-shingle choose 2) — linear in corpus size for
-    * natural text where shingles are rare. A production run adds a
-    * document-frequency cap on hot shingles before the join (skew
-    * guard); omitted here so the DuckDB oracle stays exactly
-    * reproducible. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.load(spark, dir, "documents"))
+    * natural text where shingles are rare, but quadratic in the bucket
+    * for boilerplate shingles every document shares. `maxDocFreq` is
+    * the skew guard: shingles appearing in more than that many
+    * documents are dropped from the shingle universe entirely (both
+    * the pair counts and the per-doc sizes — standard stop-shingle
+    * semantics), bounding every bucket at (maxDocFreq choose 2) pairs.
+    * The DF filter is one extra aggregation on the already
+    * shingle-partitioned stream (no new shuffle). `None` keeps the
+    * exact Jaccard over all shingles, which the DuckDB oracle
+    * reproduces. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(docs)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        sh0.join(hot, Seq("s"), "left_anti")
+      case None => sh0
+    }
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Inverted index: bucket doc lists per shingle, emit ordered pairs
     // from each bucket — one shuffle (co-partitioned with `shingles`'
@@ -109,9 +124,15 @@ object Documents {
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") /
           (col("n1.n") + col("n2.n") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= threshold)
       .orderBy("d1", "d2")
   }
+
+  /** Registered query: exact 3-gram Jaccard ≥ 0.6 pairs, uncapped so
+    * the DuckDB oracle reproduces it bit-for-bit. The capped variant
+    * (the production skew guard) is exercised by the skew spec. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
   /** 64-bit SimHash over a token-array column `t`, computed per-row in
     * a SINGLE aggregate pass: fold token xxhash64s into a 64-counter
@@ -135,10 +156,14 @@ object Documents {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), simhashCol.as("simhash"))
-      // materialization boundary: 16-byte rows, trivially cheap to
-      // shuffle at any scale; guarantees the band join downstream
-      // reads concrete simhash values instead of re-deriving them.
-      .repartition(col("doc_id"))
+      // persist, not repartition: an Exchange is only reused when the
+      // planner emits ReusedExchange, and under AQE + cached inputs
+      // the two sides of the band self-join each recompiled the
+      // interpreted simhash aggregate (measured: 262 s warm vs 6.4 s
+      // cold at 5k docs). The 16-byte cached rows are trivially small
+      // at any scale, and the InMemoryRelation is a boundary no
+      // predicate rewrite can push below.
+      .persist()
 
   /** SimHash near-dup pairs with Hamming distance ≤ 3, via 4×16-bit
     * band join. Pigeonhole: ≤3 differing bits over 4 bands ⇒ at least
@@ -260,14 +285,37 @@ object Documents {
     "zh" -> Seq("de", "shi", "bu", "le", "wo"))
 
   def langIdCol(text: Column): Column = {
-    val toks = split(lower(text), "[^a-z]+")
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(size(filter(toks, x => x.isin(ms: _*))).as("score"), lit(lang).as("lang"))
-    }
-    // struct comparison: highest score wins, ties break to the
-    // alphabetically-last language code (deterministic either way).
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unk"))
+    val langs = langMarkers.keys.toSeq.sorted
+    // token → per-language increment vector (a marker can belong to
+    // several languages, e.g. "la" scores both es and fr).
+    val incr: Map[String, Seq[Int]] =
+      langMarkers.values.flatten.toSeq.distinct.sorted.map { t =>
+        t -> langs.map(l => if (langMarkers(l).contains(t)) 1 else 0)
+      }.toMap
+    val zeroes = typedlit(Seq.fill(langs.size)(0))
+    // ONE aggregate pass: the text is split exactly once and each
+    // token does one map lookup into the 5-counter accumulator. The
+    // previous form scored each language with its own filter() over a
+    // shared `toks` alias — Catalyst inlined the split into all five,
+    // re-tokenizing per language per row (14.5 s warm vs 0.55 s for
+    // the same-shaped text_stats). The argmax lives in the finish
+    // lambda so the whole column is a single expression evaluated
+    // once; ties break to the alphabetically-last language (the
+    // `>=` in the fold), 'unk' when nothing matches — semantics
+    // identical to the old greatest(struct…) form.
+    aggregate(
+      split(lower(text), "[^a-z]+"),
+      zeroes,
+      (acc, t) => zip_with(acc, coalesce(element_at(typedlit(incr), t), zeroes), (a, b) => a + b),
+      acc => {
+        val scored = zip_with(acc, typedlit(langs), (s, l) =>
+          struct(s.as("score"), l.as("lang")))
+        val best = aggregate(scored,
+          struct(lit(0).as("score"), lit("unk").as("lang")),
+          (b, x) => when(x.getField("score") >= b.getField("score") &&
+            x.getField("score") > 0, x).otherwise(b))
+        best.getField("lang")
+      })
   }
 
   /** Predicted vs labeled language per document (rows-only check: the

@@ -25,10 +25,11 @@ class EmbeddingsSpec extends SparkSuite {
     }
   }
 
-  test("annLsh recall@10 >= 0.9 vs brute force") {
+  test("annSketch recall@10 >= 0.9 vs brute force") {
     // sf0.01 (500 vectors): a corpus big enough that top-10 quality is
     // meaningful; at sf0.001 half the true top-10 sits at cross-cluster
-    // distances where range-LSH recall is definitionally limited.
+    // distances where a Hamming pre-filter's recall is definitionally
+    // limited.
     val emb = Tables.load(spark, SparkSpec.sfSmall, "embeddings")
       .select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 10)
@@ -36,7 +37,7 @@ class EmbeddingsSpec extends SparkSuite {
     val exact = Embeddings.knnBrute(emb, queries, k = 10)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val approx = Embeddings.annLsh(emb, col("vec_id") < 10, k = 10)
+    val approx = Embeddings.annSketch(emb, col("vec_id") < 10, k = 10)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (q, truth) =>

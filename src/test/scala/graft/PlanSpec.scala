@@ -49,6 +49,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "must never go all-pairs")
   }
 
+  test("simhash band join reads persisted signatures (one simhash computation)") {
+    val df = graft.operators.Documents.dedupSimhash(spark, SparkSpec.sfTiny)
+    val p = plan(df)
+    // Both sides of the band self-join must scan the cached signature
+    // frame; the interpreted simhash aggregate (the xxhash64 fold) may
+    // appear only inside the single cache-population plan, never in a
+    // live Project above the scan.
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 2, s"expected both join sides to read the cache, saw $scans:\n" + p.take(3000))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("brute-force kNN broadcasts the query set, not the corpus") {
     val p = plan(graft.operators.Embeddings.embedKnn(spark, SparkSpec.sfTiny))
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
