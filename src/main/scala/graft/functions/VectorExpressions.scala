@@ -1,0 +1,341 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector/sketch hot path.
+  *
+  * Spark's higher-order array functions (`transform`, `aggregate`,
+  * `zip_with`) always run INTERPRETED — one closure invocation per
+  * element — so a 64-dim dot product against 16 centroids costs ~1k
+  * lambda dispatches per row, and a 256-bit sign sketch ~16k. At
+  * kilobyte scale that's the measured bottleneck of the whole ANN
+  * tier; at 100 TB it's fatal. These expressions generate tight Java
+  * loops inside whole-stage codegen instead (the "custom Expression
+  * with doGenCode beats a UDF beats interpreted HOFs" rung of the
+  * extension ladder).
+  *
+  * Numeric parity: every loop accumulates a `double` sequentially in
+  * element order — bit-identical to the `aggregate(zip_with(...))`
+  * fold it replaces and to the DuckDB oracle's `list_sum` fold, so
+  * oracle hash checks are unaffected.
+  */
+object VectorExpressions {
+
+  private[functions] def elementGetter(dt: DataType, arr: String, i: String): String =
+    dt match {
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+  private[functions] def elementAt(dt: DataType, arr: ArrayData, i: Int): Double =
+    dt match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+  private def checkFloatArray(e: Expression, side: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"$side must be array<float|double>, got $other")
+    }
+
+  /** `vec_dot(a, b)` — Σ aᵢ·bᵢ over min(len) elements, double
+    * accumulator, element order. Null element poisons the result to
+    * null (the fold-with-null semantics of the HOF form). */
+  case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "vec_dot"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(left, "left") match {
+        case TypeCheckResult.TypeCheckSuccess => checkFloatArray(right, "right")
+        case fail                             => fail
+      }
+
+    private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+    private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val bd = b.asInstanceOf[ArrayData]
+      val n = math.min(ad.numElements(), bd.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+        acc += elementAt(leftElem, ad, i) * elementAt(rightElem, bd, i)
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $acc += ${elementGetter(leftElem, a, i)} * ${elementGetter(rightElem, b, i)};
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `sign_sketch(emb)` — nBits sign-random-projection bits packed
+    * into nBits/64 longs: bit p of word w is set iff
+    * ⟨emb, signs[w·64+p]⟩ > 0. One pass over the embedding (outer loop
+    * over dims, inner over bits) — same accumulation order as the HOF
+    * fold it replaces. `signs` rows must have length ≥ dim. */
+  case class SignSketch(child: Expression, signs: Seq[Seq[Double]])
+      extends UnaryExpression {
+    private val nBits = signs.length
+    require(nBits > 0 && nBits % 64 == 0, s"nBits must be a positive multiple of 64, got $nBits")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "sign_sketch"
+    override def checkInputDataTypes(): TypeCheckResult = checkFloatArray(child, "child")
+
+    private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val mat: Array[Array[Double]] = signs.map(_.toArray).toArray
+
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val d = ad.numElements()
+      val sums = new Array[Double](nBits)
+      var j = 0
+      while (j < d) {
+        if (ad.isNullAt(j)) return null
+        val x = elementAt(elem, ad, j)
+        var p = 0
+        while (p < nBits) { sums(p) += x * mat(p)(j); p += 1 }
+        j += 1
+      }
+      val words = new Array[Long](nBits / 64)
+      var p = 0
+      while (p < nBits) {
+        if (sums(p) > 0) words(p >> 6) |= 1L << (p & 63)
+        p += 1
+      }
+      new GenericArrayData(words)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("signs", mat, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val j = ctx.freshName("j")
+        val p = ctx.freshName("p")
+        val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
+        val sums = ctx.freshName("sums")
+        val words = ctx.freshName("words")
+        s"""
+           |int $d = $a.numElements();
+           |double[] $sums = new double[$nBits];
+           |for (int $j = 0; $j < $d; $j++) {
+           |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  double $x = ${elementGetter(elem, a, j)};
+           |  for (int $p = 0; $p < $nBits; $p++) $sums[$p] += $x * $matRef[$p][$j];
+           |}
+           |long[] $words = new long[${nBits / 64}];
+           |if (!${ev.isNull}) {
+           |  for (int $p = 0; $p < $nBits; $p++) {
+           |    if ($sums[$p] > 0) $words[$p >> 6] |= 1L << ($p & 63);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `nearest_centroids(emb)` — ids of the `n` centroids with highest
+    * dot product against the row's embedding, as array<int>. Centroids
+    * are expected unit-normalized by the caller (argmax dot = argmax
+    * cosine). Ties break to the lower centroid id. O(k·d + k·n) per
+    * row, all inside codegen — replaces a per-row interpreted
+    * transform + struct array_sort. */
+  case class NearestCentroids(child: Expression, cents: Seq[Seq[Double]], n: Int)
+      extends UnaryExpression {
+    private val k = cents.length
+    require(n > 0 && n <= k, s"need 0 < n <= $k, got $n")
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_centroids"
+    override def checkInputDataTypes(): TypeCheckResult = checkFloatArray(child, "child")
+
+    private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val mat: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val d = ad.numElements()
+      val sims = new Array[Double](k)
+      var j = 0
+      while (j < d) {
+        if (ad.isNullAt(j)) return null
+        val x = elementAt(elem, ad, j)
+        var c = 0
+        while (c < k) { sims(c) += x * mat(c)(j); c += 1 }
+        j += 1
+      }
+      val out = new Array[Int](n)
+      val used = new Array[Boolean](k)
+      var r = 0
+      while (r < n) {
+        var best = -1
+        var c = 0
+        while (c < k) {
+          if (!used(c) && (best < 0 || sims(c) > sims(best))) best = c
+          c += 1
+        }
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("cents", mat, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val r = ctx.freshName("r")
+        val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
+        val sims = ctx.freshName("sims")
+        val used = ctx.freshName("used")
+        val out = ctx.freshName("out")
+        val best = ctx.freshName("best")
+        s"""
+           |int $d = $a.numElements();
+           |double[] $sims = new double[$k];
+           |for (int $j = 0; $j < $d; $j++) {
+           |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  double $x = ${elementGetter(elem, a, j)};
+           |  for (int $c = 0; $c < $k; $c++) $sims[$c] += $x * $matRef[$c][$j];
+           |}
+           |int[] $out = new int[$n];
+           |if (!${ev.isNull}) {
+           |  boolean[] $used = new boolean[$k];
+           |  for (int $r = 0; $r < $n; $r++) {
+           |    int $best = -1;
+           |    for (int $c = 0; $c < $k; $c++) {
+           |      if (!$used[$c] && ($best < 0 || $sims[$c] > $sims[$best])) $best = $c;
+           |    }
+           |    $used[$best] = true;
+           |    $out[$r] = $best;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `simhash64(tokens)` — 64-bit SimHash over an array<string>: each
+    * token's xxhash64 (seed 42, identical to SQL `xxhash64(tok)`)
+    * votes +1/−1 per bit position; the sign of each counter becomes
+    * the output bit. Matches the interpreted
+    * aggregate-over-zip_with formulation bit for bit. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash64"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      val cnt = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i)) return null
+        val h = XxHash64Function.hash(ad.getUTF8String(i), StringType, 42L)
+        var p = 0
+        while (p < 64) { cnt(p) += (if (((h >>> p) & 1L) == 1L) 1 else -1); p += 1 }
+        i += 1
+      }
+      var out = 0L
+      var p = 0
+      while (p < 64) { if (cnt(p) > 0) out |= 1L << p; p += 1 }
+      out
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val stype = ctx.addReferenceObj("stype", StringType, "org.apache.spark.sql.types.DataType")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val p = ctx.freshName("p")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        val cnt = ctx.freshName("cnt")
+        val res = ctx.freshName("res")
+        s"""
+           |int $n = $a.numElements();
+           |int[] $cnt = new int[64];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+           |    .hash($a.getUTF8String($i), $stype, 42L);
+           |  for (int $p = 0; $p < 64; $p++) $cnt[$p] += ((($h >>> $p) & 1L) == 1L) ? 1 : -1;
+           |}
+           |long $res = 0L;
+           |if (!${ev.isNull}) {
+           |  for (int $p = 0; $p < 64; $p++) if ($cnt[$p] > 0) $res |= 1L << $p;
+           |}
+           |${ev.value} = $res;
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-API entry points ----
+
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def signSketch(emb: Column, signs: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(SignSketch(ColumnBridge.expression(emb), signs))
+
+  def nearestCentroids(emb: Column, cents: Seq[Seq[Double]], n: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(emb), cents, n))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

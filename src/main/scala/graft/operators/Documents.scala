@@ -134,23 +134,13 @@ object Documents {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
-  /** 64-bit SimHash over a token-array column `t`, computed per-row in
-    * a SINGLE aggregate pass: fold token xxhash64s into a 64-counter
-    * array (+1/−1 per bit), then assemble the sign bits in the finish
-    * lambda. One pass means the token array is referenced exactly once
-    * — the naive "64 aggregates, one per bit" form re-evaluated the
-    * hash array (and, inlined, the tokenizer) 64× per row under
-    * Catalyst's alias substitution. Near-dup docs differ in a handful
-    * of bits. */
-  def simhashCol: Column = expr(
-    """aggregate(
-      |  transform(t, x -> xxhash64(x)),
-      |  array_repeat(0, 64),
-      |  (acc, h) -> zip_with(acc, sequence(0, 63),
-      |              (c, i) -> c + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
-      |  acc -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-      |         (s, i) -> s + CASE WHEN acc[i] > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
-      |                       ELSE CAST(0 AS BIGINT) END))""".stripMargin)
+  /** 64-bit SimHash over a token-array column `t`: each token's
+    * xxhash64 votes +1/−1 per bit, the counter signs become the output
+    * bits. A codegen'd [[graft.functions.VectorExpressions.SimHash64]]
+    * loop — the interpreted aggregate-fold formulation cost
+    * ~64·|tokens| lambda dispatches per row. Near-dup docs differ in a
+    * handful of bits. */
+  def simhashCol: Column = graft.functions.VectorExpressions.simhash64(col("t"))
 
   private def withSimhash(docs: DataFrame): DataFrame =
     docs

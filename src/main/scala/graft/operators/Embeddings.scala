@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding: array<float>, label).
@@ -30,13 +31,15 @@ import graft.Tables
 object Embeddings {
 
   /** Sequential-fold dot product of two float array columns, in
-    * double. */
+    * double — a codegen'd [[graft.functions.VectorExpressions.VecDot]]
+    * loop (same element order and double accumulation as the
+    * interpreted `aggregate(zip_with(...))` fold it replaces, so
+    * DuckDB-oracle hashes are unchanged). */
   def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    VectorExpressions.vecDot(col(a), col(b))
 
   def normCol(a: String): Column =
-    sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    sqrt(VectorExpressions.vecDot(col(a), col(a)))
 
   /** Exact top-k cosine neighbors for each query vector. Queries are
     * broadcast (tiny); the corpus is scanned once, each partition
@@ -65,37 +68,23 @@ object Embeddings {
     knnBrute(emb, queries, k = 10)
   }
 
-  /** Fixed ±1 projection matrix (nBits × 64) as a literal column —
-    * seeded, so signatures are deterministic across runs and plans
-    * canonicalize identically (cache hits). Supports dims ≤ 64. */
-  private def signsLit(nBits: Int): Column = {
+  /** Fixed ±1 projection matrix (nBits × 64) — seeded, so signatures
+    * are deterministic across runs and plans canonicalize identically.
+    * Supports dims ≤ 64. */
+  private def signsSeq(nBits: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(42)
-    val signs: Seq[Seq[Double]] =
-      Seq.fill(nBits)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
-    typedlit(signs)
+    Seq.fill(nBits)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
   /** nBits-bit sign-random-projection signature (SimHash for vectors)
     * as an array of nBits/64 longs: bit p = sign(⟨embedding, r_p⟩) for
-    * nBits fixed ±1 random vectors (column `signs`). Hamming distance
-    * between signatures estimates the angle: E[ham] = nBits·θ/π.
-    * Single aggregate pass — the embedding is referenced once
-    * (array-accumulator pattern, see Documents.simhashCol for why that
-    * matters). */
-  private def signatureCol(nBits: Int): Column = {
-    require(nBits % 64 == 0, s"nBits must be a multiple of 64, got $nBits")
-    expr(
-      s"""aggregate(
-         |  zip_with(embedding, sequence(0, size(embedding) - 1),
-         |           (e, j) -> struct(CAST(e AS DOUBLE) AS e, j AS j)),
-         |  array_repeat(CAST(0 AS DOUBLE), $nBits),
-         |  (acc, x) -> zip_with(acc, sequence(0, ${nBits - 1}), (s, p) -> s + x.e * signs[p][x.j]),
-         |  acc -> transform(sequence(0, ${nBits / 64 - 1}),
-         |         w -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-         |              (b, p) -> b + CASE WHEN acc[w * 64 + p] > 0
-         |                             THEN shiftleft(CAST(1 AS BIGINT), p)
-         |                             ELSE CAST(0 AS BIGINT) END)))""".stripMargin)
-  }
+    * nBits fixed ±1 random vectors. Hamming distance between
+    * signatures estimates the angle: E[ham] = nBits·θ/π. A codegen'd
+    * [[graft.functions.VectorExpressions.SignSketch]] loop — the
+    * interpreted HOF formulation cost ~nBits·dim lambda dispatches
+    * per row. */
+  private def signatureCol(nBits: Int): Column =
+    VectorExpressions.signSketch(col("embedding"), signsSeq(nBits))
 
   /** Approximate top-k cosine neighbors via sign-sketch Hamming
     * pre-filter + exact rerank — the replacement for
@@ -124,7 +113,6 @@ object Embeddings {
                 nBits: Int = 256, candFactor: Int = 15): DataFrame = {
     val words = nBits / 64
     val sigs = corpus
-      .withColumn("signs", signsLit(nBits))
       .select(col("vec_id"), signatureCol(nBits).as("sig"))
       .persist()
     val queries = broadcast(sigs.filter(queryIds)
@@ -173,7 +161,6 @@ object Embeddings {
     * distance instead of requiring an exact band match. */
   def embedCosinePairs(corpus: DataFrame, simThreshold: Double): DataFrame = {
     val sigs = corpus
-      .withColumn("signs", signsLit(64))
       .select(col("vec_id"), element_at(signatureCol(64), 1).as("sig"))
       .persist()
     val banded = sigs.select(col("vec_id"), explode(expr(
@@ -212,20 +199,7 @@ object Embeddings {
       val nrm = math.sqrt(c.map(x => x * x).sum)
       if (nrm == 0) c else c.map(_ / nrm)
     }
-    // SQL-text form, not the Column API: struct field aliases inside a
-    // transform() lambda built with functions.struct get mangled
-    // (col1/y_2), so s.cid wouldn't resolve. The inlined centroid
-    // matrix is constant-folded to a single Literal by Catalyst.
-    val centsSql = unit.map(_.mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-    expr(
-      s"""transform(
-         |  slice(array_sort(transform($centsSql,
-         |    (c, i) -> struct(
-         |      -aggregate(zip_with(embedding, c, (x, y) -> CAST(x AS DOUBLE) * y),
-         |                 CAST(0 AS DOUBLE), (a, v) -> a + v) AS negsim,
-         |      i AS cid))), 1, $n),
-         |  s -> s.cid)""".stripMargin)
+    VectorExpressions.nearestCentroids(col("embedding"), unit, n)
   }
 
   /** IVF (inverted-file) ANN — the centroid-partitioned scale path:

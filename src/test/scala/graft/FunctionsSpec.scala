@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** Parity bars for the codegen'd vector expressions: each must equal
+  * the interpreted higher-order-function formulation it replaced —
+  * bit-for-bit, since the DuckDB oracle hash-compares doubles. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    var s = seed
+    def rnd(): Float = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33).toInt % 2000) / 1000.0f - 1.0f
+    }
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd())))
+  }
+
+  test("vecDot is bit-identical to the interpreted aggregate(zip_with) fold") {
+    val df = randVecs(50, 64, 7).toDF("id", "a")
+      .withColumn("b", reverse(col("a")))
+    val out = df.select(
+      VectorExpressions.vecDot(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("slow"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (f, s) =>
+      assert(java.lang.Double.doubleToLongBits(f) === java.lang.Double.doubleToLongBits(s))
+    }
+  }
+
+  test("vecDot handles empty arrays and null elements") {
+    val out = spark.sql(
+      """SELECT CAST(array() AS ARRAY<FLOAT>) AS a, CAST(array() AS ARRAY<FLOAT>) AS b
+        |UNION ALL SELECT array(CAST(1.0 AS FLOAT), NULL), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))
+        |""".stripMargin)
+      .select(VectorExpressions.vecDot(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSet === Set(Some(0.0), None))
+  }
+
+  test("signSketch matches the interpreted sign-projection fold") {
+    val nBits = 128
+    val rng = new scala.util.Random(42)
+    val signs: Seq[Seq[Double]] =
+      Seq.fill(nBits)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val df = randVecs(40, 64, 11).toDF("id", "embedding")
+    val out = df
+      .withColumn("signs", typedlit(signs))
+      .select(
+        VectorExpressions.signSketch(col("embedding"), signs).as("fast"),
+        expr(
+          s"""aggregate(
+             |  zip_with(embedding, sequence(0, size(embedding) - 1),
+             |           (e, j) -> struct(CAST(e AS DOUBLE) AS e, j AS j)),
+             |  array_repeat(CAST(0 AS DOUBLE), $nBits),
+             |  (acc, x) -> zip_with(acc, sequence(0, ${nBits - 1}), (s, p) -> s + x.e * signs[p][x.j]),
+             |  acc -> transform(sequence(0, ${nBits / 64 - 1}),
+             |         w -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+             |              (b, p) -> b + CASE WHEN acc[w * 64 + p] > 0
+             |                             THEN shiftleft(CAST(1 AS BIGINT), p)
+             |                             ELSE CAST(0 AS BIGINT) END)))""".stripMargin).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("simhash64 matches the interpreted xxhash64 vote fold") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "", "single",
+      "the quick brown fox jumps over the lazy cat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = docs
+      .select(split(col("text"), " ").as("t"))
+      .select(
+        VectorExpressions.simhash64(col("t")).as("fast"),
+        expr(
+          """aggregate(
+            |  transform(t, x -> xxhash64(x)),
+            |  array_repeat(0, 64),
+            |  (acc, h) -> zip_with(acc, sequence(0, 63),
+            |              (c, i) -> c + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
+            |  acc -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+            |         (s, i) -> s + CASE WHEN acc[i] > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+            |                       ELSE CAST(0 AS BIGINT) END))""".stripMargin).as("slow"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("nearestCentroids returns top-n by dot product, ties to lower id") {
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(1.0, 0.0))
+    val df = Seq(
+      (0L, Array(1.0f, 0.1f)), // → c0 (ties c3 at same dot → lower id first)
+      (1L, Array(0.0f, 2.0f)), // → c1
+      (2L, Array(-3.0f, 0.0f)) // → c2
+    ).toDF("id", "embedding")
+    val got = df.select(col("id"),
+      VectorExpressions.nearestCentroids(col("embedding"), cents, 2).as("cids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(0L) === Seq(0, 3))
+    assert(got(1L) === Seq(1, 0))
+    assert(got(2L) === Seq(2, 1))
+  }
+
+  test("vector expressions run inside whole-stage codegen") {
+    // parquet-backed (a local relation would be eagerly folded via the
+    // interpreted eval path by ConvertToLocalRelation)
+    val df = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .select(VectorExpressions.vecDot(col("embedding"), col("embedding")).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vec_dot"), p)
+    // "*(n)" marks a WholeStageCodegen stage in the compact plan string
+    assert(p.linesIterator.exists(l => l.contains("vec_dot") && l.trim.startsWith("*(")),
+      "expression must not fall back to interpreted:\n" + p)
+    df.collect() // force execution through the codegen path
+  }
+}
