@@ -21,7 +21,11 @@ object Cli {
     try {
       TypedCsv.loadDirectory(spark, csvDir)
       val result = spark.sql(sql.trim.stripSuffix(";"))
-      TypedCsv.saveSingleFile(result, outPath)
+      // typed = true: re-emit the `Name (N) (P),...` header like the
+      // reference sink (`table.cpp:540-575`), so CLI output diffs
+      // cleanly against reference output and round-trips back through
+      // the typed-CSV catalog.
+      TypedCsv.saveSingleFile(result, outPath, typed = true)
       println(s"wrote $outPath")
     } finally spark.stop()
   }

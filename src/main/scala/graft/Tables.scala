@@ -18,15 +18,17 @@ object Tables {
     * (region=5, nation=25 rows in TPC-H regardless of SF). */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  /** Per-(dir,name) cache of preloaded (possibly `.cache()`d) tables —
-    * populated by [[preload]] so the bench can measure compute without
-    * re-reading parquet per query. Query code always goes through
-    * [[load]], so correctness runs (no preload) read straight from disk. */
+  /** Per-(session,dir,name) cache of preloaded (possibly `.cache()`d)
+    * tables — populated by [[preload]] so the bench can measure compute
+    * without re-reading parquet per query. Keyed by session identity so
+    * a preload in one session can never hand a stale DataFrame to
+    * another; query code always goes through [[load]], so correctness
+    * runs (no preload) read straight from disk. */
   private val cached =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val hit = cached.get((dir, name))
+    val hit = cached.get((spark, dir, name))
     if (hit != null) hit
     else if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
@@ -62,16 +64,28 @@ object Tables {
       }
     }
 
-  /** Read + materialize every table into the Spark cache (bench use:
-    * separates one-time load cost from per-query compute cost). */
-  def preload(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
+  /** Read + materialize tables into the Spark cache (bench use:
+    * separates one-time load cost from per-query compute cost).
+    * `except` names stay uncached: scans over a row-based
+    * InMemoryRelation lose the vectorized parquet reader, which is a
+    * measured loss for the array-heavy documents/embeddings pipelines
+    * ("cache aggregates, not sort inputs" — BIGBENCH.md). */
+  def preload(spark: SparkSession, dir: String,
+              except: Set[String] = Set.empty): Unit =
+    all.filterNot(except).foreach { n =>
       try {
         val df = load(spark, dir, n).cache()
         df.count() // force materialization
-        cached.put((dir, n), df)
+        cached.put((spark, dir, n), df)
       } catch { case NonFatal(e) =>
         System.err.println(s"[tables] preload skipped $n: ${e.getMessage}")
       }
     }
+
+  /** Drop this session's preloaded entries (returns [[load]] to its
+    * side-effect-free read-from-disk behavior). */
+  def clearPreload(spark: SparkSession): Unit = {
+    val it = cached.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
 }

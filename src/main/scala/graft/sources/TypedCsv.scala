@@ -70,8 +70,17 @@ object TypedCsv {
     }.toMap
   }
 
+  /** CSV field quoting: wrap iff the value contains a delimiter,
+    * quote, or line break (\n or \r — a bare carriage return corrupts
+    * the row just as surely). */
+  private def csvQuote(s: String): String =
+    if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   /** Typed header for a schema (the reference's sink re-emits it,
-    * `table.cpp:540-575`). */
+    * `table.cpp:540-575`). Field names get the same quoting as data
+    * cells (a column name containing a comma must not split). */
   def typedHeader(schema: StructType): String =
     schema.fields.map { f =>
       val tag = f.dataType match {
@@ -80,7 +89,7 @@ object TypedCsv {
         case _ => "(T)"
       }
       val pk = if (f.metadata.contains("primaryKey")) " (P)" else ""
-      s"${f.name} $tag$pk"
+      csvQuote(s"${f.name} $tag$pk")
     }.mkString(",")
 
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -99,7 +108,7 @@ object TypedCsv {
     try {
       val header =
         if (typed) typedHeader(df.schema)
-        else df.schema.fieldNames.mkString(",")
+        else df.schema.fieldNames.map(csvQuote).mkString(",")
       w.write(header); w.newLine()
       val fields = df.schema.fields
       df.toLocalIterator().forEachRemaining { row =>
@@ -107,11 +116,7 @@ object TypedCsv {
           if (row.isNullAt(i)) ""
           else fields(i).dataType match {
             case TimestampType => tsFmt.format(row.getTimestamp(i).toInstant)
-            case _ =>
-              val s = row.get(i).toString
-              if (s.contains(",") || s.contains("\"") || s.contains("\n"))
-                "\"" + s.replace("\"", "\"\"") + "\""
-              else s
+            case _ => csvQuote(row.get(i).toString)
           }
         }
         w.write(cells.mkString(",")); w.newLine()

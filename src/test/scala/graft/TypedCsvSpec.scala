@@ -83,6 +83,47 @@ class TypedCsvSpec extends SparkSuite {
     assertGolden("query3.txt", "result3.csv")
   }
 
+  test("CLI-path query result round-trips typed through the catalog") {
+    // Same pipeline as Cli.main (which now writes typed = true), minus
+    // the session lifecycle: catalog → SQL → typed sink → reload must
+    // preserve column names AND types, like the reference sink
+    // (`table.cpp:540-575`).
+    TypedCsv.loadDirectory(spark, new File(base, "data").getPath)
+    val result = spark.sql(
+      "SELECT Name, Salary * 2 AS doubled, JoinedDate FROM Employees ORDER BY Name")
+    val out = new File("target/sampletest-spec/cli_roundtrip.csv")
+    TypedCsv.saveSingleFile(result, out.getPath, typed = true)
+    val reloaded = TypedCsv.loadFile(spark, out.getPath)
+    assert(reloaded.schema.fieldNames.toSeq === Seq("Name", "doubled", "JoinedDate"))
+    assert(reloaded.schema("doubled").dataType.typeName === "double")
+    assert(reloaded.schema("JoinedDate").dataType.typeName === "timestamp")
+    assert(reloaded.count() === result.count())
+  }
+
+  test("quoting guards carriage returns and header commas") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a,b", StringType), StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("x\ry", "plain"), Row("q\"z", "c,d")), schema)
+    val out = new File("target/sampletest-spec/quoting.csv")
+    TypedCsv.saveSingleFile(df, out.getPath)
+    val lines = {
+      val src = scala.io.Source.fromFile(out.getPath)
+      try src.mkString finally src.close()
+    }
+    assert(lines.startsWith("\"a,b\",v"), lines)
+    assert(lines.contains("\"x\ry\""), "bare CR must be quoted: " + lines)
+    assert(lines.contains("\"q\"\"z\""), lines)
+    // Spark's own CSV reader parses it back intact (multiLine: quoted
+    // line breaks span physical lines)
+    val back = spark.read.option("header", "true")
+      .option("multiLine", "true").csv(out.getPath)
+    assert(back.columns.toSeq === Seq("a,b", "v"))
+    assert(back.count() === 2)
+  }
+
   test("typed-header sink round-trips") {
     val df = TypedCsv.loadFile(spark, new File(base, "data/Employees.csv").getPath)
     val out = new File("target/sampletest-spec/roundtrip.csv")
