@@ -9,13 +9,16 @@ import graft.Tables
   * typed metadata, plus a decode/feature-extract stage.
   *
   * The Spark-side plumbing is real — binary packing, typed Dataset
-  * schema, partition-batched decode — but the decoder itself is a
-  * clearly-marked DETERMINISTIC STUB: the container has no image/audio
-  * codecs, so `decodeStub` derives fake dimensions from a content
-  * hash. Swapping in a real decoder (JNI codec or `mapInPandas` +
-  * Pillow on a PySpark cluster) changes only the function body; the
-  * schema, partitioning, and batch shape are what this module pins
-  * down.
+  * schema, partition-batched decode — and so is the decoder for the
+  * formats a pure-JVM header parse can handle: BMP (pixel dimensions)
+  * and WAV (sample rate / channels / frame count) via
+  * [[MediaDecoder]]. Formats needing a real codec (JPEG, H.264, ...)
+  * fall back to a clearly-marked DETERMINISTIC STUB that derives fake
+  * dimensions from a content hash — the container ships no codecs.
+  * Swapping in a full decoder (JNI codec or `mapInPandas` + Pillow on
+  * a PySpark cluster) changes only the per-format branch; the schema,
+  * partitioning, and batch shape are what this module pins down — and
+  * the BMP/WAV branches prove that claim with real formats.
   */
 object Multimodal {
 
@@ -41,23 +44,70 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Pure-JVM media header parsers — the real-decoder end of the
+    * decode seam. Little-endian field offsets per the public format
+    * specs (BITMAPFILEHEADER/BITMAPINFOHEADER; RIFF/WAVE chunks). */
+  object MediaDecoder {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** (width, height, 1) from a BMP's info header; height may be
+      * negative in the file (top-down rows). */
+    def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        Some((le32(b, 18), math.abs(le32(b, 22)), 1))
+      else None
+
+    /** (sampleRate, channels, sampleFrames) from a PCM WAV's fmt/data
+      * chunks, walking the RIFF chunk list. */
+    def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var off = 12
+      var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = le32(b, off + 4)
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          channels = le16(b, off + 10)
+          rate = le32(b, off + 12)
+          blockAlign = le16(b, off + 20)
+        } else if (id == "data") dataLen = sz
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0)
+        Some((rate, channels, dataLen / blockAlign))
+      else None
+    }
+  }
+
   /** Partition-batched decode. `mapPartitions` mirrors the batch shape
-    * of `mapInPandas`: the (real) decoder amortizes codec init across
-    * a whole partition instead of paying it per row. STUB: dimensions
-    * are derived from a murmur3 content hash — deterministic, so specs
-    * and the verify harness are stable. */
+    * of `mapInPandas`: the decoder amortizes codec init across a whole
+    * partition instead of paying it per row. BMP and WAV decode for
+    * real ([[MediaDecoder]]); other formats fall back to the
+    * deterministic murmur3-hash STUB (no codecs in the container), so
+    * specs and the verify harness stay stable. For WAV, `width` is the
+    * sample rate, `height` the channel count, `n_frames` the sample
+    * frames. */
   def decodeStub(records: Dataset[MediaRecord]): Dataset[DecodedFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // real impl: val codec = Codec.open() once per partition here
+      // real codecs would init once per partition here
       it.map { r =>
         val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, seed = 42)
-        DecodedFeatures(
-          doc_id = r.doc_id,
-          width = 64 + (math.abs(h.toLong) % 512).toInt,
-          height = 64 + (math.abs((h.toLong >> 9)) % 512).toInt,
-          n_frames = 1,
-          content_hash = h.toLong)
+        val decoded = r.mime match {
+          case "image/bmp" => MediaDecoder.decodeBmp(r.media)
+          case "audio/wav" => MediaDecoder.decodeWav(r.media)
+          case _           => None
+        }
+        val (w, ht, frames) = decoded.getOrElse((
+          64 + (math.abs(h.toLong) % 512).toInt,
+          64 + (math.abs(h.toLong >> 9) % 512).toInt,
+          1))
+        DecodedFeatures(r.doc_id, w, ht, frames, h.toLong)
       }
     }
   }

@@ -61,6 +61,56 @@ class DedupSpec extends SparkSuite {
     assert(found.contains((0L, 999L)))
   }
 
+  test("maxDocFreq cap bounds candidate volume under a corpus-wide hot shingle") {
+    // Boilerplate skew: every doc opens with the same 5-token header
+    // (3 corpus-wide shingles), so the uncapped inverted index emits
+    // Σ(bucket choose 2) ≈ 3·(N choose 2) candidates from those
+    // buckets alone — quadratic. The cap must (a) bound every bucket
+    // and (b) still find the planted near-dups, whose overlap lives in
+    // the non-boilerplate shingles.
+    val n = 200
+    val boiler = "terms of service apply here"
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    var seed = 777L
+    def nextInt(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % m).toInt + m) % m }
+    val bases = (0 until n).map { i =>
+      (i.toLong, boiler + " " + (0 until 40).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = bases.take(5).map { case (i, text) =>
+      val toks = text.split(" "); toks(20) = "zulu"
+      (i + 1000, toks.mkString(" "))
+    }
+    val docs = (bases ++ dups).toDF("doc_id", "text")
+
+    def candidateVolume(capped: org.apache.spark.sql.DataFrame): Long =
+      capped.groupBy("s").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(sum(expr("c * (c - 1) / 2"))).as[Double].head().toLong
+
+    val cap = 20
+    val sh = Documents.shingles(docs)
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("s")
+    val uncappedVol = candidateVolume(sh)
+    val cappedSh = sh.join(hot, Seq("s"), "left_anti")
+    val cappedVol = candidateVolume(cappedSh)
+    assert(uncappedVol >= n.toLong * (n - 1) / 2, s"skew not planted? vol=$uncappedVol")
+    // structural guarantee: no surviving bucket exceeds the cap, so
+    // per-bucket pair volume is ≤ (cap choose 2) — linear in corpus
+    // size, never quadratic in it
+    val maxBucket = cappedSh.groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(max("c")).as[Long].head()
+    assert(maxBucket <= cap, s"bucket of $maxBucket survived the cap")
+    // and the corpus-wide boilerplate buckets' quadratic term is gone
+    assert(cappedVol < uncappedVol / 4, s"capped $cappedVol vs uncapped $uncappedVol")
+
+    val found = Documents.jaccardPairs(docs, threshold = 0.5, maxDocFreq = Some(cap))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, i + 1000L)).toSet
+    assert(expected.subsetOf(found), s"capped run lost planted pairs: $found")
+  }
+
   test("ngram-jaccard inverted-index join finds planted pairs with correct scores") {
     val sh = Documents.shingles(planted)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

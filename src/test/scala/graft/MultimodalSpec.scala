@@ -29,6 +29,41 @@ class MultimodalSpec extends SparkSuite {
     assert(a.forall(f => f.width >= 64 && f.width < 576 && f.height >= 64 && f.height < 576))
   }
 
+  test("BMP and WAV payloads decode their real headers through the seam") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built 5×3 24-bit BMP (header + empty pixel rows)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.array()
+    }
+    // 8 kHz mono 16-bit PCM WAV with n sample frames
+    def wav(rate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      val block = channels * 2
+      val dataLen = nFrames * block
+      val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      b.putInt(rate).putInt(rate * block).putShort(block.toShort).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      b.array()
+    }
+    val records = Seq(
+      Multimodal.MediaRecord(1L, bmp(5, 3), "image/bmp", "xx", 0L),
+      Multimodal.MediaRecord(2L, wav(8000, 1, 120), "audio/wav", "xx", 0L),
+      Multimodal.MediaRecord(3L, "not media".getBytes, "text/plain", "xx", 0L),
+      Multimodal.MediaRecord(4L, "junk".getBytes, "image/bmp", "xx", 0L) // malformed → stub
+    ).toDS()
+    val out = Multimodal.decodeStub(records).collect().map(f => f.doc_id -> f).toMap
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) === ((5, 3, 1)))
+    assert((out(2L).width, out(2L).height, out(2L).n_frames) === ((8000, 1, 120)))
+    assert(out(3L).width >= 64 && out(3L).width < 576) // stub branch
+    assert(out(4L).width >= 64 && out(4L).width < 576) // graceful fallback
+  }
+
   test("multimodal_pack query joins 1:1 with embeddings") {
     val out = Multimodal.multimodalPack(spark, SparkSpec.sfTiny)
     val nDocs = Tables.load(spark, SparkSpec.sfTiny, "documents").count()
