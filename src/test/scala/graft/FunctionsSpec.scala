@@ -105,6 +105,25 @@ class FunctionsSpec extends SparkSuite {
     assert(got(2L) === Seq(2, 1))
   }
 
+  test("minhashSig estimates Jaccard and nulls out empty sets") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("a b c", "b c d", "c d e", "d e f")), // identical → sig equal
+      (3L, Seq("x y z", "y z w", "z w v", "w v u")), // disjoint
+      (4L, Seq.empty[String])                        // no shingles → null
+    ).toDF("id", "sh")
+    val sigs = df.select(col("id"),
+      VectorExpressions.minhashSig(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(sigs(1L) === sigs(2L), "identical sets must have identical signatures")
+    assert(sigs(4L) === null)
+    // disjoint sets: expected matching positions = J = 0 (collisions
+    // astronomically unlikely over 16 independent 64-bit mins)
+    val matches = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(matches === 0, s"$matches positions matched for disjoint sets")
+  }
+
   test("vector expressions run inside whole-stage codegen") {
     // parquet-backed (a local relation would be eagerly folded via the
     // interpreted eval path by ConvertToLocalRelation)
