@@ -276,9 +276,9 @@ object Embeddings {
     * vectors. This corpus is weakly clustered (true top-10 sims
     * 0.24–0.49 over background σ=0.124), so honest IVF needs wide
     * probes: k=16 cells, 5 probes, 3-way assignment measures
-    * recall@10 ≈ 0.94 while scoring ~69% of the corpus — the measured
-    * price of cluster-free data, documented rather than hidden (the
-    * spec asserts the ≥0.9 bar at 3/10 single-assign probes on
+    * recall@10 = 0.93 while scoring ~69% of the corpus — the measured
+    * price of cluster-free data, documented rather than hidden (specs
+    * assert ≥0.9 both here and at 3/10 single-assign probes on
     * genuinely clustered vectors, where IVF scans ~30%). [[annSketch]]
     * is the production pick for corpora like this one. */
   def embedAnnIvf(spark: SparkSession, dir: String): DataFrame =
