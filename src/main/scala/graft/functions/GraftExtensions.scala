@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's native expressions, injected via the
+  * standard `SparkSessionExtensions` mechanism — `spark.sql(...)`
+  * users (and the typed-CSV CLI) get `vec_dot`, `simhash64`, and
+  * `minhash_sig` as first-class functions, planned and codegen'd
+  * exactly like built-ins.
+  *
+  * Wire up with `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` (done by [[graft.GraftSession]]) or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` on a
+  * cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VectorExpressions.type].getName, name, usage, "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+        VectorExpressions.VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
+        VectorExpressions.SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(tokens, nPerms) - nPerms-permutation MinHash signature of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"minhash_sig expects 2 arguments, got ${args.length}")
+        val nPerms = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"minhash_sig nPerms must be an integer literal, got $other")
+        }
+        VectorExpressions.MinHashSig(args.head, nPerms)
+      }))
+  }
+}

@@ -50,6 +50,20 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time guard an LLM-data
+    * pipeline puts in front of a corpus lake (at-least-once upstream
+    * delivery means duplicate events/documents WILL arrive). Keyed by
+    * an explicit id column; `dropDuplicatesWithinWatermark` keeps a
+    * key's state only until the watermark passes it, so state is
+    * bounded by the lateness window rather than the stream's lifetime
+    * — the property that makes exact streaming dedup feasible on an
+    * unbounded 100-TB ingest. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming read of an events parquet directory (new files are
     * picked up incrementally — the standard lake-ingest pattern).
     * The stream must use the RAW file schema (ts as int64 nanos via

@@ -124,6 +124,21 @@ class FunctionsSpec extends SparkSuite {
     assert(matches === 0, s"$matches positions matched for disjoint sets")
   }
 
+  test("extensions expose vec_dot / simhash64 / minhash_sig to spark.sql") {
+    val dot = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val sh = spark.sql("SELECT simhash64(array('a', 'b', 'c')) AS h").as[Long].head()
+    val shCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(VectorExpressions.simhash64(col("t"))).as[Long].head()
+    assert(sh === shCol, "SQL and Column API must agree")
+    val sig = spark.sql("SELECT minhash_sig(array('a', 'b'), 4) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length === 4)
+  }
+
   test("vector expressions run inside whole-stage codegen") {
     // parquet-backed (a local relation would be eagerly folded via the
     // interpreted eval path by ConvertToLocalRelation)

@@ -114,4 +114,25 @@ class StreamingSpec extends SparkSuite {
       assert(latest(3L).n_events === 1)
     } finally q.stop()
   }
+
+  test("dedupStream drops within-watermark duplicate ids, keeps the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.dedupStream(stream.toDF(), keys = Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      // re-deliver event 2 (at-least-once upstream) plus a fresh event
+      stream.addData(Seq(
+        Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0), // duplicate id
+        Event(7, ts("2024-01-01 11:45:00"), 4, "view", 9.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 4L, 7L), s"got $ids")
+    } finally q.stop()
+  }
 }
