@@ -229,12 +229,28 @@ object Embeddings {
     * vs brute force is a stable spec assertion. Complements
     * [[annSketch]]: IVF wins when the corpus clusters; the sketch
     * path when it doesn't. */
-  def annIvf(corpus: DataFrame, queryIds: Column, k: Int,
-             nCentroids: Int = 10, nProbe: Int = 3, nAssign: Int = 1,
-             iters: Int = 4): DataFrame = {
-    val sp = corpus.sparkSession
+  /** Session-scoped memo of trained coarse quantizers, keyed by the
+    * corpus plan's semantic hash + k-means params. An IVF index is
+    * built once and probed many times; without the memo every probe
+    * query re-runs `iters` full corpus passes. Same staleness caveat
+    * as any index: data rewritten under an identical plan needs a new
+    * session (or an explicit [[clearQuantizers]]). */
+  private val quantizers = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, Int, Int), Seq[Seq[Double]]]()
+
+  def clearQuantizers(spark: SparkSession): Unit = {
+    val it = quantizers.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
+  /** Seeded Lloyd k-means over (vec_id, embedding) — deterministic:
+    * init from nCentroids hash-ordered corpus rows, each iteration one
+    * assign (codegen argmax projection) + recompute (posexplode →
+    * per-dim avg, collected to the driver: k×d doubles). Empty
+    * clusters keep their previous centroid. */
+  def fitKmeans(emb: DataFrame, nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
+    val sp = emb.sparkSession
     import sp.implicits._
-    val emb = corpus.select(col("vec_id"), col("embedding"))
     var cents: Seq[Seq[Double]] = emb
       .orderBy(xxhash64(col("vec_id")))
       .limit(nCentroids)
@@ -250,6 +266,18 @@ object Embeddings {
         .as[(Int, Seq[Double])].collect().toMap
       cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
     }
+    cents
+  }
+
+  def annIvf(corpus: DataFrame, queryIds: Column, k: Int,
+             nCentroids: Int = 10, nProbe: Int = 3, nAssign: Int = 1,
+             iters: Int = 4): DataFrame = {
+    val sp = corpus.sparkSession
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val planKey = emb.queryExecution.analyzed.semanticHash()
+    val cents = quantizers.computeIfAbsent(
+      (sp, planKey, nCentroids, iters),
+      _ => fitKmeans(emb, nCentroids, iters))
     val posting = emb
       .select(col("vec_id"), col("embedding"),
         explode(nearestCids(cents, nAssign)).as("cid"))
