@@ -90,6 +90,7 @@ object SparkEntry {
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
+    "embed_quantize" -> (Embeddings.embedQuantize _),
     "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
     // LLM-pipeline: multimodal binary columns
     "multimodal_pack" -> (Multimodal.multimodalPack _),
@@ -319,6 +320,19 @@ object SparkEntry {
         |           FROM embeddings)
         |SELECT label, pos, round(avg(v), 6) AS v FROM x
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |             list_min(embedding) AS mn, list_max(embedding) AS mx
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, mn, mx,
+        |        unnest(range(0, len(embedding))) AS pos,
+        |        unnest(embedding) AS v
+        |      FROM e)
+        |SELECT vec_id, CAST(pos AS INT) AS pos,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(round((v::DOUBLE - mn::DOUBLE) / (mx::DOUBLE - mn::DOUBLE) * 255) AS INT)
+        |  END AS q
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
     "multimodal_pack" ->
       """SELECT d.doc_id, octet_length(d.text::BLOB) AS n_bytes, d.lang,
         |       len(e.embedding) AS dim, e.label

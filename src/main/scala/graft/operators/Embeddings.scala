@@ -313,6 +313,26 @@ object Embeddings {
     annIvf(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10,
       nCentroids = 16, nProbe = 5, nAssign = 3)
 
+  /** 8-bit per-vector quantization, emitted as (vec_id, pos, q) rows:
+    * q = round((x − min) / (max − min) · 255), the min/max taken per
+    * vector. The storage/bandwidth operator for an embedding lake —
+    * int8 codes are 4× narrower than float32, and a scan that
+    * dequantizes (x ≈ mn + q/255·(mx−mn)) pays ~0.4% cosine error
+    * (spec-asserted) for a 4× I/O cut. Constant vectors quantize to 0.
+    * All arithmetic in double with the same cast order as the DuckDB
+    * oracle, so the hash check is exact. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          round((col("x").cast("double") - col("mn")) / (col("mx") - col("mn")) * 255)
+            .cast("int")).as("q"))
+      .orderBy("vec_id", "pos")
+
   /** Per-label centroid, emitted as (label, pos, v) rows — a grouped
     * vector aggregation (the "cluster summary" shape IVF indexes are
     * built from). posexplode keeps the aggregation a plain

@@ -119,6 +119,25 @@ class EmbeddingsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, found $found")
   }
 
+  test("embedQuantize int8 codes reconstruct cosine within 1%") {
+    val src = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val q = Embeddings.embedQuantize(spark, SparkSpec.sfTiny)
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(q.keySet === src.keySet)
+    assert(q.values.flatten.forall(v => v >= 0 && v <= 255))
+    src.foreach { case (id, x) =>
+      val mn = x.min.toDouble; val mx = x.max.toDouble
+      val recon = q(id).map(v => mn + v / 255.0 * (mx - mn))
+      val dot = x.zip(recon).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(x.map(a => a.toDouble * a).sum) *
+        math.sqrt(recon.map(b => b * b).sum))
+      assert(cos >= 0.99, s"vec $id dequantized cosine $cos")
+    }
+  }
+
   test("embedCentroid emits one row per (label, pos)") {
     val out = Embeddings.embedCentroid(spark, SparkSpec.sfTiny)
     val labels = emb.sparkSession.read
