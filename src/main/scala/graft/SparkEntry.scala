@@ -74,6 +74,11 @@ object SparkEntry {
     "join_skew_salted" -> (Relational.joinSkewSalted _),
     "events_json_props" -> (Relational.eventsJsonProps _),
     "agg_count_distinct" -> (Relational.aggCountDistinct _),
+    "set_union" -> (Relational.setUnion _),
+    "group_cube" -> (Relational.groupCube _),
+    "join_left_outer" -> (Relational.joinLeftOuter _),
+    "join_anti" -> (Relational.joinAnti _),
+    "events_sessionize" -> (Relational.eventsSessionize _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
@@ -236,6 +241,47 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, o_totalprice""".stripMargin,
     "agg_count_distinct" ->
       "SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "set_union" ->
+      """SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 300000
+        |UNION
+        |SELECT c_custkey AS ckey FROM customer WHERE c_acctbal < 0
+        |ORDER BY ckey""".stripMargin,
+    "group_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+        |         sum_qty ASC""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 400000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_anti" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events),
+        |g AS (SELECT user_id, event_id, ts, value, us,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  > 1800000000 THEN 1 ELSE 0 END AS gap
+        |      FROM e),
+        |s AS (SELECT user_id, value, us,
+        |        CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "events_json_props" ->
       """SELECT event_type, count(*) AS n,
         |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,

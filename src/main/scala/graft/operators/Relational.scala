@@ -364,4 +364,75 @@ object Relational {
       .select(col("w.start").as("w_start"), col("event_type"),
               col("n_events"), col("sum_value"))
       .orderBy("w_start", "event_type", "n_events", "sum_value")
+
+  /** Set operation: UNION (distinct) of two key sets — completes the
+    * EXCEPT/INTERSECT/UNION trio. Plans as union + hash-distinct, one
+    * shuffle on the key. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("ckey"))
+    val neg = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") < 0.0).select(col("c_custkey").as("ckey"))
+    big.union(neg).distinct().orderBy("ckey")
+  }
+
+  /** CUBE grouping sets — all 2^k subtotal combinations in a single
+    * Expand + hash aggregate (ROLLUP's sibling; both absent in the
+    * reference). */
+  def groupCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+        col("sum_qty").asc)
+
+  /** LEFT OUTER join — customers with their big orders, keeping
+    * order-less customers as NULL rows (the reference supports inner
+    * only). Dim side still broadcastable when small. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** LEFT ANTI join — suppliers from nations with no high-value
+    * orders… expressed on customer/orders: customers with no order
+    * over the threshold. Anti joins are the dedup/differencing
+    * workhorse (and plan as a broadcast/hash anti, never a filter on
+    * a full outer). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+    val big = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000.0).select("o_custkey")
+    customer.join(big, customer("c_custkey") === big("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** Sessionization: split each user's event stream at >30-minute
+    * gaps (lag + cumulative sum of gap flags — the standard two-window
+    * formulation), then summarize each session. The log-analytics
+    * primitive for training-data pipelines; both windows partition by
+    * user, so the whole query is one shuffle on user_id. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    // gap/duration math on unix_micros (exact integers) — second-level
+    // casts round differently across engines.
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", when(
+        col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        (max("us") - min("us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
 }
