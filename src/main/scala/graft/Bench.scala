@@ -40,8 +40,10 @@ object Bench {
       "sort_asc", "sort_date", "sort_string", "sort_topn",
       "join_equi", "join_multicond", "join_skew_salted",
       "agg_count_distinct", "agg_approx_distinct",
-      "group_agg", "group_rollup", "window_rank",
+      "group_agg", "group_rollup", "group_cube", "window_rank",
+      "set_union", "join_left_outer", "join_anti",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
+      "events_sessionize",
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>
         n.startsWith("dedup_") || n.startsWith("embed_") ||

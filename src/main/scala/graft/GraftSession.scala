@@ -30,5 +30,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as raw int64 ns
       // (converted to µs timestamps in Tables.loadEvents).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog-managed (e.g. bucketed) tables land under target/, not
+      // the repo root; cluster deployments override with their real
+      // warehouse path
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").getAbsolutePath)
       .config("spark.ui.enabled", "false")
 }

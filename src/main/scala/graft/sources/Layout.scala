@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout management for co-located joins — the lever that
+  * deletes the biggest shuffle in a recurring big×big join.
+  *
+  * A join between two tables bucketed by the join key into the same
+  * bucket count is planned WITHOUT an Exchange on either side (and
+  * without a Sort, if `sortBy` matches): every executor joins bucket i
+  * against bucket i locally. At 100 TB this converts the nightly
+  * fact×fact join from a full-cluster shuffle into a metadata-only
+  * plan decision — the write-side cost is paid once, at layout time.
+  *
+  * Spark's bucketing rides the session catalog (`saveAsTable`), not
+  * bare parquet paths — bucket metadata lives in the table definition.
+  */
+object Layout {
+
+  /** Write `df` bucketed (and sorted) by `key` into `buckets` buckets
+    * as a catalog-managed parquet table. Drops any previous table AND
+    * its location first — an in-memory catalog forgets tables across
+    * JVMs while their directories persist, and `saveAsTable` refuses
+    * to adopt an orphaned location. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(new java.io.File(warehouse, table))
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Equi join of two same-bucketed tables on `leftKey = rightKey` —
+    * shuffle-free by construction (asserted in LayoutSpec). */
+  def bucketedEquiJoin(spark: SparkSession, left: String, right: String,
+                       leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** The co-location contract: a join of two same-bucketed tables must
+  * plan with NO Exchange on either side — at scale that's the
+  * difference between a metadata decision and a full-cluster shuffle. */
+class LayoutSpec extends SparkSuite {
+
+  /** sf0.001 tables are broadcast-small, which would mask the bucketing
+    * question entirely — pin the planner to sort-merge to test the
+    * co-location contract the way a big×big join would exercise it. */
+  private def withoutBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("same-bucketed tables equi-join without any shuffle") { withoutBroadcast {
+    val lineitem = Tables.load(spark, SparkSpec.sfTiny, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val orders = Tables.load(spark, SparkSpec.sfTiny, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(lineitem, "li_bucketed", "l_orderkey", buckets = 8)
+    Layout.writeBucketed(orders, "ord_bucketed", "o_orderkey", buckets = 8)
+
+    val joined = Layout.bucketedEquiJoin(spark, "li_bucketed", "ord_bucketed",
+      "l_orderkey", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle either side:\n" + plan)
+
+    // and it computes the same rows as the plain (shuffling) join
+    val expected = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey")).count()
+    assert(joined.count() === expected)
+  } }
+
+  test("bucket-mismatched join still shuffles (the guard is real)") { withoutBroadcast {
+    val orders = Tables.load(spark, SparkSpec.sfTiny, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(orders, "ord_b5", "o_orderkey", buckets = 5)
+    val li = spark.table("li_bucketed")
+    val mismatch = li.join(spark.table("ord_b5"),
+      li("l_orderkey") === col("o_orderkey"))
+    assert(mismatch.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "differing bucket counts cannot co-locate")
+  } }
+}
