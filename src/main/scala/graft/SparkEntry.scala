@@ -79,6 +79,7 @@ object SparkEntry {
     "join_left_outer" -> (Relational.joinLeftOuter _),
     "join_anti" -> (Relational.joinAnti _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    "agg_percentile" -> (Relational.aggPercentile _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
@@ -241,6 +242,12 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, o_totalprice""".stripMargin,
     "agg_count_distinct" ->
       "SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "agg_percentile" ->
+      """SELECT round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem""".stripMargin,
     "set_union" ->
       """SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 300000
         |UNION

@@ -365,6 +365,19 @@ object Relational {
               col("n_events"), col("sum_value"))
       .orderBy("w_start", "event_type", "n_events", "sum_value")
 
+  /** Exact percentiles (linear interpolation — the quantile_cont
+    * definition DuckDB shares, so the oracle is exact after rounding).
+    * Spark's `percentile` is a true distributed aggregate: partial
+    * state per partition, merge at the driver side of the agg — no
+    * global sort. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+
   /** Set operation: UNION (distinct) of two key sets — completes the
     * EXCEPT/INTERSECT/UNION trio. Plans as union + hash-distinct, one
     * shuffle on the key. */

@@ -64,6 +64,28 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream attribution join: each click joins the views by
+    * the same user in the preceding `window` — the canonical
+    * event-correlation shape (ad attribution, cause→effect pairing).
+    * Both sides carry watermarks and the join condition bounds the
+    * time range, so Spark can expire join state as the watermark
+    * advances — without the range bound, stream-stream join state
+    * grows forever. Shuffles on user_id; state is per-key. */
+  def attributeClicks(events: DataFrame, window: String = "10 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window"))
+      .select("user_id", "click_ts", "view_ts", "value")
+  }
+
   /** Streaming read of an events parquet directory (new files are
     * picked up incrementally — the standard lake-ingest pattern).
     * The stream must use the RAW file schema (ts as int64 nanos via

@@ -115,6 +115,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attributeClicks pairs clicks with same-user views within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.attributeClicks(stream.toDF())
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // within 10 min of view 1
+        Event(3, ts("2024-01-01 10:30:00"), 1, "click", 2.0), // > 10 min after the view
+        Event(4, ts("2024-01-01 10:02:00"), 2, "click", 3.0), // other user, no view
+        Event(5, ts("2024-01-01 11:59:00"), 3, "view", 0.0),
+        Event(6, ts("2024-01-01 12:01:00"), 3, "click", 4.0))) // within window
+      stream.addData(Seq( // advance the watermark well past the data
+        Event(7, ts("2024-01-01 15:00:00"), 9, "view", 0.0)))
+      q.processAllAvailable()
+      val attributed = spark.table("attr_test")
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(attributed === Set((1L, 1.0), (3L, 4.0)), s"got $attributed")
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicate ids, keeps the rest") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
