@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
     "dedup_minhash" -> (Documents.dedupMinhash _),
+    "dedup_keep_list" -> (Documents.dedupKeepList _),
     "dedup_simhash" -> (Documents.dedupSimhash _),
     // LLM-pipeline: text analysis / fingerprinting
     "doc_fingerprint" -> (Documents.docFingerprint _),
@@ -313,6 +314,18 @@ object SparkEntry {
         |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_keep_list" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT d2 FROM pairs
+        |          JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |          WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d2 FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -148,6 +148,23 @@ object Documents {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
+  /** The dedup DECISION: which documents survive. Greedy-by-id — a doc
+    * is dropped iff it is a near-duplicate of some earlier (lower-id)
+    * doc, i.e. iff it appears as `d2` in the ordered pair list. This
+    * is the step that turns pair detection into a cleaned corpus; an
+    * anti join against the (small) drop list, so the corpus-sized side
+    * streams through untouched. Conservative on chains (a~b, b~c drops
+    * both b and c even when a≁c) — the standard training-data
+    * trade-off: over-dropping duplicates is cheap, under-dropping
+    * poisons the epoch. */
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val drop = jaccardPairs(docs, threshold = 0.6).select(col("d2").as("doc_id"))
+    docs.select("doc_id")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over a token-array column `t`: each token's
     * xxhash64 votes +1/−1 per bit, the counter signs become the output
     * bits. A codegen'd [[graft.functions.VectorExpressions.SimHash64]]
