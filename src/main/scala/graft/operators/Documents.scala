@@ -196,12 +196,22 @@ object Documents {
     simhashPairs(withSimhash(Tables.load(spark, dir, "documents")), maxHamming = 3)
 
   /** Band-join candidate generation + exact Hamming verify, reusable
-    * over any (doc_id, simhash) frame. */
-  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    * over any (doc_id, simhash) frame.
+    *
+    * `bandBits` is the scale knob: wider bands collide on random pairs
+    * at 2^-bandBits per band (so the quadratic false-candidate term
+    * shrinks exponentially as corpora grow), while 64/bandBits bands
+    * pigeonhole-guarantee recall only up to Hamming 64/bandBits − 1 —
+    * size it to log₂(corpus) and the near-dup bar jointly. The 16-bit
+    * default is the classic 4-band SimHash configuration. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int, bandBits: Int = 16): DataFrame = {
+    require(Set(8, 16, 32).contains(bandBits), s"bandBits must be 8/16/32, got $bandBits")
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(expr(
-        """transform(sequence(0, 3),
-          |          b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS v))""".stripMargin)).as("bv"))
+        s"""transform(sequence(0, ${bands - 1}),
+           |          b -> struct(b AS band, shiftright(simhash, b * $bandBits) & $mask AS v))""".stripMargin)).as("bv"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))

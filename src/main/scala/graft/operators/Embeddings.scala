@@ -159,25 +159,32 @@ object Embeddings {
     * similarity ⇒ near-identical signatures); for moderate-similarity
     * top-k retrieval use [[annSketch]], which ranks by full Hamming
     * distance instead of requiring an exact band match. */
-  def embedCosinePairs(corpus: DataFrame, simThreshold: Double): DataFrame = {
+  def embedCosinePairs(corpus: DataFrame, simThreshold: Double,
+                       bandBits: Int = 16): DataFrame = {
+    require(Set(8, 16, 32).contains(bandBits), s"bandBits must be 8/16/32, got $bandBits")
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
     val sigs = corpus
       .select(col("vec_id"), element_at(signatureCol(64), 1).as("sig"))
       .persist()
     val banded = sigs.select(col("vec_id"), col("sig"), explode(expr(
-      """transform(sequence(0, 3),
-        |          b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS v))""".stripMargin)).as("bv"))
+      s"""transform(sequence(0, ${bands - 1}),
+         |          b -> struct(b AS band, shiftright(sig, b * $bandBits) & $mask AS v))""".stripMargin)).as("bv"))
     // Full-signature Hamming gate between the band match and the exact
     // verify: a random far pair clears a 16-bit band at P ≈ 6e-5 — at
     // 1M vectors that's ~30M false candidates, and joining embeddings
-    // for them (measured: 838 s) IS the query cost. ham ≤ 16 of 64
-    // keeps everything within ~25° of cosine 1.0 (E[ham] at cos 0.95
-    // is ~6.5) while a random pair (E[ham] = 32, σ = 4) passes at
-    // P ≈ 3e-5 — candidates drop to ~thousands before any embedding
-    // is shuffled.
+    // for them (measured: 838 s) IS the query cost. The gate keeps
+    // everything within E[ham] + 3σ of the threshold angle (E[ham] =
+    // 64·θ/π; at cos 0.95 the bound is 14) while a random pair
+    // (E[ham] = 32, σ = 4) passes at P ≈ 1e-5 — candidates collapse
+    // before any embedding is shuffled.
+    val theta = math.acos(simThreshold)
+    val p = theta / math.Pi
+    val maxHam = math.ceil(64 * p + 3 * math.sqrt(64 * p * (1 - p))).toInt
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
-      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 16)
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHam)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
       .distinct()
     val e1 = corpus.select(col("vec_id").as("d1"), col("embedding").as("emb1"))

@@ -1,5 +1,13 @@
 package graft.tools
+
 import org.apache.spark.sql.functions._
+
+/** IVF tuning probe: recall@10 of [[graft.operators.Embeddings.annIvf]]
+  * vs brute force on the corpus in `SF_DIR` (default sf0.01) across
+  * (nProbe, nAssign) settings. The registered query's parameters
+  * (16 cells, 5 probes, 3-assign → recall 0.93 on the driver corpus)
+  * were chosen with this harness; re-run it when the corpus or the
+  * quantizer changes. */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(8)

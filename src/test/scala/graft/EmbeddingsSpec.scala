@@ -117,6 +117,13 @@ class EmbeddingsSpec extends SparkSuite {
     val expected = (0 until 10).map(i => (i.toLong, i + 100L)).toSet
     val recall = expected.count(found.contains).toDouble / expected.size
     assert(recall >= 0.9, s"recall $recall, found $found")
+    // the wide-band (scale) configuration still catches extreme
+    // near-dups: 2 bands of 32 collide on random pairs at 2^-32 but
+    // agree on >0.999-cosine pairs with high probability
+    val foundWide = Embeddings.embedCosinePairs(df, simThreshold = 0.99, bandBits = 32)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recallWide = expected.count(foundWide.contains).toDouble / expected.size
+    assert(recallWide >= 0.9, s"wide-band recall $recallWide, found $foundWide")
   }
 
   test("embedQuantize int8 codes reconstruct cosine within 1%") {
