@@ -112,9 +112,13 @@ object BigBenchLlm {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val names = Seq("dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+    val allNames = Seq("dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_minhash", "dedup_embed_cosine", "embed_ann_lsh", "embed_ann_ivf",
       "embed_knn", "text_langid", "text_stats", "doc_fingerprint")
+    // optional 2nd arg: comma-separated query subset (re-measuring one
+    // operator shouldn't cost a full sweep)
+    val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
+      .getOrElse(allNames)
     val results = names.map { n =>
       // fresh-plan end-to-end run, then clear operator-internal caches
       // so the next operator starts cold
