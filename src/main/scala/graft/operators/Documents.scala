@@ -248,11 +248,15 @@ object Documents {
   def minhashPairs(docs: DataFrame, simThreshold: Double): DataFrame = {
     val nPerms = 16
     val bands = 8 // × 2 rows/band
-    val sh = shingleArray(docs).select("doc_id", "sh")
+    // ONE streaming pass computes the 128-byte signatures; the fat
+    // shingle arrays are never persisted or shuffled (at 4M docs they
+    // are ~3.6 GB of string arrays — a persist that outgrows executor
+    // memory thrashes, and a sort-merge verify join over them on both
+    // d1 and d2 cost 10× the whole query).
+    val sigs = shingleArray(docs).select("doc_id", "sh")
       .filter(size(col("sh")) > 0)
-      .persist() // read twice: signatures + exact verify
-    val sigs = sh.select(col("doc_id"),
-      graft.functions.VectorExpressions.minhashSig(col("sh"), nPerms).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.minhashSig(col("sh"), nPerms).as("sig"))
     val banded = sigs.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |          b -> struct(b AS band, sig[b * 2] AS h1, sig[b * 2 + 1] AS h2))""".stripMargin)).as("bv"))
@@ -261,12 +265,21 @@ object Documents {
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
-    cands.join(s1, "d1").join(s2, "d2")
+      .persist() // tiny (band-bounded), read three times below
+    // exact verify re-shingles ONLY the candidate docs: broadcast
+    // semi-join on doc_id first, so the tokenizer runs on the
+    // candidate subset, then everything small joins broadcast.
+    def candSh(side: String): DataFrame =
+      shingleArray(docs.join(
+        broadcast(cands.select(col(side).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi"))
+        .select(col("doc_id").as(side), col("sh").as(s"sh_$side"))
+    cands
+      .join(broadcast(candSh("d1")), "d1")
+      .join(broadcast(candSh("d2")), "d2")
       .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 4).as("jaccard"))
+        round(size(array_intersect(col("sh_d1"), col("sh_d2"))).cast("double") /
+          size(array_union(col("sh_d1"), col("sh_d2"))), 4).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
       .orderBy("d1", "d2")
   }

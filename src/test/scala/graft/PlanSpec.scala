@@ -67,6 +67,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
   }
 
+  test("sessionize reuses one user_id shuffle across both windows and the aggregation") {
+    val p = plan(Relational.eventsSessionize(spark, SparkSpec.sfTiny))
+    val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"lag window, running-sum window and groupBy must share ONE user_id shuffle, saw $shuffles:\n" + p.take(3000))
+  }
+
+  test("anti join broadcasts the filtered drop side") {
+    val p = plan(Relational.joinAnti(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("exact dedup is a single hash aggregate on text") {
     val p = plan(graft.operators.Documents.dedupExact(spark, SparkSpec.sfTiny))
     assert(p.contains("HashAggregate"), p.take(2000))
