@@ -68,6 +68,13 @@ object Bench {
         case e: Throwable =>
           errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           None
+      } finally {
+        // Runs of the SAME query share operator-internal persists (that
+        // reuse is the warm steady state being measured); across
+        // queries they are dead weight — dropped here so the cache
+        // manager holds only the preloaded tables plus one query's
+        // working set at a time.
+        Caches.release(spark)
       }
     }
 

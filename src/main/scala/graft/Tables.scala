@@ -23,9 +23,17 @@ object Tables {
     * without re-reading parquet per query. Keyed by session identity so
     * a preload in one session can never hand a stale DataFrame to
     * another; query code always goes through [[load]], so correctness
-    * runs (no preload) read straight from disk. */
+    * runs (no preload) read straight from disk. Entries whose session
+    * has stopped are swept on every preload/clear (a stopped session's
+    * cached blocks are gone anyway; holding the key would pin the
+    * session and its plans against GC for the JVM's life). */
   private val cached =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def sweepStopped(): Unit = {
+    val it = cached.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val hit = cached.get((spark, dir, name))
@@ -71,7 +79,8 @@ object Tables {
     * measured loss for the array-heavy documents/embeddings pipelines
     * ("cache aggregates, not sort inputs" — BIGBENCH.md). */
   def preload(spark: SparkSession, dir: String,
-              except: Set[String] = Set.empty): Unit =
+              except: Set[String] = Set.empty): Unit = {
+    sweepStopped()
     all.filterNot(except).foreach { n =>
       try {
         val df = load(spark, dir, n).cache()
@@ -81,10 +90,12 @@ object Tables {
         System.err.println(s"[tables] preload skipped $n: ${e.getMessage}")
       }
     }
+  }
 
   /** Drop this session's preloaded entries (returns [[load]] to its
     * side-effect-free read-from-disk behavior). */
   def clearPreload(spark: SparkSession): Unit = {
+    sweepStopped()
     val it = cached.keySet().iterator()
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }

@@ -49,9 +49,12 @@ object VectorExpressions {
         TypeCheckResult.TypeCheckFailure(s"$side must be array<float|double>, got $other")
     }
 
-  /** `vec_dot(a, b)` — Σ aᵢ·bᵢ over min(len) elements, double
-    * accumulator, element order. Null element poisons the result to
-    * null (the fold-with-null semantics of the HOF form). */
+  /** `vec_dot(a, b)` — Σ aᵢ·bᵢ, double accumulator, element order.
+    * Null element poisons the result to null, and so does a LENGTH
+    * MISMATCH — matching the `aggregate(zip_with(...))` fold it
+    * replaces, where zip_with pads the shorter side with nulls and the
+    * null poisons the fold. A silent min(len) dot would be a semantic
+    * divergence the caller can't see. */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -69,7 +72,8 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val ad = a.asInstanceOf[ArrayData]
       val bd = b.asInstanceOf[ArrayData]
-      val n = math.min(ad.numElements(), bd.numElements())
+      val n = ad.numElements()
+      if (n != bd.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -86,9 +90,10 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
            |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $acc += ${elementGetter(leftElem, a, i)} * ${elementGetter(rightElem, b, i)};
            |}

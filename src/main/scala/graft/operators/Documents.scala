@@ -174,17 +174,17 @@ object Documents {
   def simhashCol: Column = graft.functions.VectorExpressions.simhash64(col("t"))
 
   private def withSimhash(docs: DataFrame): DataFrame =
-    docs
+    graft.Caches.persist(docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), simhashCol.as("simhash"))
-      // persist, not repartition: an Exchange is only reused when the
-      // planner emits ReusedExchange, and under AQE + cached inputs
-      // the two sides of the band self-join each recompiled the
-      // interpreted simhash aggregate (measured: 262 s warm vs 6.4 s
-      // cold at 5k docs). The 16-byte cached rows are trivially small
-      // at any scale, and the InMemoryRelation is a boundary no
-      // predicate rewrite can push below.
-      .persist()
+      .select(col("doc_id"), simhashCol.as("simhash")))
+      // persist (via the releasable Caches registry), not repartition:
+      // an Exchange is only reused when the planner emits
+      // ReusedExchange, and under AQE + cached inputs the two sides of
+      // the band self-join each recompiled the interpreted simhash
+      // aggregate (measured: 262 s warm vs 6.4 s cold at 5k docs). The
+      // 16-byte cached rows are trivially small at any scale, and the
+      // InMemoryRelation is a boundary no predicate rewrite can push
+      // below.
 
   /** SimHash near-dup pairs with Hamming distance ≤ 3, via 4×16-bit
     * band join. Pigeonhole: ≤3 differing bits over 4 bands ⇒ at least
@@ -260,12 +260,11 @@ object Documents {
     val banded = sigs.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |          b -> struct(b AS band, sig[b * 2] AS h1, sig[b * 2 + 1] AS h2))""".stripMargin)).as("bv"))
-    val cands = banded.as("a")
+    val cands = graft.Caches.persist(banded.as("a")
       .join(banded.as("b"),
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-      .persist() // tiny (band-bounded), read three times below
+      .distinct()) // tiny (band-bounded), read three times below
     // exact verify re-shingles ONLY the candidate docs: broadcast
     // semi-join on doc_id first, so the tokenizer runs on the
     // candidate subset, then everything small joins broadcast.

@@ -112,9 +112,8 @@ object Embeddings {
   def annSketch(corpus: DataFrame, queryIds: Column, k: Int,
                 nBits: Int = 256, candFactor: Int = 15): DataFrame = {
     val words = nBits / 64
-    val sigs = corpus
-      .select(col("vec_id"), signatureCol(nBits).as("sig"))
-      .persist()
+    val sigs = graft.Caches.persist(corpus
+      .select(col("vec_id"), signatureCol(nBits).as("sig")))
     val queries = broadcast(sigs.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("sig").as("q_sig")))
     val ham = (0 until words)
@@ -164,9 +163,8 @@ object Embeddings {
     require(Set(8, 16, 32).contains(bandBits), s"bandBits must be 8/16/32, got $bandBits")
     val bands = 64 / bandBits
     val mask = (1L << bandBits) - 1
-    val sigs = corpus
-      .select(col("vec_id"), element_at(signatureCol(64), 1).as("sig"))
-      .persist()
+    val sigs = graft.Caches.persist(corpus
+      .select(col("vec_id"), element_at(signatureCol(64), 1).as("sig")))
     val banded = sigs.select(col("vec_id"), col("sig"), explode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |          b -> struct(b AS band, shiftright(sig, b * $bandBits) & $mask AS v))""".stripMargin)).as("bv"))
@@ -245,7 +243,16 @@ object Embeddings {
   private val quantizers = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Int, Int, Int), Seq[Seq[Double]]]()
 
+  /** Evict entries whose session has stopped (a memoized quantizer is
+    * just k×d doubles, but the session key would otherwise pin the
+    * whole stopped session against GC). Called on every memo access. */
+  private def sweepQuantizers(): Unit = {
+    val it = quantizers.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   def clearQuantizers(spark: SparkSession): Unit = {
+    sweepQuantizers()
     val it = quantizers.keySet().iterator()
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
@@ -282,6 +289,7 @@ object Embeddings {
     val sp = corpus.sparkSession
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val planKey = emb.queryExecution.analyzed.semanticHash()
+    sweepQuantizers()
     val cents = quantizers.computeIfAbsent(
       (sp, planKey, nCentroids, iters),
       _ => fitKmeans(emb, nCentroids, iters))

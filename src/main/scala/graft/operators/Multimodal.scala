@@ -63,20 +63,32 @@ object Multimodal {
       else None
 
     /** (sampleRate, channels, sampleFrames) from a PCM WAV's fmt/data
-      * chunks, walking the RIFF chunk list. */
+      * chunks, walking the RIFF chunk list. The chunk size comes from
+      * untrusted media bytes, so the walk is defensive: a negative size
+      * is rejected outright, the next offset is computed in Long (a
+      * size near Int.MaxValue must not wrap into a negative offset),
+      * and the loop breaks unless the offset strictly advances and
+      * stays within the buffer — a hostile sz of -8/-9 would otherwise
+      * advance by 0 and spin the executor task forever. */
     def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
       var off = 12
       var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1
-      while (off + 8 <= b.length) {
+      var ok = true
+      while (ok && off + 8 <= b.length) {
         val id = tag(b, off)
         val sz = le32(b, off + 4)
-        if (id == "fmt " && off + 8 + 16 <= b.length) {
-          channels = le16(b, off + 10)
-          rate = le32(b, off + 12)
-          blockAlign = le16(b, off + 20)
-        } else if (id == "data") dataLen = sz
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        if (sz < 0) ok = false // corrupt: RIFF sizes are unsigned but we cap at 2 GiB
+        else {
+          if (id == "fmt " && off + 8 + 16 <= b.length) {
+            channels = le16(b, off + 10)
+            rate = le32(b, off + 12)
+            blockAlign = le16(b, off + 20)
+          } else if (id == "data") dataLen = sz
+          val next = off.toLong + 8L + sz.toLong + (sz & 1) // chunks are word-aligned
+          if (next <= off || next > b.length.toLong) ok = false
+          else off = next.toInt
+        }
       }
       if (rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0)
         Some((rate, channels, dataLen / blockAlign))

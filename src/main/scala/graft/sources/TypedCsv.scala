@@ -21,12 +21,52 @@ import java.time.format.DateTimeFormatter
   */
 object TypedCsv {
 
+  /** Split one CSV line into cells honoring double-quote escaping —
+    * the same dialect the data path (Spark's CSV reader) and
+    * [[saveSingleFile]]'s `csvQuote` speak, so a quoted header cell
+    * containing a comma round-trips instead of mis-splitting. Leading
+    * whitespace before a cell is skipped (the reference sink separates
+    * header cells with `", "`, `table.cpp:540-575`). */
+  private[sources] def splitCsvLine(line: String): Seq[String] = {
+    val cells = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    var started = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb += '"'; i += 1 }
+          else inQ = false
+        } else sb += c
+      } else c match {
+        case '"' => inQ = true; started = true
+        case ',' => cells += sb.result(); sb.clear(); started = false
+        case ' ' | '\t' if !started && sb.isEmpty => // skip pre-cell padding
+        case _ => sb += c; started = true
+      }
+      i += 1
+    }
+    cells += sb.result()
+    cells.result()
+  }
+
   /** Parse a typed header line into a Spark schema. The `(P)` flag is
-    * kept as StructField metadata (Spark has no PK enforcement). */
+    * kept as StructField metadata (Spark has no PK enforcement).
+    * Header cells are tokenized with the quote-aware [[splitCsvLine]]
+    * (names containing commas arrive quoted from [[typedHeader]]); the
+    * trailing `(N)/(T)/(D)/(P)` tags are stripped off the end, so a
+    * parenthesis inside the name itself is left alone. */
   def schemaOf(headerLine: String): StructType = StructType(
-    headerLine.split(",").map { field =>
-      val name = field.takeWhile(_ != '(').trim
-      val tags = "\\(([NTDP])\\)".r.findAllMatchIn(field).map(_.group(1)).toSet
+    splitCsvLine(headerLine).map { field =>
+      val tagSuffix = "((?:\\s*\\([NTDP]\\))+)\\s*$".r
+      val (name, tags) = tagSuffix.findFirstMatchIn(field) match {
+        case Some(m) =>
+          (field.substring(0, m.start).trim,
+            "\\(([NTDP])\\)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+        case None => (field.trim, Set.empty[String])
+      }
       val dt: DataType =
         if (tags.contains("N")) DoubleType
         else if (tags.contains("D")) TimestampType

@@ -120,10 +120,12 @@ object BigBenchLlm {
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
     val results = names.map { n =>
-      // fresh-plan end-to-end run, then clear operator-internal caches
-      // so the next operator starts cold
+      // fresh-plan end-to-end run, then release operator-internal
+      // persists so the next operator starts cold (scoped release, not
+      // the old blanket clearCache which also evicted caller-owned
+      // caches)
       val t = timeIt(noop(graft.SparkEntry.queries(n)(spark, dir)))
-      spark.sharedState.cacheManager.clearCache()
+      graft.Caches.release(spark)
       n -> t
     }
     def jmap(xs: Seq[(String, Double)]) =

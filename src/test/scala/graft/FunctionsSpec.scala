@@ -41,6 +41,21 @@ class FunctionsSpec extends SparkSuite {
     assert(out.toSet === Set(Some(0.0), None))
   }
 
+  test("vecDot nulls out unequal-length arrays like the zip_with fold") {
+    // zip_with pads the shorter side with nulls, so the HOF fold yields
+    // NULL on a dim mismatch — vec_dot must agree, not dot over min(len)
+    val out = spark.sql(
+      """SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS a,
+        |       array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)) AS b""".stripMargin)
+      .select(
+        VectorExpressions.vecDot(col("a"), col("b")).as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("slow"))
+      .collect().head
+    assert(out.isNullAt(0), "vec_dot must be null on length mismatch")
+    assert(out.isNullAt(1), "the HOF fold it mirrors is null on length mismatch")
+  }
+
   test("signSketch matches the interpreted sign-projection fold") {
     val nBits = 128
     val rng = new scala.util.Random(42)

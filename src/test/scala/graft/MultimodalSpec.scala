@@ -64,6 +64,32 @@ class MultimodalSpec extends SparkSuite {
     assert(out(4L).width >= 64 && out(4L).width < 576) // graceful fallback
   }
 
+  test("decodeWav survives hostile RIFF chunk sizes without looping or throwing") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def riff(chunkSize: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(chunkSize) // hostile declared size
+      b.array()
+    }
+    // sz = -8 / -9 made the old walk advance by 0 (infinite loop); huge
+    // or negative sizes must neither spin nor throw AIOOBE — just None.
+    for (sz <- Seq(-8, -9, -1, Int.MinValue, Int.MaxValue, Int.MaxValue - 7)) {
+      assert(Multimodal.MediaDecoder.decodeWav(riff(sz)) === None, s"sz=$sz")
+    }
+    // a truncated data chunk (declared longer than the buffer) still
+    // yields the already-parsed fmt/data fields — streamed WAVs do this
+    def truncated(): Array[Byte] = {
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(1000).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      b.putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+      b.put("data".getBytes).putInt(400) // overruns the 44-byte buffer
+      b.array()
+    }
+    assert(Multimodal.MediaDecoder.decodeWav(truncated()) === Some((44100, 2, 100)))
+  }
+
   test("multimodal_pack query joins 1:1 with embeddings") {
     val out = Multimodal.multimodalPack(spark, SparkSpec.sfTiny)
     val nDocs = Tables.load(spark, SparkSpec.sfTiny, "documents").count()

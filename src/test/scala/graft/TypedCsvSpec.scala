@@ -124,6 +124,38 @@ class TypedCsvSpec extends SparkSuite {
     assert(back.count() === 2)
   }
 
+  test("schemaOf parses quoted header cells and reference-style ', ' separators") {
+    // a quoted name containing a comma must not split (the sink quotes
+    // it; the parser must speak the same dialect)...
+    val st = TypedCsv.schemaOf("\"a,b (T)\",v (N)")
+    assert(st.fieldNames.toSeq === Seq("a,b", "v"))
+    assert(st("a,b").dataType.typeName === "string")
+    assert(st("v").dataType.typeName === "double")
+    // ...escaped quotes inside a name survive...
+    val stq = TypedCsv.schemaOf("\"q\"\"z (T)\",w (D)")
+    assert(stq.fieldNames.toSeq === Seq("q\"z", "w"))
+    // ...and the reference sink's ', ' cell separator parses clean
+    // (table.cpp:540-575 joins header cells with a comma+space)
+    val sp = TypedCsv.schemaOf("Employees_id (N) (P), Name (T), JoinedDate (D)")
+    assert(sp.fieldNames.toSeq === Seq("Employees_id", "Name", "JoinedDate"))
+    assert(sp("Employees_id").metadata.getBoolean("primaryKey"))
+  }
+
+  test("typed sink with comma-bearing column name round-trips through schemaOf") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a,b", DoubleType), StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Double.box(1.5), "x"), Row(Double.box(2.5), "y")), schema)
+    val out = new File("target/sampletest-spec/comma_name_typed.csv")
+    TypedCsv.saveSingleFile(df, out.getPath, typed = true)
+    val reloaded = TypedCsv.loadFile(spark, out.getPath)
+    assert(reloaded.schema.fieldNames.toSeq === Seq("a,b", "v"))
+    assert(reloaded.schema("a,b").dataType.typeName === "double")
+    assert(reloaded.count() === 2)
+  }
+
   test("typed-header sink round-trips") {
     val df = TypedCsv.loadFile(spark, new File(base, "data/Employees.csv").getPath)
     val out = new File("target/sampletest-spec/roundtrip.csv")
