@@ -41,7 +41,8 @@ object Bench {
       "join_equi", "join_multicond", "join_skew_salted",
       "agg_count_distinct", "agg_approx_distinct",
       "group_agg", "group_rollup", "group_cube", "window_rank",
-      "set_union", "join_left_outer", "join_anti",
+      "set_union", "join_left_outer", "join_anti", "join_semi",
+      "join_asof", "join_range", "agg_stddev", "window_running", "group_pivot",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
       "events_sessionize",
     ).filter(SparkEntry.queries.contains) ++

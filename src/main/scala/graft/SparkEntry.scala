@@ -81,6 +81,12 @@ object SparkEntry {
     "events_sessionize" -> (Relational.eventsSessionize _),
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
+    "join_asof" -> (Relational.joinAsof _),
+    "join_range" -> (Relational.joinRange _),
+    "join_semi" -> (Relational.joinSemi _),
+    "agg_stddev" -> (Relational.aggStddev _),
+    "window_running" -> (Relational.windowRunning _),
+    "group_pivot" -> (Relational.groupPivot _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -290,6 +296,46 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value,
         |       max(us) - min(us) AS duration_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "join_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(b.ts) AS last_click_us
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'click') b
+        |  ON e.user_id = b.user_id AND e.ts >= b.ts
+        |ORDER BY event_id""".stripMargin,
+    "join_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_id AS e1, b.event_id AS e2, b.us - a.us AS diff_us
+        |FROM e a JOIN e b
+        |  ON b.us >= a.us AND b.us < a.us + 1000000
+        | AND (a.us < b.us OR a.event_id < b.event_id)
+        | AND a.user_id <> b.user_id
+        |ORDER BY e1, e2""".stripMargin,
+    "join_semi" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_stddev" ->
+      """SELECT round(stddev_samp(l_quantity), 4) AS std_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(stddev_pop(l_quantity), 4) AS stdp_qty,
+        |       round(stddev_samp(l_extendedprice), 4) AS std_price
+        |FROM lineitem""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "group_pivot" ->
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "events_json_props" ->
       """SELECT event_type, count(*) AS n,
         |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,

@@ -425,6 +425,113 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** AS-OF join: each event picks the user's most recent `click`
+    * event at-or-before its own timestamp. Spark has no ASOF operator;
+    * the scalable formulation is UNION + WINDOW, not a join at all:
+    * tag build rows (clicks) and probe rows (all events), union them,
+    * and carry the build value forward with
+    * `last(click_us, ignoreNulls) OVER (PARTITION BY key ORDER BY ts)`
+    * — one shuffle on the key, one ordered scan per partition, cost
+    * O(n log n) regardless of how many build rows precede each probe
+    * (a per-probe subquery or theta join would be O(n·m)). Build rows
+    * sort BEFORE probe rows at equal timestamps (`is_probe` ASC), so
+    * `ts >= click_ts` inclusivity matches DuckDB's `ASOF LEFT JOIN`.
+    * Plan guard: PlanSpec asserts the executed plan contains no join
+    * node. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val probe = events.select(col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("is_probe"), lit(null).cast("long").as("click_us"))
+    val build = events.filter(col("event_type") === "click")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("is_probe"), unix_micros(col("ts")).as("click_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.union(build)
+      .withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("user_id"), col("last_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE (band) join without an equi key: pairs of events from
+    * different users within 1 second of each other. The naive plan is
+    * a cartesian product with a theta filter — quadratic, the classic
+    * scale-killer. The banded formulation makes it an EQUI join: left
+    * rows explode to the (at most 2) one-second buckets their window
+    * [us, us+1s) can reach, the right side keys by its own bucket, and
+    * the range predicate runs as a residual filter after the hash/merge
+    * join — cost is n·(pairs per bucket), linear for any fixed band
+    * width. Each qualifying pair matches in exactly one bucket (the
+    * right row's), so no distinct is needed. Tie-break keeps one row
+    * per unordered pair: strictly-earlier left, or lower event_id at
+    * equal timestamps. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1000000L // band width: 1 second in µs
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val a = e.withColumn("bucket",
+      explode(array(expr(s"us div $W"), expr(s"us div $W") + 1)))
+    val b = e.withColumn("bucket", expr(s"us div $W"))
+      .select(col("bucket"), col("event_id").as("e2"),
+        col("user_id").as("u2"), col("us").as("us2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("us2") >= col("us") && col("us2") < col("us") + W &&
+        (col("us") < col("us2") || col("event_id") < col("e2")) &&
+        col("user_id") =!= col("u2"))
+      .select(col("event_id").as("e1"), col("e2"), (col("us2") - col("us")).as("diff_us"))
+      .orderBy("e1", "e2")
+  }
+
+  /** LEFT SEMI join — "customers with at least one qualifying order",
+    * returning each customer once however many orders match (an inner
+    * join + distinct would shuffle the duplicates first; semi joins
+    * short-circuit at the first probe hit). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+    val big = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0).select("o_custkey")
+    customer.join(big, customer("c_custkey") === big("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  /** Sample standard deviation / variance — single-pass distributed
+    * moment aggregates (partial central moments per partition, exact
+    * merge), not a two-pass mean-then-deviations plan. */
+  def aggStddev(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("stdp_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std_price"))
+
+  /** Running total per customer (cumulative window frame) — the
+    * incremental-frame evaluation both engines share: each partition is
+    * sorted once and the sum accumulates row by row in frame order, so
+    * the doubles agree across engines at the rounded digit. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** PIVOT — quantity totals per linestatus × returnflag, returnflag
+    * values spread into columns. With the pivot values enumerated the
+    * plan is a single hash aggregate over CASE projections (one scan),
+    * not one pass per pivot column. */
+  def groupPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus")
+
   /** Sessionization: split each user's event stream at >30-minute
     * gaps (lag + cumulative sum of gap flags — the standard two-window
     * formulation), then summarize each session. The log-analytics

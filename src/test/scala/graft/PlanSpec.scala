@@ -79,6 +79,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("as-of join plans as union + window, no join node") {
+    val p = plan(Relational.joinAsof(spark, SparkSpec.sfTiny))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"),
+      "as-of must be the union+window formulation, not a per-probe join:\n" + p.take(3000))
+  }
+
+  test("range join is a bucket equi join, never a cartesian theta join") {
+    val p = plan(Relational.joinRange(spark, SparkSpec.sfTiny))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band join must plan as an equi join on the time bucket:\n" + p.take(3000))
+    assert(p.contains("bucket"), p.take(2000))
+  }
+
   test("exact dedup is a single hash aggregate on text") {
     val p = plan(graft.operators.Documents.dedupExact(spark, SparkSpec.sfTiny))
     assert(p.contains("HashAggregate"), p.take(2000))

@@ -79,6 +79,60 @@ class RelationalSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact <= 0.02, s"approx $approx vs exact $exact")
   }
 
+  test("as-of join matches the per-probe subquery formulation") {
+    // oracle-of-record is DuckDB ASOF JOIN; this in-repo differential
+    // checks the union+window trick against the O(n·m) correlated form
+    val got = Relational.joinAsof(spark, dir).collect().toSeq
+    val want = sqlOf(
+      """SELECT e.event_id, e.user_id,
+        |       (SELECT max(unix_micros(b.ts)) FROM events b
+        |         WHERE b.user_id = e.user_id AND b.event_type = 'click'
+        |           AND b.ts <= e.ts) AS last_click_us
+        |FROM events e ORDER BY event_id""".stripMargin).collect().toSeq
+    assert(got === want)
+  }
+
+  test("range join matches the theta-join formulation") {
+    val got = Relational.joinRange(spark, dir).collect().toSeq
+    val want = sqlOf(
+      """WITH e AS (SELECT event_id, user_id, unix_micros(ts) AS us FROM events)
+        |SELECT a.event_id AS e1, b.event_id AS e2, b.us - a.us AS diff_us
+        |FROM e a JOIN e b
+        |  ON b.us >= a.us AND b.us < a.us + 1000000
+        | AND (a.us < b.us OR a.event_id < b.event_id)
+        | AND a.user_id <> b.user_id
+        |ORDER BY e1, e2""".stripMargin).collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "band width should catch at least one coincident pair")
+  }
+
+  test("semi join returns distinct qualifying customers of the inner join") {
+    val semi = Relational.joinSemi(spark, dir).select("c_custkey").as[Long].collect().toSet
+    val inner = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"))
+      .select("c_custkey").as[Long].collect().toSet
+    assert(semi === inner)
+  }
+
+  test("running total's last row per customer equals the customer's sum") {
+    val last = Relational.windowRunning(spark, dir)
+      .groupBy("o_custkey").agg(max("running_total").as("t"))
+    val full = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("t"))
+    assert(last.orderBy("o_custkey").collect().toSeq ===
+      full.orderBy("o_custkey").collect().toSeq)
+  }
+
+  test("pivot cells sum to the unpivoted grand total") {
+    val p = Relational.groupPivot(spark, dir)
+      .agg((coalesce(sum("A"), lit(0.0)) + coalesce(sum("N"), lit(0.0))
+        + coalesce(sum("R"), lit(0.0))).as("t")).as[Double].head()
+    val want = Tables.load(spark, dir, "lineitem")
+      .agg(sum("l_quantity")).as[Double].head()
+    assert(math.abs(p - want) < 1.0, s"pivot total $p vs $want")
+  }
+
   test("events_window counts sum to total events") {
     val total = Tables.load(spark, dir, "events").count()
     val sum = Relational.eventsWindow(spark, dir)
