@@ -48,7 +48,8 @@ object Bench {
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>
         n.startsWith("dedup_") || n.startsWith("embed_") ||
-        n.startsWith("text_") || n.startsWith("multimodal_")).toSeq.sorted
+        n.startsWith("text_") || n.startsWith("multimodal_") ||
+        n.startsWith("doc_")).toSeq.sorted
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

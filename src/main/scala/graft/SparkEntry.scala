@@ -98,6 +98,11 @@ object SparkEntry {
     "text_stats" -> (Documents.textStats _),
     "text_tokens" -> (Documents.textTokens _),
     "text_langid" -> (Documents.textLangId _),
+    "text_quality" -> (Documents.textQuality _),
+    // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
+    "doc_sample_hash" -> (Documents.docSampleHash _),
+    "doc_pack_sequences" -> (Documents.docPackSequences _),
+    "doc_decontaminate" -> (Documents.docDecontaminate _),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
@@ -407,6 +412,36 @@ object SparkEntry {
         |       WHEN s_en >= s_de THEN 'en'
         |       ELSE 'de' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_frac,
+        |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_frac,
+        |  round(least(len(t)::DOUBLE / 64.0, 1.0), 4) AS len_frac,
+        |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, lang, alpha_frac, distinct_frac, len_frac, stop_ratio,
+        |  round(alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
+        |        + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(text), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+    "doc_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS bin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+        |SELECT DISTINCT c.doc_id FROM sh c JOIN ev ON c.s = ev.s
+        |WHERE c.doc_id % 100 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |g AS (SELECT lang, tok, count(*) AS n FROM c GROUP BY 1, 2),

@@ -387,4 +387,99 @@ object Documents {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), langIdCol(col("text")).as("lang_pred"))
       .orderBy("doc_id")
+
+  /** Deterministic content-hash sampling — the reproducible downsample
+    * every corpus pipeline needs: a doc survives iff the first two hex
+    * chars of md5(text) fall below the threshold, so the SAME subset
+    * comes back on every run, on any cluster, at any partitioning
+    * (`rand()` samples are none of those). Content-keyed (not id-keyed)
+    * so re-ingested duplicates sample identically. Pure map-side
+    * filter; the string compare on the hex prefix is engine-portable
+    * (both engines compare ASCII hex lexicographically). keepBelow
+    * '1a' keeps 26/256 ≈ 10.2%. */
+  def sampleHash(docs: DataFrame, keepBelow: String = "1a"): DataFrame =
+    docs.filter(substring(md5(col("text").cast("binary")), 1, 2) < keepBelow)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  def docSampleHash(spark: SparkSession, dir: String): DataFrame =
+    sampleHash(Tables.load(spark, dir, "documents"))
+
+  /** Composite quality score — the rank a cleaning pass sorts on.
+    * Components, each in [0,1]: alphabetic-character fraction (symbol
+    * soup scores low), distinct-token ratio (boilerplate repetition
+    * scores low), stopword presence (natural prose scores high),
+    * length factor (min(tokens,64)/64 — fragments score low). Weighted
+    * sum, one projection over the scan, no shuffle, no UDF. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")), 4).as("alpha_frac"),
+        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+          .as("distinct_frac"),
+        round(least(size(col("t")).cast("double") / 64.0, lit(1.0)), 4).as("len_frac"),
+        round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("double") / size(col("t")), 4).as("stop_ratio"))
+      .withColumn("quality", round(
+        col("alpha_frac") * 0.3 + col("distinct_frac") * 0.3 +
+          col("len_frac") * 0.2 + least(col("stop_ratio") * 5, lit(1.0)) * 0.2, 4))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Sequence packing: assign documents to fixed token-budget bins —
+    * the batch-assembly step before training (examples are concatenated
+    * until the context window fills). Greedy in doc_id order within
+    * each language stream: bin = floor(preceding-cumulative-tokens /
+    * budget), via ONE window over (lang ORDER BY doc_id) — the same
+    * single-shuffle shape as sessionization; no driver-side loop, no
+    * repacking joins. A doc larger than the budget still lands in one
+    * bin (real packers split it; the assignment operator is the part
+    * that needs a scale shape). */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / budget))
+      .orderBy("doc_id")
+  }
+
+  def docPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.load(spark, dir, "documents"))
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-3-gram with an eval-set document — the overlap check run
+    * before any training corpus ships (a contaminated doc leaks the
+    * benchmark into the weights). The eval set here is the deterministic
+    * stand-in doc_id % 100 = 0; a real pipeline passes the benchmark
+    * table. Shape: explode both sides to hashed shingles and LEFT SEMI
+    * join corpus shingles against eval shingles — the eval side is
+    * small by construction, so the semi join broadcasts and the corpus
+    * is touched exactly once, map-side. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // NOT the repartitioned `shingles` form: the corpus side feeds a
+    // broadcast semi join, so a shuffle on the shingle would be pure
+    // waste — the corpus stream stays map-side end to end.
+    def sh(d: DataFrame): DataFrame = shingleArray(d)
+      .select(col("doc_id"), explode(col("sh")).as("s_raw"))
+      .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
+    val evalSh = sh(evalDocs).select("s").distinct()
+    sh(docs)
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  def docDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+  }
 }

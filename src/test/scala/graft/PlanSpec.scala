@@ -93,6 +93,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bucket"), p.take(2000))
   }
 
+  test("decontaminate broadcasts the eval shingles; corpus never shuffles on the shingle") {
+    val p = plan(graft.operators.Documents.docDecontaminate(spark, SparkSpec.sfTiny))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+    // one shingle-keyed exchange is the eval side's distinct (tiny by
+    // construction); a second would mean the CORPUS stream shuffled
+    val shuffles = "Exchange hashpartitioning\\(s#".r.findAllIn(p).length
+    assert(shuffles <= 1,
+      s"corpus side must stay map-side before the broadcast semi join, saw $shuffles:\n" + p.take(3000))
+  }
+
   test("exact dedup is a single hash aggregate on text") {
     val p = plan(graft.operators.Documents.dedupExact(spark, SparkSpec.sfTiny))
     assert(p.contains("HashAggregate"), p.take(2000))
