@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.ConcurrentHashMap
 
 /** Session-scoped registry of operator-internal persisted frames.
   *
@@ -17,20 +17,38 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
   *
   * Operators route persists through [[persist]]; a long-lived session
   * calls [[release]] between pipelines to drop exactly the blocks this
-  * module created and nothing else. Entries whose session has stopped
-  * are swept on every call, so a dead session's registrations (and the
+  * module created and nothing else. Registration is deduplicated by the
+  * analyzed plan's semantic hash, so re-running the same query persists
+  * (and later unpersists) each distinct plan once instead of warning
+  * "already cached" per rerun. Entries whose session has stopped are
+  * swept on every call, so a dead session's registrations (and the
   * session object itself) never pin memory.
   */
 object Caches {
   private val held =
-    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[Int, DataFrame]]()
 
-  /** persist() + register for later [[release]]. Returns `df`. */
+  /** Evict entries of `map` whose session (per `sessionOf`) has
+    * stopped — shared by this registry, [[Tables]]' preload cache and
+    * the IVF quantizer memo, so the sweep semantics can't drift apart
+    * across the three session-keyed maps. */
+  private[graft] def sweepStopped[K](map: ConcurrentHashMap[K, _])(
+      sessionOf: K => SparkSession): Unit = {
+    val it = map.keySet().iterator()
+    while (it.hasNext) if (sessionOf(it.next()).sparkContext.isStopped) it.remove()
+  }
+
+  /** persist() + register for later [[release]]. Returns `df`. A frame
+    * whose analyzed plan is semantically identical to one already
+    * registered for this session is NOT persisted again — the cache
+    * manager would resolve it to the existing InMemoryRelation anyway. */
   def persist(df: DataFrame): DataFrame = {
-    sweep()
-    df.persist()
-    held.computeIfAbsent(df.sparkSession, _ => new ConcurrentLinkedQueue[DataFrame]())
-      .add(df)
+    sweepStopped(held)(identity)
+    val perSession =
+      held.computeIfAbsent(df.sparkSession, _ => new ConcurrentHashMap[Int, DataFrame]())
+    perSession.computeIfAbsent(
+      df.queryExecution.analyzed.semanticHash(),
+      _ => { df.persist(); df })
     df
   }
 
@@ -38,22 +56,14 @@ object Caches {
     * executors drop blocks asynchronously; subsequent queries just
     * recompute). Safe to call when nothing is registered. */
   def release(spark: SparkSession): Unit = {
-    val q = held.remove(spark)
-    if (q != null) q.forEach(_.unpersist())
-    sweep()
+    val perSession = held.remove(spark)
+    if (perSession != null) perSession.values().forEach(_.unpersist())
+    sweepStopped(held)(identity)
   }
 
   /** Number of live registrations for `spark` (spec hook). */
   def registered(spark: SparkSession): Int = {
-    val q = held.get(spark)
-    if (q == null) 0 else q.size()
-  }
-
-  /** Drop registrations whose session is stopped — their cached blocks
-    * died with the executors; the map must not keep the session
-    * reachable. */
-  private def sweep(): Unit = {
-    val it = held.keySet().iterator()
-    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    val perSession = held.get(spark)
+    if (perSession == null) 0 else perSession.size()
   }
 }

@@ -30,10 +30,7 @@ object Tables {
   private val cached =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def sweepStopped(): Unit = {
-    val it = cached.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-  }
+  private def sweepStopped(): Unit = Caches.sweepStopped(cached)(_._1)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val hit = cached.get((spark, dir, name))

@@ -246,10 +246,7 @@ object Embeddings {
   /** Evict entries whose session has stopped (a memoized quantizer is
     * just k×d doubles, but the session key would otherwise pin the
     * whole stopped session against GC). Called on every memo access. */
-  private def sweepQuantizers(): Unit = {
-    val it = quantizers.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-  }
+  private def sweepQuantizers(): Unit = graft.Caches.sweepStopped(quantizers)(_._1)
 
   def clearQuantizers(spark: SparkSession): Unit = {
     sweepQuantizers()

@@ -52,6 +52,9 @@ object TypedCsv {
     cells.result()
   }
 
+  private val TagSuffix = "((?:\\s*\\([NTDP]\\))+)\\s*$".r
+  private val Tag = "\\(([NTDP])\\)".r
+
   /** Parse a typed header line into a Spark schema. The `(P)` flag is
     * kept as StructField metadata (Spark has no PK enforcement).
     * Header cells are tokenized with the quote-aware [[splitCsvLine]]
@@ -60,11 +63,10 @@ object TypedCsv {
     * parenthesis inside the name itself is left alone. */
   def schemaOf(headerLine: String): StructType = StructType(
     splitCsvLine(headerLine).map { field =>
-      val tagSuffix = "((?:\\s*\\([NTDP]\\))+)\\s*$".r
-      val (name, tags) = tagSuffix.findFirstMatchIn(field) match {
+      val (name, tags) = TagSuffix.findFirstMatchIn(field) match {
         case Some(m) =>
           (field.substring(0, m.start).trim,
-            "\\(([NTDP])\\)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+            Tag.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
         case None => (field.trim, Set.empty[String])
       }
       val dt: DataType =

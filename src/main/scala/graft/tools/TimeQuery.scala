@@ -19,7 +19,8 @@ object TimeQuery {
     val sfDir = args.lift(2).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val release = args.contains("--release")
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.preload(spark, sfDir, except = Set("documents", "embeddings"))
     for (i <- 1 to runs) {

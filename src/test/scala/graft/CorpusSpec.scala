@@ -46,27 +46,23 @@ class CorpusSpec extends SparkSuite {
       s"diverse ${scored(1L)} must outrank spammy ${scored(2L)}")
   }
 
-  test("sequence packing fills bins in order and conserves tokens") {
-    val out = Documents.docPackSequences(spark, dir).cache()
+  test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
-    // bins are non-negative and contiguous from 0 within each language
-    val perLang = out.groupBy("lang")
-      .agg(min("bin").as("mn"), max("bin").as("mx"),
-        countDistinct("bin").as("nbins"), sum("n_tokens").as("toks"))
-      .collect()
-    perLang.foreach { r =>
-      assert(r.getAs[Long]("mn") === 0L)
-      assert(r.getAs[Long]("nbins") === r.getAs[Long]("mx") + 1,
-        s"bins must be contiguous: $r")
-      // every bin except possibly the last starts because the previous
-      // one crossed the budget, so total bins ≈ totalTokens / budget
-      assert(r.getAs[Long]("mx") <= r.getAs[Long]("toks") / budget + 1, r.toString)
+    val got = Documents.docPackSequences(spark, dir)
+      .select("lang", "doc_id", "n_tokens", "bin")
+      .as[(String, Long, Int, Long)].collect()
+    // replay the exact contract locally: within each language stream in
+    // doc_id order, bin = floor(preceding cumulative tokens / budget) —
+    // an over-budget doc may legitimately skip bin ids, so contiguity
+    // is NOT an invariant; the assignment itself is.
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, docId, n, bin) =>
+        assert(bin === cum / budget, s"$lang doc $docId: bin $bin, cum $cum")
+        cum += n
+      }
     }
-    // a bin never starts after less than a full budget of preceding tokens
-    val binStarts = out.groupBy("lang", "bin").agg(sum("n_tokens").as("binToks"))
-    val under = binStarts.filter(col("bin") =!= 0 && col("binToks") <= 0).count()
-    assert(under === 0)
-    out.unpersist()
+    assert(got.nonEmpty)
   }
 
   test("decontaminate flags exactly the docs sharing a shingle with the eval set") {
