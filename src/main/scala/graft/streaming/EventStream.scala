@@ -50,6 +50,23 @@ object EventStream {
       }
   }
 
+  /** Gap-based streaming sessionization via the native
+    * `session_window`: a user's session stays open while events keep
+    * arriving within `gap` of the last one and closes (gets emitted,
+    * state dropped) once the watermark passes the gap — the streaming
+    * twin of [[graft.operators.Relational.eventsSessionize]]'s
+    * lag+cumsum formulation. Sessions merge across micro-batches: an
+    * event landing inside an open session's window extends it, which
+    * is exactly the semantics the batch twin computes in one pass. */
+  def sessionizedStream(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup — the ingest-time guard an LLM-data
     * pipeline puts in front of a corpus lake (at-least-once upstream
     * delivery means duplicate events/documents WILL arrive). Keyed by

@@ -93,6 +93,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window matches the batch plan and merges across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionizedStream(stream.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      // batch2's 11:30 event opens user 1's second session; 10:05+10:20
+      // stay merged in the first (15-min gap < 30)
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("session_test")
+        .orderBy("user_id", "s_start")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+      val batch = EventStream.sessionizedStream((batch1 ++ batch2).toDF())
+        .orderBy("user_id", "s_start")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+      // user 1: one merged 2-event session, then the 11:30 singleton
+      val u1 = streamed.filter(_._1 == 1L)
+      assert(u1.map(_._4) === Seq(2L, 1L), s"user 1 sessions: $u1")
+      assert(streamed.map(_._4).sum === 6L, "every event lands in exactly one session")
+    } finally q.stop()
+  }
+
   test("runningUserTotals folds state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
