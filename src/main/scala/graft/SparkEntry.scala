@@ -93,16 +93,20 @@ object SparkEntry {
     "dedup_minhash" -> (Documents.dedupMinhash _),
     "dedup_keep_list" -> (Documents.dedupKeepList _),
     "dedup_simhash" -> (Documents.dedupSimhash _),
+    "dedup_clusters" -> (Documents.dedupClusters _),
     // LLM-pipeline: text analysis / fingerprinting
     "doc_fingerprint" -> (Documents.docFingerprint _),
     "text_stats" -> (Documents.textStats _),
     "text_tokens" -> (Documents.textTokens _),
     "text_langid" -> (Documents.textLangId _),
     "text_quality" -> (Documents.textQuality _),
+    "text_normalize" -> (Documents.textNormalize _),
+    "text_repetition" -> (Documents.textRepetition _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
+    "doc_chunk" -> (Documents.docChunk _),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
@@ -377,6 +381,56 @@ object SparkEntry {
         |          WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d2 FROM drops)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        |          WHERE e2.v <> r.u)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+        |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+'))::INT AS n_urls,
+        |  len(regexp_extract_all(text, '[0-9]{6,}'))::INT AS n_nums,
+        |  trim(regexp_replace(lower(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g')), ' {2,}', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i+1])) AS g FROM t),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
+        |tri AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN round(1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))::DOUBLE / (len(t) - 2), 4)
+        |  ELSE 0.0 END AS dup_trigram_frac FROM t)
+        |SELECT tri.doc_id,
+        |  coalesce(top.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(round(top.top_c::DOUBLE / top.n_bigrams, 4), 0.0) AS top_bigram_frac,
+        |  tri.dup_trigram_frac
+        |FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
+        |ORDER BY tri.doc_id""".stripMargin,
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start FROM t)
+        |SELECT doc_id,
+        |  ((start - 1) // 24)::BIGINT AS chunk_id,
+        |  len(list_slice(t, start, start + 31))::INT AS n_tokens,
+        |  array_to_string(list_slice(t, start, start + 31), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

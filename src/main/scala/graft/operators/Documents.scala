@@ -482,4 +482,194 @@ object Documents {
       docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(100)) === 0))
   }
+
+  /** Distributed connected components over an undirected pair graph —
+    * the step that turns near-dup PAIRS into duplicate CLUSTERS.
+    * [[dedupKeepList]]'s greedy drop is deliberately conservative on
+    * chains (a~b, b~c drops b AND c); cluster-then-keep-one is the
+    * other standard policy (keep exactly one representative per
+    * transitive closure), and it needs a real graph algorithm.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * aggregate+join passes over the edge list — no adjacency-list
+    * materialization (`collect_list` would concentrate a whole
+    * component's neighborhood into one row; a 100M-doc boilerplate
+    * cluster would OOM a single task), no driver-side graph. Converges
+    * in O(log² n) rounds regardless of component diameter — a
+    * min-label-propagation loop would need O(diameter) rounds and a
+    * pathological chain of near-dups makes diameter linear.
+    *
+    * Per round the edge frame is `localCheckpoint`ed: iterative
+    * algorithms grow lineage linearly, and without truncation round k
+    * replans (and under any recomputation re-executes) rounds 1..k-1.
+    * On a real cluster with dynamic executors, `checkpoint` to durable
+    * storage is the drop-in replacement.
+    *
+    * Input: columns `d1`, `d2` (one row per undirected edge, either
+    * orientation). Output: `(doc_id, cluster)` for every node that
+    * appears in some edge, where `cluster` is the component's minimum
+    * id. Singletons never appear in the edge list, so the caller
+    * re-attaches them (see [[dedupClusters]]). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // min over the closed neighborhood Γ⁺(u) = min(u, min of neighbors)
+    def minNbr(adj: DataFrame): DataFrame = adj.groupBy("u")
+      .agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+
+    // Order-insensitive checksum (count + XOR of row hashes) — one
+    // small aggregate, no sort, no join; computed once per frame. XOR,
+    // not sum: summing 64-bit hashes overflows under ANSI arithmetic,
+    // and the edge set is distinct so XOR cancellation can't collide
+    // two different sets that share a count.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint()
+    var prevSig = sig(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star: every neighbor LARGER than u re-attaches to the
+      // minimum of u's closed neighborhood. (v, m) is already
+      // (big, small) since v > u ≥ m.
+      val adjL = symmetric(edges)
+      val large = adjL.join(minNbr(adjL), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: u and every neighbor ≤ u attach to the minimum.
+      val adjS = symmetric(large)
+      val mS = minNbr(adjS)
+      val small = canon(
+        adjS.join(mS, "u")
+          .filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mS.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      // Fixpoint when the edge set is unchanged.
+      val s = sig(small)
+      converged = s == prevSig
+      prevSig = s
+      edges = small
+      round += 1
+    }
+    // At the fixpoint every edge is (node, componentMin).
+    edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+  }
+
+  /** Registered query: duplicate clusters of the corpus — every doc
+    * labeled with the minimum doc_id of its transitive near-dup
+    * closure (3-gram Jaccard ≥ 0.6), singletons labeling themselves.
+    * The DuckDB oracle reproduces the transitive closure with a
+    * recursive CTE, so the graph algorithm itself is hash-checked. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cc = connectedComponents(jaccardPairs(docs, threshold = 0.6).select("d1", "d2"))
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization + PII redaction — the scrub pass a corpus runs
+    * before training: emails → `<EMAIL>`, URLs → `<URL>`, long digit
+    * runs (phone numbers, SSN-ish ids) → `<NUM>`, then lowercase and
+    * whitespace collapse. Pure projection (no shuffle, no UDF); the
+    * regexes stay inside the Java-regex ∩ RE2 common subset (character
+    * classes, bounded repetition — no backreferences or lookaround) so
+    * the DuckDB oracle runs the identical patterns. Redaction counts
+    * ride along so a pipeline can filter on PII density. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{6,}"
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(col("text"), lit(url)).as("n_urls"),
+      regexp_count(col("text"), lit(num)).as("n_nums"),
+      trim(regexp_replace(
+        lower(regexp_replace(regexp_replace(regexp_replace(
+          col("text"), url, "<URL>"), email, "<EMAIL>"), num, "<NUM>")),
+        " {2,}", " ")).as("text_norm"))
+  }
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    normalizeText(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Repetition signals (the Gopher/MassiveText filters): what fraction
+    * of a document is the same thing over and over. Two signals:
+    *   - `dup_trigram_frac`: 1 − distinct/total word-3-grams — a pure
+    *     projection over the token array (no shuffle).
+    *   - `top_bigram_frac`: occurrences of the single most frequent
+    *     word-2-gram / total bigrams. Computed by exploding bigrams and
+    *     aggregating (doc_id, bigram) — one shuffle keyed by doc — NOT
+    *     by an O(n²) per-row higher-order count-each-element loop;
+    *     boilerplate docs are exactly where n is large.
+    * Docs shorter than 3 tokens report 0 for both (nothing to repeat). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks.select(col("doc_id"), expr(
+      "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")
+      .as("bg"))
+    val top = grams
+      .select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_bigrams"))
+    val tri = toks.select(col("doc_id"),
+      expr("""CASE WHEN size(t) >= 3 THEN
+             |  zip_with(zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2),
+             |    (a, b) -> concat(a, ' ', b)), slice(t, 3, size(t) - 2),
+             |    (a, b) -> concat(a, ' ', b))
+             |ELSE array() END""".stripMargin).as("tg"))
+      .select(col("doc_id"),
+        when(size(col("tg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")), 4))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+    tri.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("top_c").cast("double") / col("n_bigrams"), 4), lit(0.0))
+          .as("top_bigram_frac"),
+        col("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.load(spark, dir, "documents"))
+
+  /** Overlapping token-window chunking — long documents split into
+    * training-window-sized pieces (window `w` tokens, stride `stride`,
+    * so consecutive chunks overlap by w − stride). One generate per
+    * doc (`explode(sequence(...))` = chunk start positions), then the
+    * slice/join projection on the exploded rows; the token array is
+    * materialized ONCE per doc before the explode, so optimizer
+    * inlining can't re-split the text per chunk (the [[shingleArray]]
+    * pitfall). Scale shape: pure narrow op — rows multiply by
+    * ⌈n/stride⌉ but never shuffle. */
+  def chunkDocs(docs: DataFrame, w: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(1, size(t), $stride)")).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        expr(s"size(slice(t, start, $w))").as("n_tokens"),
+        expr(s"array_join(slice(t, start, $w), ' ')").as("chunk_text"))
+
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id", "chunk_id")
 }

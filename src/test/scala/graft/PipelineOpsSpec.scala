@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Documents
+
+/** Round-5 pipeline operators: duplicate-cluster connected components,
+  * text normalization/PII redaction, repetition signals, chunking. */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connected components labels a chain with its minimum") {
+    // chain 1-2-3-4 (transitive near-dups) + isolated pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val got = Documents.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 11L -> 10L),
+      s"every non-root node must point at its component min: $got")
+  }
+
+  test("connected components converges on a long path (diameter >> rounds)") {
+    // path 0-1-2-...-63: min-label propagation would need 63 rounds;
+    // large-star/small-star must finish well inside maxIter = 30.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Documents.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length === 63) // every node but the root
+    assert(got.forall(_._2 === 0L), "one component rooted at 0")
+  }
+
+  test("dedup_clusters agrees with pair transitivity on the tiny corpus") {
+    val dir = SparkSpec.sfTiny
+    val docs = Tables.load(spark, dir, "documents")
+    val clusters = Documents.dedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size === docs.count(), "one row per doc")
+    assert(clusters.forall { case (d, c) => c <= d }, "root is the min id")
+    // every near-dup pair must land in the same cluster
+    val pairs = Documents.dedupNgramJaccard(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("normalize redacts PII and collapses whitespace") {
+    val docs = Seq(
+      (1L, "Contact bob.smith+x@example.co.uk  or   visit https://foo.example/path?q=1 ref 1234567 now"),
+      (2L, "no pii here just words")).toDF("doc_id", "text")
+    val got = Documents.normalizeText(docs)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, emails, urls, nums, norm) = got(1L)
+    assert(emails === 1 && urls === 1 && nums === 1)
+    assert(norm === "contact <email> or visit <url> ref <num> now", norm)
+    val (_, e2, u2, n2, norm2) = got(2L)
+    assert(e2 === 0 && u2 === 0 && n2 === 0 && norm2 === "no pii here just words")
+  }
+
+  test("repetition signals separate boilerplate from prose") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "hi there")) // < 3 tokens: nothing to repeat
+      .toDF("doc_id", "text")
+    val got = Documents.repetitionStats(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nb1, top1, dup1) = got(1L)
+    assert(nb1 === 7L && top1 === 1.0 && dup1 > 0.8,
+      s"one repeated bigram dominates: $top1 / $dup1")
+    val (_, _, top2, dup2) = got(2L)
+    assert(top2 < 0.2 && dup2 === 0.0, "diverse prose repeats nothing")
+    val (_, nb3, top3, dup3) = got(3L)
+    assert(nb3 === 1L && top3 === 1.0 && dup3 === 0.0)
+  }
+
+  test("chunking covers the doc with the declared window and stride") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Documents.chunkDocs(docs, w = 32, stride = 24)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Int, String)].collect()
+    assert(got.map(_._2).toSeq === Seq(0L, 1L, 2L), "starts at 1, 25, 49")
+    assert(got.map(_._3).toSeq === Seq(32, 32, 12), "last chunk is the tail")
+    assert(got(0)._4.startsWith("w1 w2 ") && got(0)._4.endsWith(" w32"))
+    assert(got(1)._4.startsWith("w25 ") && got(1)._4.endsWith(" w56"),
+      "stride 24 overlaps 8 tokens")
+    assert(got(2)._4 === (49 to 60).map(i => s"w$i").mkString(" "))
+    // every token position is covered by some chunk
+    val covered = got.flatMap { case (_, cid, n, _) =>
+      val start = cid * 24 + 1
+      start until (start + n)
+    }.toSet
+    assert(covered === (1 to 60).toSet)
+  }
+}
