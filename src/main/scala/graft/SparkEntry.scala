@@ -102,6 +102,7 @@ object SparkEntry {
     "text_quality" -> (Documents.textQuality _),
     "text_normalize" -> (Documents.textNormalize _),
     "text_repetition" -> (Documents.textRepetition _),
+    "text_tfidf" -> (Documents.textTfidf _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
@@ -423,6 +424,18 @@ object SparkEntry {
         |  tri.dup_trigram_frac
         |FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
         |ORDER BY tri.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tok, tf, tf * ln(n_docs::DOUBLE / df) AS score
+        |      FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, tf, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+        |      FROM s)
+        |SELECT doc_id, tok, tf::BIGINT AS tf, round(score, 4) AS tfidf, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "doc_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start FROM t)

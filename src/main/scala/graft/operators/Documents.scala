@@ -672,4 +672,36 @@ object Documents {
   def docChunk(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.load(spark, dir, "documents"))
       .orderBy("doc_id", "chunk_id")
+
+  /** Top-k TF-IDF terms per document — the keyword profile used for
+    * topic bucketing and domain mixing. Two aggregations and a window:
+    * term frequency per (doc, token) — one shuffle keyed by doc+token;
+    * document frequency per token over the TF frame (already exact,
+    * no re-scan of the corpus); the corpus size joins in as a 1-row
+    * broadcast. Ranking ties break on the token so the output is
+    * deterministic (and cross-engine comparable). At 100 TB the only
+    * wide column is the (token, df) vocabulary — hundreds of millions
+    * of rows at web scale, still a plain shuffle join, never a
+    * driver-side dictionary. */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"),
+        round(col("score"), 4).as("tfidf"), col("rnk"))
+  }
+
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTop(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id", "rnk")
 }

@@ -73,6 +73,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(nb3 === 1L && top3 === 1.0 && dup3 === 0.0)
   }
 
+  test("tfidf ranks distinctive terms above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "common common zebra common common"),
+      (2L, "common words here common again"),
+      (3L, "common more common stuff common")).toDF("doc_id", "text")
+    val got = Documents.tfidfTop(docs, k = 2)
+      .as[(Long, String, Long, Double, Int)].collect()
+      .groupBy(_._1)
+    // 'zebra' appears once in one doc; 'common' in all three (idf = 0)
+    val doc1 = got(1L).sortBy(_._5)
+    assert(doc1.head._2 === "zebra", s"distinctive term must rank first: ${doc1.toSeq}")
+    assert(doc1.head._4 > 0.0)
+    // 'common' has df = 3 = n_docs, so ln(1) = 0 — never a positive score
+    assert(got.values.flatten.filter(_._2 == "common").forall(_._4 === 0.0))
+  }
+
   test("chunking covers the doc with the declared window and stride") {
     val text = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((7L, text)).toDF("doc_id", "text")

@@ -109,4 +109,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("text normalization is a pure projection — no shuffle") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val p = plan(graft.operators.Documents.normalizeText(docs))
+    assert(!p.contains("Exchange"), "redaction must stay map-side:\n" + p.take(2000))
+  }
+
+  test("chunking is a narrow generate — no shuffle") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val p = plan(graft.operators.Documents.chunkDocs(docs))
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("Exchange"), "row multiplication must not shuffle:\n" + p.take(2000))
+  }
+
+  test("connected components truncates lineage every round") {
+    import spark.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = graft.operators.Documents.connectedComponents(pairs)
+    // the returned frame must read the LAST round's checkpoint — a
+    // scan over a materialized RDD, not a replay of every round's
+    // join/aggregate chain (which would grow linearly with rounds and
+    // re-execute the whole history on any recomputation)
+    val p = plan(out)
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "round history must not be replayed:\n" + p.take(2000))
+  }
 }
