@@ -610,41 +610,45 @@ object Documents {
 
   /** Repetition signals (the Gopher/MassiveText filters): what fraction
     * of a document is the same thing over and over. Two signals:
-    *   - `dup_trigram_frac`: 1 − distinct/total word-3-grams — a pure
-    *     projection over the token array (no shuffle).
+    *   - `dup_trigram_frac`: 1 − distinct/total word-3-grams.
     *   - `top_bigram_frac`: occurrences of the single most frequent
-    *     word-2-gram / total bigrams. Computed by exploding bigrams and
-    *     aggregating (doc_id, bigram) — one shuffle keyed by doc — NOT
-    *     by an O(n²) per-row higher-order count-each-element loop;
-    *     boilerplate docs are exactly where n is large.
+    *     word-2-gram / total bigrams. A doc's bigrams all live in its
+    *     own row, so the mode count is the longest equal-run of the
+    *     SORTED bigram array — one O(n log n) in-row fold, NOT an
+    *     explode + groupBy (which shuffles corpus × (tokens−1) rows:
+    *     ~the whole corpus again, for a per-row statistic), and not an
+    *     O(n²) count-each-element loop either.
+    * Entirely map-side — zero shuffles, embarrassingly parallel.
     * Docs shorter than 3 tokens report 0 for both (nothing to repeat). */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val grams = toks.select(col("doc_id"), expr(
-      "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")
-      .as("bg"))
-    val top = grams
-      .select(col("doc_id"), explode(col("bg")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_bigrams"))
-    val tri = toks.select(col("doc_id"),
-      expr("""CASE WHEN size(t) >= 3 THEN
-             |  zip_with(zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2),
-             |    (a, b) -> concat(a, ' ', b)), slice(t, 3, size(t) - 2),
-             |    (a, b) -> concat(a, ' ', b))
-             |ELSE array() END""".stripMargin).as("tg"))
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
+        expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")
+          .as("bg"),
+        expr("""CASE WHEN size(t) >= 3 THEN
+               |  zip_with(zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2),
+               |    (a, b) -> concat(a, ' ', b)), slice(t, 3, size(t) - 2),
+               |    (a, b) -> concat(a, ' ', b))
+               |ELSE array() END""".stripMargin).as("tg"))
+      .select(col("doc_id"), col("bg"), col("tg"),
+        // longest equal-run of the sorted array = max multiplicity
+        expr("""aggregate(array_sort(bg),
+               |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+               |  (acc, x) -> struct(x AS prev,
+               |    CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END AS run,
+               |    greatest(acc.best,
+               |      CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END) AS best),
+               |  acc -> acc.best)""".stripMargin).as("top_c"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        when(size(col("bg")) > 0,
+          round(col("top_c").cast("double") / size(col("bg")), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
         when(size(col("tg")) > 0,
           round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")), 4))
           .otherwise(lit(0.0)).as("dup_trigram_frac"))
-    tri.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(round(col("top_c").cast("double") / col("n_bigrams"), 4), lit(0.0))
-          .as("top_bigram_frac"),
-        col("dup_trigram_frac"))
       .orderBy("doc_id")
-  }
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(Tables.load(spark, dir, "documents"))

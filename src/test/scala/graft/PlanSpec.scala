@@ -116,6 +116,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "redaction must stay map-side:\n" + p.take(2000))
   }
 
+  test("repetition stats never hash-shuffles (mode via in-row sorted runs)") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val p = plan(graft.operators.Documents.repetitionStats(docs))
+    // rangepartitioning for the final orderBy is fine; a
+    // hashpartitioning Exchange would mean the exploded-bigram
+    // aggregation shape crept back in
+    assert(!p.contains("hashpartitioning"),
+      "per-row statistic must not shuffle the corpus:\n" + p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("chunking is a narrow generate — no shuffle") {
     val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
     val p = plan(graft.operators.Documents.chunkDocs(docs))
