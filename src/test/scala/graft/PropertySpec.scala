@@ -49,4 +49,33 @@ class PropertySpec extends SparkSuite {
       joined == ks.size
     })
   }
+
+  test("connected components agrees with local union-find on random graphs") {
+    val edges = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+      .map(_.take(40).filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(edges) { es =>
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      // union-find roots are not necessarily the component minimum —
+      // normalize: min node id per root
+      val expect = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min
+        members.filter(_ != m).map(_ -> m)
+      }.toMap
+      val got = graft.operators.Documents
+        .connectedComponents(es.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      got == expect
+    }, n = 4)
+  }
 }
