@@ -10,7 +10,8 @@ import graft.Tables
   *
   * The Spark-side plumbing is real — binary packing, typed Dataset
   * schema, partition-batched decode — and so is the decoder for the
-  * formats a pure-JVM header parse can handle: BMP (pixel dimensions)
+  * formats a pure-JVM header parse can handle: BMP and PNG (pixel
+  * dimensions, channels)
   * and WAV (sample rate / channels / frame count) via
   * [[MediaDecoder]]. Formats needing a real codec (JPEG, H.264, ...)
   * fall back to a clearly-marked DETERMINISTIC STUB that derives fake
@@ -94,11 +95,36 @@ object Multimodal {
         Some((rate, channels, dataLen / blockAlign))
       else None
     }
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private val pngSig =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height, channels) from a PNG's IHDR — always the first
+      * chunk after the 8-byte signature, so no chunk walk is needed:
+      * width/height are big-endian at offsets 16/20, color type at 25
+      * (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA). Negative
+      * dimensions (high bit set — invalid per spec) are rejected. */
+    def decodePng(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 26 || !pngSig.indices.forall(i => b(i) == pngSig(i)) ||
+          tag(b, 12) != "IHDR") return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      val channels = b(25) match {
+        case 0 | 3 => 1
+        case 4     => 2
+        case 2     => 3
+        case 6     => 4
+        case _     => -1
+      }
+      if (w > 0 && h > 0 && channels > 0) Some((w, h, channels)) else None
+    }
   }
 
   /** Partition-batched decode. `mapPartitions` mirrors the batch shape
     * of `mapInPandas`: the decoder amortizes codec init across a whole
-    * partition instead of paying it per row. BMP and WAV decode for
+    * partition instead of paying it per row. BMP, PNG and WAV decode for
     * real ([[MediaDecoder]]); other formats fall back to the
     * deterministic murmur3-hash STUB (no codecs in the container), so
     * specs and the verify harness stay stable. For WAV, `width` is the
@@ -112,6 +138,7 @@ object Multimodal {
         val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, seed = 42)
         val decoded = r.mime match {
           case "image/bmp" => MediaDecoder.decodeBmp(r.media)
+          case "image/png" => MediaDecoder.decodePng(r.media)
           case "audio/wav" => MediaDecoder.decodeWav(r.media)
           case _           => None
         }

@@ -64,6 +64,29 @@ class MultimodalSpec extends SparkSuite {
     assert(out(4L).width >= 64 && out(4L).width < 576) // graceful fallback
   }
 
+  test("PNG IHDR decodes dimensions and channel count; corrupt headers reject") {
+    import java.nio.ByteBuffer
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33) // big-endian by default
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes)
+      b.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      b.array()
+    }
+    val d = Multimodal.MediaDecoder
+    assert(d.decodePng(png(640, 480, 2)) === Some((640, 480, 3)), "RGB")
+    assert(d.decodePng(png(32, 16, 6)) === Some((32, 16, 4)), "RGBA")
+    assert(d.decodePng(png(7, 9, 0)) === Some((7, 9, 1)), "grayscale")
+    assert(d.decodePng(png(-1, 4, 2)) === None, "negative width is invalid")
+    assert(d.decodePng(png(4, 4, 9)) === None, "unknown color type")
+    assert(d.decodePng("PNG but not really".getBytes) === None)
+    // through the decode seam
+    val out = Multimodal.decodeStub(
+      Seq(Multimodal.MediaRecord(9L, png(100, 50, 6), "image/png", "xx", 0L)).toDS())
+      .collect().head
+    assert((out.width, out.height, out.n_frames) === ((100, 50, 4)))
+  }
+
   test("decodeWav survives hostile RIFF chunk sizes without looping or throwing") {
     import java.nio.{ByteBuffer, ByteOrder}
     def riff(chunkSize: Int): Array[Byte] = {
