@@ -52,18 +52,37 @@ object Caches {
     df
   }
 
-  /** Unpersist every frame registered for `spark` (blocking=false: the
-    * executors drop blocks asynchronously; subsequent queries just
-    * recompute). Safe to call when nothing is registered. */
+  private val heldRdds =
+    new ConcurrentHashMap[SparkSession, java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
+
+  /** Register a directly-persisted RDD (e.g. a `localCheckpoint`'s
+    * backing RDD) for release. DataFrame.unpersist only reaches the
+    * cache manager, so checkpoint blocks need their own ledger. */
+  def registerRdd(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    sweepStopped(heldRdds)(identity)
+    heldRdds
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedQueue())
+      .add(rdd)
+  }
+
+  /** Unpersist every frame and RDD registered for `spark`
+    * (blocking=false: the executors drop blocks asynchronously;
+    * subsequent queries just recompute — except checkpoint RDDs, whose
+    * consumers must re-run the producing operator). Safe to call when
+    * nothing is registered. */
   def release(spark: SparkSession): Unit = {
     val perSession = held.remove(spark)
     if (perSession != null) perSession.values().forEach(_.unpersist())
+    val rdds = heldRdds.remove(spark)
+    if (rdds != null) rdds.forEach(_.unpersist(blocking = false))
     sweepStopped(held)(identity)
   }
 
   /** Number of live registrations for `spark` (spec hook). */
   def registered(spark: SparkSession): Int = {
     val perSession = held.get(spark)
-    if (perSession == null) 0 else perSession.size()
+    val n = if (perSession == null) 0 else perSession.size()
+    val rdds = heldRdds.get(spark)
+    n + (if (rdds == null) 0 else rdds.size())
   }
 }

@@ -42,17 +42,23 @@ object Documents {
     * dump: the whole query pinned in StringSplit under a Predicate).
     * The slice form references `t` exactly k+1 times, bounding
     * re-evaluation cost. */
-  def shingleArray(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** SQL for the word-k-gram array over a token-array column `t`,
+    * duplicates preserved — the single home of the slice/zip_with
+    * idiom (and its re-evaluation rationale above) shared by the
+    * shingle and repetition paths. */
+  private[operators] def kgramSql(k: Int): String = {
     def slc(j: Int) = s"slice(t, $j, size(t) - ${k - 1})"
-    val zipped = (2 to k).foldLeft(slc(1)) { (acc, j) =>
+    (2 to k).foldLeft(slc(1)) { (acc, j) =>
       s"zip_with($acc, ${slc(j)}, (a, b) -> concat(a, ' ', b))"
     }
+  }
+
+  def shingleArray(docs: DataFrame, k: Int = 3): DataFrame =
     docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("sh", expr(
-        s"CASE WHEN size(t) >= $k THEN array_distinct($zipped) ELSE array() END"))
+        s"CASE WHEN size(t) >= $k THEN array_distinct(${kgramSql(k)}) ELSE array() END"))
       .drop("t")
-  }
 
   /** Same, exploded to `(doc_id, s)` rows — HASHED to an 8-byte key
     * and REPARTITIONED ON IT — the inverted-index form. Hashing before
@@ -533,6 +539,15 @@ object Documents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // a localCheckpoint's blocks are pinned on the RDD, invisible to
+    // the cache manager — extract it so superseded rounds can be freed
+    // eagerly and the final round can be handed to the Caches ledger
+    def chkRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _                                            => None
+      }
+
     var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
       .localCheckpoint()
     var prevSig = sig(edges)
@@ -561,9 +576,22 @@ object Documents {
       val s = sig(small)
       converged = s == prevSig
       prevSig = s
+      // the superseded round's checkpoint blocks are dead weight the
+      // moment the new round has materialized — free them now, don't
+      // wait for driver GC + ContextCleaner
+      chkRdd(edges).foreach(_.unpersist(blocking = false))
       edges = small
       round += 1
     }
+    // A partial labeling is WRONG, not approximate — a node can carry
+    // several conflicting labels mid-convergence. Fail loudly over
+    // returning corrupt clusters.
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — raise maxIter")
+    // the result's own checkpoint stays live for the caller; register
+    // it so Caches.release(spark) frees it with the other operator
+    // internals
+    chkRdd(edges).foreach(graft.Caches.registerRdd(pairs.sparkSession, _))
     // At the fixpoint every edge is (node, componentMin).
     edges.select(col("u").as("doc_id"), col("v").as("cluster"))
   }
@@ -618,19 +646,20 @@ object Documents {
     *     explode + groupBy (which shuffles corpus × (tokens−1) rows:
     *     ~the whole corpus again, for a per-row statistic), and not an
     *     O(n²) count-each-element loop either.
-    * Entirely map-side — zero shuffles, embarrassingly parallel.
-    * Docs shorter than 3 tokens report 0 for both (nothing to repeat). */
+    * Entirely map-side — zero shuffles, embarrassingly parallel (the
+    * registered query sorts; this building block does not).
+    * A sub-3-token doc has no trigrams (dup_trigram_frac = 0); a
+    * 2-token doc's single bigram is trivially its own mode
+    * (top_bigram_frac = 1) — filter on n_bigrams if short docs should
+    * be exempt. NULL text degrades like empty text (0s), matching the
+    * oracle's no-rows-from-unnest path. */
   def repetitionStats(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")
-          .as("bg"),
-        expr("""CASE WHEN size(t) >= 3 THEN
-               |  zip_with(zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2),
-               |    (a, b) -> concat(a, ' ', b)), slice(t, 3, size(t) - 2),
-               |    (a, b) -> concat(a, ' ', b))
-               |ELSE array() END""".stripMargin).as("tg"))
+        coalesce(split(col("text"), " "), array()).as("t"))
+      .select(col("doc_id"),
+        expr(s"CASE WHEN size(t) >= 2 THEN ${kgramSql(2)} ELSE array() END").as("bg"),
+        expr(s"CASE WHEN size(t) >= 3 THEN ${kgramSql(3)} ELSE array() END").as("tg"))
       .select(col("doc_id"), col("bg"), col("tg"),
         // longest equal-run of the sorted array = max multiplicity
         expr("""aggregate(array_sort(bg),
@@ -648,10 +677,9 @@ object Documents {
         when(size(col("tg")) > 0,
           round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")), 4))
           .otherwise(lit(0.0)).as("dup_trigram_frac"))
-      .orderBy("doc_id")
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionStats(Tables.load(spark, dir, "documents"))
+    repetitionStats(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
   /** Overlapping token-window chunking — long documents split into
     * training-window-sized pieces (window `w` tokens, stride `stride`,

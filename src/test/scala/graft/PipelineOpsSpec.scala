@@ -29,9 +29,12 @@ class PipelineOpsSpec extends SparkSuite {
   test("dedup_clusters agrees with pair transitivity on the tiny corpus") {
     val dir = SparkSpec.sfTiny
     val docs = Tables.load(spark, dir, "documents")
-    val clusters = Documents.dedupClusters(spark, dir)
-      .as[(Long, Long)].collect().toMap
-    assert(clusters.size === docs.count(), "one row per doc")
+    val rows = Documents.dedupClusters(spark, dir).as[(Long, Long)].collect()
+    // row count asserted BEFORE toMap: a non-converged labeling emits
+    // duplicate doc_ids that toMap would silently collapse
+    assert(rows.length === docs.count(), "one row per doc")
+    val clusters = rows.toMap
+    assert(clusters.size === rows.length, "no duplicate doc_id labels")
     assert(clusters.forall { case (d, c) => c <= d }, "root is the min id")
     // every near-dup pair must land in the same cluster
     val pairs = Documents.dedupNgramJaccard(spark, dir)
@@ -71,6 +74,17 @@ class PipelineOpsSpec extends SparkSuite {
     assert(top2 < 0.2 && dup2 === 0.0, "diverse prose repeats nothing")
     val (_, nb3, top3, dup3) = got(3L)
     assert(nb3 === 1L && top3 === 1.0 && dup3 === 0.0)
+  }
+
+  test("repetition signals degrade to zeros on null text (oracle parity)") {
+    val docs = Seq((1L, Some("a b c a b c")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = Documents.repetitionStats(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L) === ((2L, 0L, 0.0, 0.0)),
+      "null text must report 0 bigrams, not NULL/-1")
+    assert(got(1L)._2 === 5L)
   }
 
   test("tfidf ranks distinctive terms above corpus-wide ones") {
