@@ -230,7 +230,8 @@ object Embeddings {
     * 3. probe: a query scores only the vectors in its `nProbe`
     *    nearest centroids' lists — cost scales with
     *    corpus·nProbe·nAssign/k, not corpus.
-    * Deterministic end-to-end (seeded init, no sampling), so recall
+    * Deterministic end-to-end (seeded init, content-hash
+    * sampled fit), so recall
     * vs brute force is a stable spec assertion. Complements
     * [[annSketch]]: IVF wins when the corpus clusters; the sketch
     * path when it doesn't. */
@@ -255,20 +256,36 @@ object Embeddings {
   }
 
   /** Seeded Lloyd k-means over (vec_id, embedding) — deterministic:
-    * init from nCentroids hash-ordered corpus rows, each iteration one
-    * assign (codegen argmax projection) + recompute (posexplode →
-    * per-dim avg, collected to the driver: k×d doubles). Empty
-    * clusters keep their previous centroid. */
+    * init from nCentroids hash-ordered rows, each iteration one assign
+    * (codegen argmax projection) + recompute (posexplode → per-dim
+    * avg, collected to the driver: k×d doubles). Empty clusters keep
+    * their previous centroid.
+    *
+    * The fit runs on a deterministic content-hash SAMPLE capped at
+    * max(256·k, 64Ki) rows — the standard coarse-quantizer regime
+    * (a few hundred training points per centroid saturate centroid
+    * quality), and the per-iteration posexplode is corpus×dims rows
+    * otherwise: at 1M×64-dim that's 256M exploded rows across 4
+    * Lloyd rounds, for centroids a 6% sample reproduces. Below the
+    * cap the sample is the whole corpus, so small-corpus behavior
+    * (and every sf-scale spec) is bit-identical. Hash sampling keeps
+    * the fit partition-invariant and reproducible — same corpus,
+    * same centroids, any cluster. */
   def fitKmeans(emb: DataFrame, nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
     val sp = emb.sparkSession
     import sp.implicits._
-    var cents: Seq[Seq[Double]] = emb
+    val target = math.max(nCentroids.toLong * 256L, 65536L)
+    val n = emb.count()
+    val train =
+      if (n <= target) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(n / target + 1)) === 0)
+    var cents: Seq[Seq[Double]] = train
       .orderBy(xxhash64(col("vec_id")))
       .limit(nCentroids)
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c"))
       .as[Seq[Double]].collect().toSeq
     for (_ <- 1 to iters) {
-      val updated = emb
+      val updated = train
         .select(element_at(nearestCids(cents, 1), 1).as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("v"))
