@@ -86,7 +86,9 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "agg_stddev" -> (Relational.aggStddev _),
     "window_running" -> (Relational.windowRunning _),
+    "window_lag" -> (Relational.windowLag _),
     "group_pivot" -> (Relational.groupPivot _),
+    "group_grouping_sets" -> (Relational.groupGroupingSets _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -339,6 +341,22 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 0.0) AS prev_price,
+        |  date_diff('day', o_orderdate,
+        |    coalesce(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate))::BIGINT AS days_to_next
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "group_grouping_sets" ->
+      """SELECT l_linestatus, l_returnflag,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_linestatus, l_returnflag), (l_linestatus), ())
+        |ORDER BY l_linestatus NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
     "group_pivot" ->
       """SELECT l_linestatus,
         |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",

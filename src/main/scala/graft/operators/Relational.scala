@@ -521,6 +521,36 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** LAG/LEAD — per-customer order-to-order deltas: previous order's
+    * price and the gap in days to the next order. Same single
+    * (o_custkey) shuffle as every other window here; lag/lead are
+    * frame-less window functions, so no running buffer at all. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        coalesce(lag("o_totalprice", 1).over(w), lit(0.0)).as("prev_price"),
+        datediff(
+          coalesce(lead("o_orderdate", 1).over(w), col("o_orderdate")),
+          col("o_orderdate")).cast("long").as("days_to_next"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** GROUPING SETS — the general form rollup/cube specialize: totals
+    * by (status, flag), by status alone, and grand total, skipping the
+    * by-flag set a cube would add. One scan, one expanded aggregate. */
+  def groupGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT l_linestatus, l_returnflag,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_linestatus, l_returnflag), (l_linestatus), ())
+        |ORDER BY l_linestatus NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)
+  }
+
   /** PIVOT — quantity totals per linestatus × returnflag, returnflag
     * values spread into columns. With the pivot values enumerated the
     * plan is a single hash aggregate over CASE projections (one scan),
