@@ -618,23 +618,40 @@ object Documents {
     * classes, bounded repetition — no backreferences or lookaround) so
     * the DuckDB oracle runs the identical patterns. Redaction counts
     * ride along so a pipeline can filter on PII density. */
-  def normalizeText(docs: DataFrame): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^ ]+"
-    val num = "[0-9]{6,}"
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^ ]+"
+  private val numRe = "[0-9]{6,}"
+
+  /** The redaction+collapse expression itself, reusable wherever a text
+    * column flows — including streaming stages ([[scrubDocs]]), where
+    * it stays a stateless projection. */
+  def normTextCol(text: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(regexp_replace(regexp_replace(
+        text, urlRe, "<URL>"), emailRe, "<EMAIL>"), numRe, "<NUM>")),
+      " {2,}", " "))
+
+  def normalizeText(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      regexp_count(col("text"), lit(email)).as("n_emails"),
-      regexp_count(col("text"), lit(url)).as("n_urls"),
-      regexp_count(col("text"), lit(num)).as("n_nums"),
-      trim(regexp_replace(
-        lower(regexp_replace(regexp_replace(regexp_replace(
-          col("text"), url, "<URL>"), email, "<EMAIL>"), num, "<NUM>")),
-        " {2,}", " ")).as("text_norm"))
-  }
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(urlRe)).as("n_urls"),
+      regexp_count(col("text"), lit(numRe)).as("n_nums"),
+      normTextCol(col("text")).as("text_norm"))
 
   def textNormalize(spark: SparkSession, dir: String): DataFrame =
     normalizeText(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Streaming-composable corpus scrub: redact + normalize, then gate
+    * on the quality score — both stateless projections, so the SAME
+    * code runs identically over a bounded frame or a `readStream`
+    * micro-batch (no state store, no watermark; spec asserts
+    * stream-vs-batch row equality). The ingestion-time filter a corpus
+    * pipeline runs before anything shuffles. */
+  def scrubDocs(docs: DataFrame, minQuality: Double = 0.4): DataFrame =
+    qualityScore(
+      docs.select(col("doc_id"), col("lang"), normTextCol(col("text")).as("text")))
+      .filter(col("quality") >= minQuality)
 
   /** Repetition signals (the Gopher/MassiveText filters): what fraction
     * of a document is the same thing over and over. Two signals:

@@ -48,6 +48,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus scrub equals the batch scrub on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "Contact bob@example.com about the contract and the meeting notes today", "en"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en"),
+      (3L, "the quick brown fox jumps over a lazy dog near the old mill and rests", "en"),
+      (4L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____", "xx"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.operators.Documents
+      .scrubDocs(stream.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("scrub_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(rows.take(2)); q.processAllAvailable()
+      stream.addData(rows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("scrub_test")
+        .select("doc_id", "quality").as[(Long, Double)].collect().sortBy(_._1)
+      val batch = graft.operators.Documents
+        .scrubDocs(rows.toDF("doc_id", "text", "lang"))
+        .select("doc_id", "quality").as[(Long, Double)].collect().sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq,
+        "stateless scrub must be micro-batch invariant")
+      assert(streamed.map(_._1).contains(3L), "clean prose survives")
+      assert(!streamed.map(_._1).contains(4L), "symbol soup is gated out")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
