@@ -87,6 +87,34 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(1L)._2 === 5L)
   }
 
+  test("operators compose into a full corpus pipeline: scrub → cluster → keep → pack") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the old mill today", "en"),
+      (2L, "the quick brown fox jumps over a lazy dog near the old mill tonight", "en"), // ~dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog near the old hill tonight", "en"), // ~dup of 2 (chain)
+      (4L, "an entirely different document about winter weather and mountain trails", "en"),
+      (5L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____", "en"))
+      .toDF("doc_id", "text", "lang")
+    // 1. ingestion scrub: quality gate drops the symbol soup
+    val clean = docs.join(
+      Documents.scrubDocs(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(clean.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    // 2. near-dup pairs → transitive clusters (1~2, 2~3 chain to one cluster)
+    val cc = Documents.connectedComponents(
+      Documents.jaccardPairs(clean, threshold = 0.5).select("d1", "d2"))
+    val reps = clean.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .filter(col("doc_id") === col("cluster")) // keep the representative
+    assert(reps.select("doc_id").as[Long].collect().toSet === Set(1L, 4L),
+      "chain 1~2~3 keeps only doc 1; singleton 4 survives")
+    // 3. pack the survivors into token-budget bins
+    val packed = Documents.packSequences(reps, budget = 16)
+    val bins = packed.select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins(1L) === 0L && bins(4L) === 0L,
+      "doc 1 opens bin 0; doc 4's preceding cumulative (14) is under the 16-token budget")
+  }
+
   test("tfidf ranks distinctive terms above corpus-wide ones") {
     val docs = Seq(
       (1L, "common common zebra common common"),

@@ -50,6 +50,30 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("jaccard pairs agree with brute-force set Jaccard on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(12, doc)
+    check(Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val expect = (for {
+        (t1, d1) <- docs.map(_.swap); (t2, d2) <- docs.map(_.swap)
+        if d1 < d2
+        s1 = shingles(t1); s2 = shingles(t2)
+        inter = (s1 & s2).size
+        j = inter.toDouble / (s1.size + s2.size - inter)
+        jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= 0.6
+      } yield (d1, d2)).toSet
+      val got = graft.operators.Documents
+        .jaccardPairs(docs.toDF("doc_id", "text"), threshold = 0.6)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      got == expect
+    }, n = 4)
+  }
+
   test("connected components agrees with local union-find on random graphs") {
     val edges = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
       .map(_.take(40).filter { case (a, b) => a != b })
