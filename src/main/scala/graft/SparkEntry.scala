@@ -87,8 +87,10 @@ object SparkEntry {
     "agg_stddev" -> (Relational.aggStddev _),
     "window_running" -> (Relational.windowRunning _),
     "window_lag" -> (Relational.windowLag _),
+    "window_ntile" -> (Relational.windowNtile _),
     "group_pivot" -> (Relational.groupPivot _),
     "group_grouping_sets" -> (Relational.groupGroupingSets _),
+    "join_full_outer" -> (Relational.joinFullOuter _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -350,6 +352,19 @@ object SparkEntry {
         |      ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate))::BIGINT AS days_to_next
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |       ntile(4) OVER (PARTITION BY c_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |FROM customer
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c.c_custkey, c.c_name, o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |                 WHERE o_totalprice > 400000.0) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""".stripMargin,
     "group_grouping_sets" ->
       """SELECT l_linestatus, l_returnflag,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -412,6 +412,36 @@ object Relational {
       .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
   }
 
+  /** FULL OUTER join — both unmatched sides survive with nulls:
+    * high-value orders vs a customer subset, neither side dominant.
+    * The one join type that can't broadcast (both sides must see every
+    * unmatched row), so it plans as a shuffle join on the key — which
+    * is exactly what the 100-TB posture wants asserted, not worked
+    * around. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000.0)
+      .select("c_custkey", "c_name")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** NTILE — quartile assignment per nation by account balance, the
+    * bucketing window used for per-group percentile splits. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** LEFT ANTI join — suppliers from nations with no high-value
     * orders… expressed on customer/orders: customers with no order
     * over the threshold. Anti joins are the dedup/differencing
