@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_keep_list" -> (Documents.dedupKeepList _),
     "dedup_simhash" -> (Documents.dedupSimhash _),
     "dedup_clusters" -> (Documents.dedupClusters _),
+    "dedup_cluster_keep" -> (Documents.dedupClusterKeep _),
     // LLM-pipeline: text analysis / fingerprinting
     "doc_fingerprint" -> (Documents.docFingerprint _),
     "text_stats" -> (Documents.textStats _),
@@ -431,6 +432,23 @@ object SparkEntry {
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
         |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "dedup_cluster_keep" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        |          WHERE e2.v <> r.u)
+        |SELECT d.doc_id FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |GROUP BY d.doc_id
+        |HAVING least(d.doc_id, coalesce(min(r.v), d.doc_id)) = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,

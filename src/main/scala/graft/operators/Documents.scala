@@ -618,6 +618,16 @@ object Documents {
     * classes, bounded repetition — no backreferences or lookaround) so
     * the DuckDB oracle runs the identical patterns. Redaction counts
     * ride along so a pipeline can filter on PII density. */
+  /** The cluster-policy dedup DECISION: keep exactly the minimum-id
+    * representative of each transitive near-dup closure — the
+    * alternative to [[dedupKeepList]]'s greedy pairwise drop (which
+    * over-drops on chains). One row per surviving doc. */
+  def dedupClusterKeep(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val urlRe = "https?://[^ ]+"
   private val numRe = "[0-9]{6,}"
