@@ -50,5 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         VectorExpressions.MinHashSig(args.head, nPerms)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("mode_count"),
+      info("mode_count",
+        "mode_count(arr) - multiplicity of the most frequent element of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"mode_count expects 1 argument, got ${args.length}")
+        VectorExpressions.ModeCount(args.head)
+      }))
   }
 }

@@ -400,6 +400,66 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `mode_count(arr)` — multiplicity of the most frequent element of
+    * a string array (0 for empty, null for null input or a null
+    * element). One open-addressing-free hash-map pass per row — O(n)
+    * against the O(n log n) `aggregate(array_sort(...))` run-length
+    * fold it replaces, and codegen'd where the fold ran interpreted
+    * (one lambda dispatch per element). The per-doc statistic behind
+    * the Gopher top-n-gram repetition filter. */
+  case class ModeCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "mode_count"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      val m = new java.util.HashMap[Any, Integer]()
+      var best = 0L
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i)) return null
+        val c = m.merge(ad.getUTF8String(i), 1, (x: Integer, y: Integer) => x + y)
+        if (c.longValue() > best) best = c.longValue()
+        i += 1
+      }
+      best
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val c = ctx.freshName("c")
+        val prev = ctx.freshName("prev")
+        val best = ctx.freshName("best")
+        // raw types: Janino compiles a generics-free Java subset
+        s"""
+           |int $n = $a.numElements();
+           |java.util.HashMap $m = new java.util.HashMap();
+           |long $best = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  Object $prev = $m.get($a.getUTF8String($i));
+           |  int $c = ($prev == null) ? 1 : ((java.lang.Integer) $prev).intValue() + 1;
+           |  $m.put($a.getUTF8String($i), java.lang.Integer.valueOf($c));
+           |  if ($c > $best) $best = (long) $c;
+           |}
+           |${ev.value} = ${ev.isNull} ? 0L : $best;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API entry points ----
 
   def vecDot(a: Column, b: Column): Column =
@@ -416,4 +476,7 @@ object VectorExpressions {
 
   def minhashSig(tokens: Column, nPerms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), nPerms))
+
+  def modeCount(arr: Column): Column =
+    ColumnBridge.column(ModeCount(ColumnBridge.expression(arr)))
 }

@@ -27,10 +27,9 @@ import graft.Tables
   */
 object Documents {
 
-  /** Distinct word k-shingles per document as an array column —
-    * the building block shared by the Jaccard, MinHash, and
-    * fingerprint paths. Documents shorter than k tokens get an empty
-    * array.
+  /** SQL for the word-k-gram array over a token-array column `t`,
+    * duplicates preserved — the single home of the slice/zip_with
+    * idiom shared by the shingle and repetition paths.
     *
     * Built as a zip_with over k shifted slices rather than
     * `transform(sequence, i -> t[i]..t[i+k-1])`: higher-order
@@ -42,10 +41,6 @@ object Documents {
     * dump: the whole query pinned in StringSplit under a Predicate).
     * The slice form references `t` exactly k+1 times, bounding
     * re-evaluation cost. */
-  /** SQL for the word-k-gram array over a token-array column `t`,
-    * duplicates preserved — the single home of the slice/zip_with
-    * idiom (and its re-evaluation rationale above) shared by the
-    * shingle and repetition paths. */
   private[operators] def kgramSql(k: Int): String = {
     def slc(j: Int) = s"slice(t, $j, size(t) - ${k - 1})"
     (2 to k).foldLeft(slc(1)) { (acc, j) =>
@@ -53,6 +48,10 @@ object Documents {
     }
   }
 
+  /** Distinct word k-shingles per document as an array column —
+    * the building block shared by the Jaccard, MinHash, and
+    * fingerprint paths. Documents shorter than k tokens get an empty
+    * array. */
   def shingleArray(docs: DataFrame, k: Int = 3): DataFrame =
     docs
       .withColumn("t", split(col("text"), " "))
@@ -668,8 +667,8 @@ object Documents {
     *   - `dup_trigram_frac`: 1 − distinct/total word-3-grams.
     *   - `top_bigram_frac`: occurrences of the single most frequent
     *     word-2-gram / total bigrams. A doc's bigrams all live in its
-    *     own row, so the mode count is the longest equal-run of the
-    *     SORTED bigram array — one O(n log n) in-row fold, NOT an
+    *     own row, so the mode count is one codegen'd hash-map pass
+    *     ([[graft.functions.VectorExpressions.ModeCount]]) — NOT an
     *     explode + groupBy (which shuffles corpus × (tokens−1) rows:
     *     ~the whole corpus again, for a per-row statistic), and not an
     *     O(n²) count-each-element loop either.
@@ -688,14 +687,10 @@ object Documents {
         expr(s"CASE WHEN size(t) >= 2 THEN ${kgramSql(2)} ELSE array() END").as("bg"),
         expr(s"CASE WHEN size(t) >= 3 THEN ${kgramSql(3)} ELSE array() END").as("tg"))
       .select(col("doc_id"), col("bg"), col("tg"),
-        // longest equal-run of the sorted array = max multiplicity
-        expr("""aggregate(array_sort(bg),
-               |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
-               |  (acc, x) -> struct(x AS prev,
-               |    CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END AS run,
-               |    greatest(acc.best,
-               |      CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END) AS best),
-               |  acc -> acc.best)""".stripMargin).as("top_c"))
+        // max multiplicity via the codegen'd one-pass hash-map count
+        // (the interpreted aggregate(array_sort(...)) run-length fold
+        // cost one lambda dispatch per element and an O(n log n) sort)
+        graft.functions.VectorExpressions.modeCount(col("bg")).as("top_c"))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
         when(size(col("bg")) > 0,

@@ -139,6 +139,28 @@ class FunctionsSpec extends SparkSuite {
     assert(matches === 0, s"$matches positions matched for disjoint sets")
   }
 
+  test("modeCount counts the most frequent element, both eval paths") {
+    val rows = Seq(
+      (1L, Seq("a b", "b c", "a b", "a b", "c d")),
+      (2L, Seq("x y")),
+      (3L, Seq.empty[String]),
+      (4L, null)).toDF("id", "arr")
+    // interpreted path (local relation folds eagerly)
+    val got = rows.select(col("id"), VectorExpressions.modeCount(col("arr")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> -1L))
+    // codegen path (parquet-backed) agrees with a groupBy count
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val native = docs.select(col("doc_id"), VectorExpressions.modeCount(col("arr")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val oracle = docs.select(col("doc_id"), explode(col("arr")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(native === oracle)
+  }
+
   test("extensions expose vec_dot / simhash64 / minhash_sig to spark.sql") {
     val dot = spark.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +

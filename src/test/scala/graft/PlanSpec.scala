@@ -116,7 +116,7 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "redaction must stay map-side:\n" + p.take(2000))
   }
 
-  test("repetition stats never hash-shuffles (mode via in-row sorted runs)") {
+  test("repetition stats never hash-shuffles (mode via codegen hash count)") {
     val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
     val p = plan(graft.operators.Documents.repetitionStats(docs))
     // rangepartitioning for the final orderBy is fine; a
