@@ -88,6 +88,7 @@ object SparkEntry {
     "window_running" -> (Relational.windowRunning _),
     "window_lag" -> (Relational.windowLag _),
     "window_ntile" -> (Relational.windowNtile _),
+    "scalar_datetime" -> (Relational.scalarDatetime _),
     "group_pivot" -> (Relational.groupPivot _),
     "group_grouping_sets" -> (Relational.groupGroupingSets _),
     "join_full_outer" -> (Relational.joinFullOuter _),
@@ -353,6 +354,15 @@ object SparkEntry {
         |      ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate))::BIGINT AS days_to_next
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "scalar_datetime" ->
+      """SELECT o_orderkey,
+        |  date_trunc('quarter', o_orderdate) AS qtr_start,
+        |  quarter(o_orderdate)::INT AS qtr,
+        |  (dayofweek(o_orderdate) + 1)::INT AS dow,
+        |  (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus_3m,
+        |  date_diff('day', o_orderdate::DATE, DATE '1998-01-01')::BIGINT AS days_to_98
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "window_ntile" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |       ntile(4) OVER (PARTITION BY c_nationkey

@@ -292,6 +292,22 @@ object Relational {
         length(col("o_orderpriority")).as("prio_len"))
       .orderBy("o_orderkey")
 
+  /** Datetime scalar functions — truncation, extraction, arithmetic,
+    * day-of-week — the calendar toolbox over a timestamp column. All
+    * computed in the session's UTC zone on both engines. */
+  def scalarDatetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).cast("long")
+          .as("days_to_98"))
+      .orderBy("o_orderkey")
+
   /** Set operation: customers with no orders (EXCEPT ≡ anti join). */
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer").select("c_custkey")

@@ -174,6 +174,8 @@ class FunctionsSpec extends SparkSuite {
     val sig = spark.sql("SELECT minhash_sig(array('a', 'b'), 4) AS s")
       .as[Seq[Long]].head()
     assert(sig.length === 4)
+    val mc = spark.sql("SELECT mode_count(array('x', 'y', 'x')) AS m").as[Long].head()
+    assert(mc === 2L)
   }
 
   test("vector expressions run inside whole-stage codegen") {

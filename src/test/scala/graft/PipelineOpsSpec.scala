@@ -26,6 +26,15 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.forall(_._2 === 0L), "one component rooted at 0")
   }
 
+  test("connected components handles a high-degree star without blowup") {
+    // one boilerplate doc near-dup to 2,000 others: large-star's worst
+    // case (the hub's whole neighborhood flows through one aggregation)
+    val pairs = (1L to 2000L).map(i => (0L, i)).toDF("d1", "d2")
+    val got = Documents.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length === 2000)
+    assert(got.forall(_._2 === 0L), "every spoke labels to the hub")
+  }
+
   test("dedup_clusters agrees with pair transitivity on the tiny corpus") {
     val dir = SparkSpec.sfTiny
     val docs = Tables.load(spark, dir, "documents")
