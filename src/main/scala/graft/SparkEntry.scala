@@ -109,6 +109,7 @@ object SparkEntry {
     "text_normalize" -> (Documents.textNormalize _),
     "text_repetition" -> (Documents.textRepetition _),
     "text_tfidf" -> (Documents.textTfidf _),
+    "corpus_stats" -> (Documents.corpusStats _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
@@ -485,6 +486,17 @@ object SparkEntry {
         |  tri.dup_trigram_frac
         |FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
         |ORDER BY tri.doc_id""".stripMargin,
+    "corpus_stats" ->
+      """WITH d AS (SELECT lang, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |                  n_chars FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS med_tokens,
+        |  max(n_chars) AS max_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -617,6 +617,27 @@ object Documents {
     * classes, bounded repetition — no backreferences or lookaround) so
     * the DuckDB oracle runs the identical patterns. Redaction counts
     * ride along so a pipeline can filter on PII density. */
+  /** Per-language corpus report — the summary table every pipeline run
+    * prints: document counts, token totals, length distribution
+    * (median via exact percentile for oracle parity — a 100-TB run
+    * swaps in approx_percentile), and distinct sources. One grouped
+    * aggregation; the percentile is the only memory-heavy member and
+    * the swap point is documented, not hidden. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("med_tokens"),
+        max("n_chars").as("max_chars"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
   /** The cluster-policy dedup DECISION: keep exactly the minimum-id
     * representative of each transitive near-dup closure — the
     * alternative to [[dedupKeepList]]'s greedy pairwise drop (which
