@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regenerates PLANS.md: the formatted physical plan of each
+  * representative query, with a one-line note on the shape property
+  * that makes it scale (the same properties PlanSpec asserts — this
+  * file is the human-readable audit trail, the spec is the gate).
+  *
+  * Usage: `runMain graft.tools.DumpPlans [sfDir]` (default sf0.001 —
+  * plan SHAPE is scale-invariant; AQE re-plans sizes at runtime).
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val picks: Seq[(String, String)] = Seq(
+      "q1_join_avg" -> "broadcast hash join on the dim side; partial+final aggregate",
+      "sort_topn" -> "TakeOrderedAndProject — top-k never global-sorts",
+      "filter_and" -> "predicates inside PushedFilters, pruned ReadSchema",
+      "join_skew_salted" -> "salted key spreads the hot key across partitions",
+      "join_asof" -> "union + window: zero join nodes for an as-of match",
+      "dedup_ngram_jaccard" -> "inverted-index: one shuffle keyed by hashed shingle, no self-join",
+      "dedup_simhash" -> "band self-join reads the persisted signature frame twice",
+      "embed_ann_lsh" -> "Hamming pre-filter over 32-byte sketches; exact rerank on survivors",
+      "text_repetition" -> "pure map — per-doc mode via codegen mode_count, no hash exchange",
+      "doc_chunk" -> "narrow generate: rows multiply, nothing shuffles",
+      "events_sessionize" -> "one user_id exchange shared by both windows and the aggregate")
+
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of representative queries\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.tools.DumpPlans\"`. The shape\n")
+    sb.append("properties called out per query are asserted in `PlanSpec.scala`;\n")
+    sb.append(s"this file is the readable audit trail (plans from `$dir`).\n")
+    picks.foreach { case (name, note) =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+      graft.Caches.release(spark)
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println(s"[dumpplans] wrote PLANS.md (${picks.size} queries)")
+    spark.stop()
+  }
+}
