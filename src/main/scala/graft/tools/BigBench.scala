@@ -116,7 +116,8 @@ object BigBenchLlm {
       "dedup_minhash", "dedup_embed_cosine", "embed_ann_lsh", "embed_ann_ivf",
       "embed_knn", "text_langid", "text_stats", "doc_fingerprint",
       "text_quality", "doc_sample_hash", "doc_pack_sequences", "doc_decontaminate",
-      "dedup_clusters", "text_normalize", "text_repetition", "doc_chunk", "text_tfidf")
+      "dedup_clusters", "text_normalize", "text_repetition", "doc_chunk", "text_tfidf",
+      "corpus_stats", "dedup_cluster_keep")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
