@@ -93,12 +93,15 @@ object BigBenchLlm {
         array_join(expr(
           "transform(sequence(0, 39), i -> concat('w', pmod(xxhash64(doc_id, i), 5000)))"),
           " ").as("text"),
-        concat(lit("l"), pmod(col("id"), lit(5)).cast("string")).as("lang"))
+        concat(lit("l"), pmod(col("id"), lit(5)).cast("string")).as("lang"),
+        concat(lit("s"), pmod(col("id"), lit(50)).cast("string")).as("source"))
       val dups = base.filter(pmod(col("doc_id"), lit(200)) === 0)
         .select((col("doc_id") + rows).as("doc_id"),
           regexp_replace(col("text"), "^w[0-9]+ w[0-9]+ ", "wx wy ").as("text"),
-          col("lang"))
-      base.unionAll(dups).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          col("lang"), col("source"))
+      base.unionAll(dups)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       spark.range(0, rows, 1, 32).select(col("id").as("vec_id"),
         expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(vec_id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
           .as("embedding"),
