@@ -46,7 +46,7 @@ object Bench {
       "window_lag", "group_grouping_sets", "window_ntile", "join_full_outer", "scalar_datetime",
       "corpus_stats",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
-      "events_sessionize",
+      "events_sessionize", "events_funnel",
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>
         n.startsWith("dedup_") || n.startsWith("embed_") ||

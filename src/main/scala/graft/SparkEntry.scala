@@ -89,6 +89,7 @@ object SparkEntry {
     "window_lag" -> (Relational.windowLag _),
     "window_ntile" -> (Relational.windowNtile _),
     "scalar_datetime" -> (Relational.scalarDatetime _),
+    "events_funnel" -> (Relational.eventsFunnel _),
     "group_pivot" -> (Relational.groupPivot _),
     "group_grouping_sets" -> (Relational.groupGroupingSets _),
     "join_full_outer" -> (Relational.joinFullOuter _),
@@ -355,6 +356,19 @@ object SparkEntry {
         |      ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate))::BIGINT AS days_to_next
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "events_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM events),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM w2)
+        |SELECT user_id, min(t1) AS t_view, min(t2) AS t_click, min(t3) AS t_purchase,
+        |  CASE WHEN min(t3) IS NOT NULL THEN 3
+        |       WHEN min(t2) IS NOT NULL THEN 2
+        |       WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END::INT AS stages
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "scalar_datetime" ->
       """SELECT o_orderkey,
         |  date_trunc('quarter', o_orderdate) AS qtr_start,

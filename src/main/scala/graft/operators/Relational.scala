@@ -292,6 +292,31 @@ object Relational {
         length(col("o_orderpriority")).as("prio_len"))
       .orderBy("o_orderkey")
 
+  /** Ordered funnel: per user, the first view, the first click AFTER
+    * that view, and the first purchase AFTER that click — the
+    * conversion analytic. Three stacked windows over the SAME
+    * partition key then a same-key aggregate, so the whole funnel
+    * costs ONE user_id shuffle (the sessionize pattern); no joins, no
+    * per-stage passes over the events. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t_view"), min("t2").as("t_click"), min("t3").as("t_purchase"))
+      .withColumn("stages",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
   /** Datetime scalar functions — truncation, extraction, arithmetic,
     * day-of-week — the calendar toolbox over a timestamp column. All
     * computed in the session's UTC zone on both engines. */

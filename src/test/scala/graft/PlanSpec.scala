@@ -74,6 +74,14 @@ class PlanSpec extends SparkSuite {
       s"lag window, running-sum window and groupBy must share ONE user_id shuffle, saw $shuffles:\n" + p.take(3000))
   }
 
+  test("funnel's three windows and the aggregate share one user_id shuffle") {
+    val p = plan(Relational.eventsFunnel(spark, SparkSpec.sfTiny))
+    val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"stacked same-key windows must not re-shuffle, saw $shuffles:\n" + p.take(3000))
+    assert(!p.contains("Join"), "funnel must not join per stage:\n" + p.take(2000))
+  }
+
   test("anti join broadcasts the filtered drop side") {
     val p = plan(Relational.joinAnti(spark, SparkSpec.sfTiny))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
