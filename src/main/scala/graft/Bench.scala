@@ -44,7 +44,8 @@ object Bench {
       "set_union", "join_left_outer", "join_anti", "join_semi",
       "join_asof", "join_range", "agg_stddev", "window_running", "group_pivot",
       "window_lag", "group_grouping_sets", "window_ntile", "join_full_outer", "scalar_datetime",
-      "corpus_stats",
+      "corpus_stats", "corpus_mix", "group_having", "select_distinct", "filter_in_subquery",
+      "window_first_last", "window_percent_rank", "agg_corr", "events_retention",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
       "events_sessionize", "events_funnel",
     ).filter(SparkEntry.queries.contains) ++

@@ -93,6 +93,13 @@ object SparkEntry {
     "group_pivot" -> (Relational.groupPivot _),
     "group_grouping_sets" -> (Relational.groupGroupingSets _),
     "join_full_outer" -> (Relational.joinFullOuter _),
+    "group_having" -> (Relational.groupHaving _),
+    "select_distinct" -> (Relational.selectDistinct _),
+    "filter_in_subquery" -> (Relational.filterInSubquery _),
+    "window_first_last" -> (Relational.windowFirstLast _),
+    "window_percent_rank" -> (Relational.windowPercentRank _),
+    "agg_corr" -> (Relational.aggCorr _),
+    "events_retention" -> (Relational.eventsRetention _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -110,9 +117,11 @@ object SparkEntry {
     "text_normalize" -> (Documents.textNormalize _),
     "text_repetition" -> (Documents.textRepetition _),
     "text_tfidf" -> (Documents.textTfidf _),
+    "text_surprisal" -> (Documents.textSurprisal _),
     "corpus_stats" -> (Documents.corpusStats _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
+    "corpus_mix" -> (Documents.corpusMix _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
     "doc_chunk" -> (Documents.docChunk _),
@@ -410,6 +419,62 @@ object SparkEntry {
         |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
         |       max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "group_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 10000 AND avg(l_discount) > 0.04
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "select_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "filter_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "agg_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covs_qty_disc,
+        |       round(covar_pop(l_quantity, l_discount), 6) AS covp_qty_disc,
+        |       round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+        |FROM lineitem""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT f.cohort, date_diff('day', f.cohort, a.d)::INT AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    "text_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |u AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(-ln(tf::DOUBLE / total)), 4) AS avg_surprisal
+        |FROM toks JOIN u USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ---- LLM-pipeline oracles (dedup_minhash / dedup_simhash /
     // embed_ann_lsh / embed_ann_ivf are rows-only: they depend on
     // Spark-side hash functions or LSH/quantizer internals the oracle
@@ -581,6 +646,13 @@ object SparkEntry {
     "doc_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(text), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(text), 1, 2) <
+        |  CASE lang WHEN 'en' THEN 'c0' WHEN 'de' THEN '80'
+        |            WHEN 'es' THEN '40' WHEN 'fr' THEN '20'
+        |            ELSE '00' END
         |ORDER BY doc_id""".stripMargin,
     "doc_pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents)

@@ -779,4 +779,57 @@ object Documents {
   def textTfidf(spark: SparkSession, dir: String): DataFrame =
     tfidfTop(Tables.load(spark, dir, "documents"))
       .orderBy("doc_id", "rnk")
+
+  /** Unigram language-model surprisal per document — the cheap
+    * perplexity-style quality signal (CCNet's approach, with the
+    * KenLM swapped for the corpus's own unigram distribution): score
+    * every document by the mean negative log-probability of its tokens
+    * under the corpus token frequencies. Gibberish and rare-token soup
+    * score high; repetitive boilerplate scores low — pipelines filter
+    * both tails.
+    *
+    * Shape: one explode → (token) count aggregation builds the unigram
+    * table (the same vocabulary shuffle as TF-IDF — never a
+    * driver-side dictionary), the token stream joins against it
+    * (plain shuffle join; the vocabulary is web-scale-safe), and a
+    * per-doc aggregation folds the log-probs. The corpus total rides
+    * in as a 1-row broadcast. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val unigram = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(unigram, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") / col("total"))), 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisal(Tables.load(spark, dir, "documents"))
+
+  /** Stratified deterministic sampling — the domain-mixing step of
+    * corpus assembly: each stratum (here: language) is downsampled at
+    * its own target rate, so the output corpus hits a prescribed
+    * language/domain mix. Same content-hash filter as [[sampleHash]]
+    * (reproducible on any cluster at any partitioning), with the
+    * stratum's threshold looked up from a broadcast literal map —
+    * still a pure map-side filter, no shuffle, no rand(). Rates are
+    * two-hex-digit cutoffs on md5(text): 'x' keeps x/256 of the
+    * stratum; absent strata are dropped entirely. */
+  def stratifiedSample(docs: DataFrame,
+                       cutoffs: Map[String, String]): DataFrame =
+    docs.filter(substring(md5(col("text").cast("binary")), 1, 2) <
+        coalesce(element_at(typedlit(cutoffs), col("lang")), lit("00")))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Registered query: keep 75% of en, 50% of de, 25% of es, 12.5% of
+    * fr, drop zh — the shape of a real language-rebalancing pass. */
+  val mixCutoffs: Map[String, String] =
+    Map("en" -> "c0", "de" -> "80", "es" -> "40", "fr" -> "20")
+
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.load(spark, dir, "documents"), mixCutoffs)
 }

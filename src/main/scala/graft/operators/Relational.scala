@@ -656,4 +656,102 @@ object Relational {
         (max("us") - min("us")).as("duration_us"))
       .orderBy("user_id", "session_id")
   }
+
+  /** HAVING — post-aggregation predicate, including on an aggregate
+    * (avg discount) that is NOT in the output. Catalyst plans it as a
+    * Filter above the aggregate; the extra aggregate is computed in the
+    * same hash-agg pass, then projected away. */
+  def groupHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        avg("l_discount").as("_avg_disc"))
+      .filter(col("n") > 10000 && col("_avg_disc") > 0.04)
+      .drop("_avg_disc")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** SELECT DISTINCT — plans as a hash aggregate on the projected
+    * columns (partial map-side dedup before the shuffle, so at scale
+    * the shuffle carries distinct values per partition, not rows). */
+  def selectDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** IN (subquery) — the uncorrelated membership predicate. Catalyst
+    * rewrites it to a LEFT SEMI join against the subquery (asserted in
+    * PlanSpec); the filter side never duplicates probe rows however
+    * many matches exist. */
+  def filterInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, Seq("customer", "orders"))
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** FIRST_VALUE / LAST_VALUE / NTH_VALUE — per-customer first, latest
+    * and second order price in date order. The full-partition frame
+    * (unbounded both ways) makes last/nth deterministic; with the
+    * default running frame, last_value degenerates to the current row. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("o_totalprice").over(w).as("first_price"),
+        last("o_totalprice").over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** PERCENT_RANK / CUME_DIST — relative standing of each customer's
+    * balance within its nation. Both are rank-based (no running frame);
+    * the total order (balance, then key) makes the ranks — and thus the
+    * rounded ratios — engine-independent. */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  /** Correlation / covariance — the two-column moment aggregates
+    * (single distributed pass: per-partition co-moments, exact merge —
+    * same shape as stddev, one more accumulator). Columns with modest
+    * magnitudes so the 6-digit rounding is safely inside double
+    * accuracy for a cross-engine hash match. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qty_disc"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qty_disc"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+
+  /** Cohort retention — the product-analytics staple: users grouped by
+    * their first-activity date, counted by how many distinct days out
+    * they came back. Two aggregations: first-day per user (shuffle on
+    * user), then distinct (user, day) activity joined back and counted
+    * per (cohort, offset). The cohort table is one row per user —
+    * broadcast into the activity stream, so the big side shuffles
+    * once for its own distinct and never again. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = events.groupBy("user_id").agg(min("d").as("cohort"))
+    val active = events.distinct()
+    active.join(broadcast(firstDay), "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
 }

@@ -65,6 +65,25 @@ class CorpusSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("unigram surprisal ranks rare-token soup above common prose") {
+    // 10 docs of shared boilerplate make those tokens common; one doc
+    // of singleton tokens must score strictly higher surprisal, and a
+    // hand-computed two-token corpus pins the formula itself.
+    val common = (1L to 10L).map(i => (i, "the cat sat on the mat", "en"))
+    val rare = Seq((11L, "zyx wvu tsr qpo nml kji", "en"))
+    val out = Documents.unigramSurprisal((common ++ rare).toDF("doc_id", "text", "lang"))
+      .select("doc_id", "avg_surprisal").as[(Long, Double)].collect().toMap
+    assert(out(11L) > out(1L),
+      s"rare ${out(11L)} must exceed common ${out(1L)}")
+    // exact value: corpus "a a b" → p(a)=2/3, p(b)=1/3;
+    // doc1 = "a a" → -ln(2/3); doc2 = "b" → -ln(1/3)
+    val tiny = Documents.unigramSurprisal(
+      Seq((1L, "a a", "x"), (2L, "b", "x")).toDF("doc_id", "text", "lang"))
+      .select("doc_id", "avg_surprisal").as[(Long, Double)].collect().toMap
+    assert(math.abs(tiny(1L) - -math.log(2.0 / 3.0)) < 1e-3, tiny.toString)
+    assert(math.abs(tiny(2L) - -math.log(1.0 / 3.0)) < 1e-3, tiny.toString)
+  }
+
   test("decontaminate flags exactly the docs sharing a shingle with the eval set") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "en"),   // contaminated (shares 3-gram with eval)

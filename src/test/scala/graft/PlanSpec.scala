@@ -142,6 +142,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "row multiplication must not shuffle:\n" + p.take(2000))
   }
 
+  test("IN (subquery) rewrites to a left semi join, no row duplication") {
+    val p = plan(Relational.filterInSubquery(spark, SparkSpec.sfTiny))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("retention broadcasts the per-user cohort table into the activity stream") {
+    val p = plan(Relational.eventsRetention(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("connected components truncates lineage every round") {
     import spark.implicits._
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
