@@ -45,4 +45,20 @@ object Layout {
     val r = spark.table(right)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Hive-style partitioned layout (`dir/col=value/part-*.parquet`) —
+    * the other physical-layout lever: a filter on the partition column
+    * becomes directory pruning at PLANNING time, so a per-language (or
+    * per-source, per-date) query over a 100-TB corpus opens only the
+    * matching directories and never lists, let alone reads, the rest.
+    * LayoutSpec asserts the executed plan's `PartitionFilters` carries
+    * the predicate and the data filters list does NOT — pruning, not
+    * row-level filtering. Choose low-cardinality columns: one dir (and
+    * ≥1 file) per value is exactly the small-files trap for
+    * high-cardinality keys. */
+  def writePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

@@ -48,4 +48,24 @@ class LayoutSpec extends SparkSuite {
       .contains("Exchange hashpartitioning"),
       "differing bucket counts cannot co-locate")
   } }
+
+  test("partitioned layout prunes directories at planning time, not rows at scan time") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val dir = "target/layout-spec/docs_by_lang"
+    Layout.writePartitioned(docs, dir, "lang")
+    val filtered = Layout.readPartitioned(spark, dir).filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    def filterList(kind: String): String =
+      s"$kind: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    // the predicate must live in PartitionFilters (directory pruning)...
+    assert(filterList("PartitionFilters").contains("lang"),
+      "lang filter must prune partitions:\n" + plan.take(2000))
+    // ...and NOT in DataFilters/PushedFilters (that would mean
+    // row-level filtering of data that should never have been opened)
+    assert(!filterList("DataFilters").contains("lang") &&
+      !filterList("PushedFilters").contains("lang"),
+      "partition predicate leaked into data filters:\n" + plan.take(2000))
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(filtered.count() === expected)
+  }
 }
