@@ -131,6 +131,7 @@ object SparkEntry {
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
+    "embed_pq" -> (Embeddings.embedPq _),
     "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
     // LLM-pipeline: multimodal binary columns
     "multimodal_pack" -> (Multimodal.multimodalPack _),

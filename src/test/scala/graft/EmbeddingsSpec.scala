@@ -126,6 +126,42 @@ class EmbeddingsSpec extends SparkSuite {
     assert(recallWide >= 0.9, s"wide-band recall $recallWide, found $foundWide")
   }
 
+  test("annPq (PQ pre-filter + exact rerank) recall@10 >= 0.9 vs brute force") {
+    // default m=8 × 16 codewords = 8 bytes/vector (32× compression);
+    // measured 0.94 at sf0.01 via tools.PqProbe — raw PQ ranking alone
+    // reads 0.28 on this structureless corpus, the exact rerank is
+    // what restores the contract.
+    val emb = Tables.load(spark, SparkSpec.sfSmall, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Embeddings.annPq(emb, col("vec_id") < 10, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      truth.count(pq.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"mean recall@10 $recall (per-query ${recalls.toSeq.sorted})")
+  }
+
+  test("pqEncode emits m codes in [0, codebookSize)") {
+    val emb = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .select("vec_id", "embedding")
+    val books = Embeddings.fitPq(emb, m = 8, k = 16)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 8))) // 64 dims / 8 subspaces
+    val codes = Embeddings.pqEncode(emb, books)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(_._2.length === 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
   test("embedQuantize int8 codes reconstruct cosine within 1%") {
     val src = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
       .select("vec_id", "embedding")
