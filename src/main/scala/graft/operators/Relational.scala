@@ -737,6 +737,54 @@ object Relational {
         round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qty_disc"),
         round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
 
+  /** TPC-H Q3 shape (shipping priority): two fact joins, a grouped
+    * revenue aggregate, top-10 by revenue — the canonical "join then
+    * rank" OLAP composite. The date filters push into all three scans;
+    * the final top-k plans as TakeOrderedAndProject over the aggregate,
+    * never a full sort. */
+  def tpchQ3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < ts("1995-03-15 00:00:00"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > ts("1995-03-15 00:00:00"))
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier revenue): the 5-way star —
+    * lineitem×orders×customer×nation×region with the co-nationality
+    * predicate via supplier — grouped by nation. Dims broadcast;
+    * the facts shuffle once each on their join keys. */
+  def tpchQ5Local(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey") &&
+        customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(nation("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   /** Cohort retention — the product-analytics staple: users grouped by
     * their first-activity date, counted by how many distinct days out
     * they came back. Two aggregations: first-day per user (shuffle on
