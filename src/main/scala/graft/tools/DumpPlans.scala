@@ -29,7 +29,12 @@ object DumpPlans {
       "embed_ann_lsh" -> "Hamming pre-filter over 32-byte sketches; exact rerank on survivors",
       "text_repetition" -> "pure map — per-doc mode via codegen mode_count, no hash exchange",
       "doc_chunk" -> "narrow generate: rows multiply, nothing shuffles",
-      "events_sessionize" -> "one user_id exchange shared by both windows and the aggregate")
+      "events_sessionize" -> "one user_id exchange shared by both windows and the aggregate",
+      "tpch_q5_local" -> "5-way star: facts shuffle once each, nation/region broadcast",
+      "filter_in_subquery" -> "IN (subquery) rewritten to a broadcast left semi join",
+      "events_retention" -> "cohort table broadcast into the distinct-activity stream",
+      "text_surprisal" -> "vocabulary join stays a shuffle join — no driver-side dictionary",
+      "embed_pq" -> "corpus pass over 8-byte PQ codes; exact rerank only on top-C survivors")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")

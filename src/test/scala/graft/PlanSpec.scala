@@ -153,6 +153,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("tpch_q3 plans TakeOrderedAndProject over the aggregate; filters pushed") {
+    val p = plan(Relational.tpchQ3Shipping(spark, SparkSpec.sfTiny))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan:\n" + p.take(3000))
+  }
+
+  test("tpch_q5 broadcasts the nation and region dims") {
+    val p = plan(Relational.tpchQ5Local(spark, SparkSpec.sfTiny))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "nation and region must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("connected components truncates lineage every round") {
     import spark.implicits._
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
