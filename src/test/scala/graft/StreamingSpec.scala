@@ -195,6 +195,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed aggregation state survives a checkpoint stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // kill-and-resume is the operational contract of a 100-TB stream:
+    // the window state must come back from the checkpoint, not from
+    // re-reading history the source may no longer hold.
+    val ckpt = new java.io.File("target/streaming-spec/ckpt_recovery")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(ckpt)
+    val stream = MemoryStream[Event]
+    def start(name: String) = EventStream.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    val q1 = start("rec_v1")
+    try {
+      stream.addData(batch1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    stream.addData(batch2) // arrives while the query is down
+    val q2 = start("rec_v2")
+    try {
+      q2.processAllAvailable()
+      val recovered = spark.table("rec_v2")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      val batch = EventStream.windowedCounts((batch1 ++ batch2).toDF())
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(recovered === batch,
+        "restarted query must fold checkpointed state with post-outage data")
+      assert(recovered.map(_._3).sum === 6L, "no event lost or double-counted")
+    } finally q2.stop()
+  }
+
   test("dedupStream drops within-watermark duplicate ids, keeps the rest") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
