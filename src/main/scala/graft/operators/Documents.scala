@@ -760,14 +760,33 @@ object Documents {
     * driver-side dictionary. */
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE corpus-sized shuffle, keyed by doc_id alone: HashPartitioning
+    // (doc_id) satisfies both the (doc_id, tok) aggregation's clustering
+    // requirement (subset rule) and the ranking window's, so the TF
+    // aggregate and the per-doc top-k run in place on the same exchange.
+    // The naive composition paid three 100M+-row exchanges at 4M docs:
+    // (doc_id, tok) for TF, tok for the vocabulary sort-merge join,
+    // doc_id again for the window.
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // document frequency from its own scan (explode of per-doc DISTINCT
+    // tokens → map-side-combined vocab-sized aggregate) rather than
+    // from `tf` — deriving it from tf would execute the corpus shuffle
+    // twice, once per consumer of the uncached subtree.
+    val dfreq = graft.Caches.persist(docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df")))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // vocabulary joins map-side when its measured size fits (Heaps'
+    // law; same decision as unigramSurprisal), shuffle join otherwise
+    val joined =
+      if (dfreq.count() * 32L < 64L * 1024 * 1024) tf.join(broadcast(dfreq), "tok")
+      else tf.join(dfreq, "tok")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    tf.join(dfreq, "tok")
+    joined
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rnk", row_number().over(w))

@@ -153,6 +153,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("tfidf's TF aggregate and ranking window share ONE doc_id exchange") {
+    val df = graft.operators.Documents.textTfidf(spark, SparkSpec.sfTiny)
+    val p = plan(df)
+    val docShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(docShuffles == 1,
+      s"TF agg + window must reuse the single doc_id repartition, saw $docShuffles:\n" + p.take(3000))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("tpch_q3 plans TakeOrderedAndProject over the aggregate; filters pushed") {
     val p = plan(Relational.tpchQ3Shipping(spark, SparkSpec.sfTiny))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
