@@ -102,6 +102,7 @@ object SparkEntry {
     "events_retention" -> (Relational.eventsRetention _),
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
+    "events_anomaly" -> (Relational.eventsAnomaly _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -124,6 +125,7 @@ object SparkEntry {
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
     "corpus_mix" -> (Documents.corpusMix _),
+    "corpus_trim" -> (Documents.corpusTrim _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
     "doc_chunk" -> (Documents.docChunk _),
@@ -672,6 +674,22 @@ object SparkEntry {
     "doc_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(text), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+    "events_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, round(value, 4) AS value,
+        |       round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+        |ORDER BY event_id""".stripMargin,
+    "corpus_trim" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.1) AS lo,
+        |             quantile_cont(n_tokens, 0.99) AS hi FROM d)
+        |SELECT doc_id, lang, n_tokens FROM d CROSS JOIN b
+        |WHERE n_tokens >= lo AND n_tokens <= hi
         |ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
       """SELECT doc_id, lang, source FROM documents

@@ -870,4 +870,26 @@ object Documents {
 
   def corpusMix(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.load(spark, dir, "documents"), mixCutoffs)
+
+  /** Percentile-based length trimming — the tail cut every curation
+    * pass applies (fragments below the low percentile and outliers
+    * above the high one are both training poison). The percentile pair
+    * is ONE tiny aggregate broadcast back over the corpus — the corpus
+    * itself stays a map-side filter, no window over all rows. Exact
+    * percentile for oracle parity; a 100-TB run swaps in
+    * approx_percentile (same plan shape, bounded memory). */
+  def trimByLength(docs: DataFrame, pLow: Double = 0.1, pHigh: Double = 0.99): DataFrame = {
+    val sized = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bounds = sized.agg(
+      expr(s"percentile(n_tokens, $pLow)").as("lo"),
+      expr(s"percentile(n_tokens, $pHigh)").as("hi"))
+    sized.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  def corpusTrim(spark: SparkSession, dir: String): DataFrame =
+    trimByLength(Tables.load(spark, dir, "documents"))
 }

@@ -785,6 +785,24 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Per-type z-score outliers — the monitoring staple: events whose
+    * value sits more than 3 sample standard deviations from their
+    * type's mean. Two passes in one plan: a tiny per-type moment
+    * aggregate (broadcast back) and a map-side filter over the stream —
+    * no window over all events, so the corpus never sorts. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    events.join(broadcast(stats), "event_type")
+      .filter(col("sigma") > 0 && abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Cohort retention — the product-analytics staple: users grouped by
     * their first-activity date, counted by how many distinct days out
     * they came back. Two aggregations: first-day per user (shuffle on
