@@ -775,15 +775,13 @@ object Documents {
     // tokens → map-side-combined vocab-sized aggregate) rather than
     // from `tf` — deriving it from tf would execute the corpus shuffle
     // twice, once per consumer of the uncached subtree.
-    val dfreq = graft.Caches.persist(docs
+    val dfreq = docs
       .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df")))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // vocabulary joins map-side when its measured size fits (Heaps'
     // law; same decision as unigramSurprisal), shuffle join otherwise
-    val joined =
-      if (dfreq.count() * 32L < 64L * 1024 * 1024) tf.join(broadcast(dfreq), "tok")
-      else tf.join(dfreq, "tok")
+    val joined = Ops.joinBroadcastIfFits(tf, dfreq, "tok", bytesPerRow = 32L)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
     joined
@@ -819,24 +817,18 @@ object Documents {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("t"))
     // the unigram table is tiny relative to the token stream (Heaps'
-    // law: |vocab| ~ O(n^0.6)) — persist it so the size probe below
-    // doesn't re-aggregate the corpus, and derive the grand total from
-    // it instead of a third corpus scan
+    // law: |vocab| ~ O(n^0.6)); the grand total derives from it
+    // instead of a third corpus scan. Broadcasting the vocabulary
+    // (when it fits — [[Ops.joinBroadcastIfFits]]) is THE shape
+    // decision: it deletes both corpus-sized shuffles — tokens join
+    // map-side in scan order, so the per-doc partial aggregate
+    // compresses each partition to its own doc_ids before the only
+    // shuffle. The sort-merge fallback (measured: 165 s at 4M docs vs
+    // 24 s broadcast — two 160M-row spilling shuffles) stays for
+    // web-scale vocabularies.
     val unigram = graft.Caches.persist(toks.groupBy("t").agg(count(lit(1)).as("tf")))
     val total = unigram.agg(sum("tf").cast("long").as("total"))
-    // Broadcasting the vocabulary (when it fits) is THE shape decision:
-    // it deletes both corpus-sized shuffles — tokens join map-side in
-    // scan order, so the per-doc partial aggregate compresses each
-    // partition to its own doc_ids before the only shuffle. The
-    // sort-merge fallback (measured: 165 s at 4M docs vs 40 s
-    // broadcast — two 160M-row spilling shuffles) stays for
-    // web-scale vocabularies; AQE does not make this conversion on
-    // its own here, so the operator decides from the vocabulary's
-    // measured row count.
-    val joined =
-      if (unigram.count() * 24L < 64L * 1024 * 1024) toks.join(broadcast(unigram), "t")
-      else toks.join(unigram, "t")
-    joined
+    Ops.joinBroadcastIfFits(toks, unigram, "t", bytesPerRow = 24L)
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -495,4 +495,21 @@ object Embeddings {
     * spec-asserted. */
   def embedPq(spark: SparkSession, dir: String): DataFrame =
     annPq(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
+
+  /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
+    * top-k frames). Driver-side collect — a measurement utility for
+    * the quality specs and `tools.PqProbe`, shared so the bar-setting
+    * probe and the enforcing spec are the same computation. */
+  def recallAt(exact: DataFrame, approx: DataFrame): Double = {
+    def byQuery(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = byQuery(exact)
+    val got = byQuery(approx)
+    val recalls = truth.map { case (q, t) =>
+      t.count(got.getOrElse(q, Set.empty).contains).toDouble / t.size
+    }
+    recalls.sum / recalls.size
+  }
 }

@@ -815,7 +815,10 @@ object Relational {
       .select(col("user_id"), to_date(col("ts")).as("d"))
     val firstDay = events.groupBy("user_id").agg(min("d").as("cohort"))
     val active = events.distinct()
-    active.join(broadcast(firstDay), "user_id")
+    // cohort table is one row per DISTINCT USER — unbounded at scale,
+    // so the broadcast is a measured-size decision with a shuffle-join
+    // fallback, not an unconditional hint
+    Ops.joinBroadcastIfFits(active, firstDay, "user_id", bytesPerRow = 24L)
       .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("cohort", "day_offset")

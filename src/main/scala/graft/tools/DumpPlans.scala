@@ -33,7 +33,7 @@ object DumpPlans {
       "tpch_q5_local" -> "5-way star: facts shuffle once each, nation/region broadcast",
       "filter_in_subquery" -> "IN (subquery) rewritten to a broadcast left semi join",
       "events_retention" -> "cohort table broadcast into the distinct-activity stream",
-      "text_surprisal" -> "vocabulary join stays a shuffle join — no driver-side dictionary",
+      "text_surprisal" -> "vocabulary broadcasts when its measured size fits; shuffle-join fallback for web-scale vocabularies",
       "embed_pq" -> "corpus pass over 8-byte PQ codes; exact rerank only on top-C survivors")
 
     val sb = new StringBuilder

@@ -17,17 +17,12 @@ object PqProbe {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val exact = Embeddings.knnBrute(emb, queries, k = 10)
-      .select("q_id", "vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     for (m <- Seq(8, 16); k <- Seq(16, 64)) {
       val t0 = System.nanoTime()
-      val pq = Embeddings.annPq(emb, col("vec_id") < 10, k = 10, m = m, codebookSize = k)
-        .select("q_id", "vec_id").as[(Long, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val recalls = exact.map { case (q, truth) =>
-        truth.count(pq.getOrElse(q, Set.empty).contains).toDouble / truth.size }
+      val recall = Embeddings.recallAt(exact,
+        Embeddings.annPq(emb, col("vec_id") < 10, k = 10, m = m, codebookSize = k))
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"[pqprobe] m=$m k=$k recall@10=${recalls.sum / recalls.size}%.3f t=$t%.1fs")
+      println(f"[pqprobe] m=$m k=$k recall@10=$recall%.3f t=$t%.1fs")
     }
     spark.stop()
   }

@@ -135,17 +135,11 @@ class EmbeddingsSpec extends SparkSuite {
       .select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val exact = Embeddings.knnBrute(emb, queries, k = 10)
-      .select("q_id", "vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val pq = Embeddings.annPq(emb, col("vec_id") < 10, k = 10)
-      .select("q_id", "vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.map { case (q, truth) =>
-      truth.count(pq.getOrElse(q, Set.empty).contains).toDouble / truth.size
-    }
-    val recall = recalls.sum / recalls.size
-    assert(recall >= 0.9, s"mean recall@10 $recall (per-query ${recalls.toSeq.sorted})")
+    // recallAt is the SAME computation tools.PqProbe used to set this bar
+    val recall = Embeddings.recallAt(
+      Embeddings.knnBrute(emb, queries, k = 10),
+      Embeddings.annPq(emb, col("vec_id") < 10, k = 10))
+    assert(recall >= 0.9, s"mean recall@10 $recall")
   }
 
   test("pqEncode emits m codes in [0, codebookSize)") {
