@@ -111,6 +111,7 @@ object SparkEntry {
     "dedup_simhash" -> (Documents.dedupSimhash _),
     "dedup_clusters" -> (Documents.dedupClusters _),
     "dedup_cluster_keep" -> (Documents.dedupClusterKeep _),
+    "dedup_incremental" -> (Documents.dedupIncrementalQ _),
     // LLM-pipeline: text analysis / fingerprinting
     "doc_fingerprint" -> (Documents.docFingerprint _),
     "text_stats" -> (Documents.textStats _),
@@ -550,6 +551,20 @@ object SparkEntry {
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
         |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s
+        |      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |      GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |       round(common::DOUBLE / (n1.n + n2.n - common), 4) AS jaccard
+        |FROM p JOIN n n1 ON new_id = n1.doc_id JOIN n n2 ON corpus_id = n2.doc_id
+        |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "dedup_cluster_keep" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -153,6 +153,51 @@ object Documents {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
+  /** INCREMENTAL near-dup: new-batch documents that near-duplicate any
+    * EXISTING corpus document — the shape production pipelines actually
+    * run (each ingest batch probes the standing corpus index; the
+    * corpus is never re-self-joined). Cost per batch is
+    * |batch shingles| + the collision volume against the index — the
+    * full-corpus pass is paid once, not per ingest.
+    *
+    * Same inverted-index mechanics as [[jaccardPairs]], but the bucket
+    * join is new×corpus only: new-batch shingles join the
+    * shingle-partitioned corpus index, so no corpus-corpus (or
+    * new-new) pair is ever generated. Per-doc set sizes join via the
+    * measured-size broadcast decision (the corpus side is one row per
+    * document — unbounded at scale). */
+  def dedupIncremental(corpus: DataFrame, newDocs: DataFrame,
+                       threshold: Double): DataFrame = {
+    def sh(d: DataFrame, side: String): DataFrame = shingleArray(d)
+      .select(col("doc_id").as(side), explode(col("sh")).as("s_raw"))
+      .select(col(side), xxhash64(col("s_raw")).as("s"))
+    def sizes(d: DataFrame, side: String, n: String): DataFrame =
+      shingleArray(d).select(col("doc_id").as(side), size(col("sh")).as(n))
+        .filter(col(n) > 0)
+    val index = sh(corpus, "corpus_id").repartition(col("s")) // the standing index
+    val common = sh(newDocs, "new_id").join(index, "s")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("common"))
+    val scored = Ops.joinBroadcastIfFits(
+      Ops.joinBroadcastIfFits(common, sizes(newDocs, "new_id", "nn"), "new_id", 16L),
+      sizes(corpus, "corpus_id", "nc"), "corpus_id", 16L)
+    scored
+      .select(col("new_id"), col("corpus_id"),
+        round(col("common").cast("double") /
+          (col("nn") + col("nc") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Registered query: docs with doc_id ≡ 7 (mod 10) play the incoming
+    * batch, the rest the standing corpus. */
+  def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dedupIncremental(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 7),
+      threshold = 0.6)
+  }
+
   /** The dedup DECISION: which documents survive. Greedy-by-id — a doc
     * is dropped iff it is a near-duplicate of some earlier (lower-id)
     * doc, i.e. iff it appears as `d2` in the ordered pair list. This

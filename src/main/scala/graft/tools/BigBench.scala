@@ -120,7 +120,8 @@ object BigBenchLlm {
       "embed_knn", "text_langid", "text_stats", "doc_fingerprint",
       "text_quality", "doc_sample_hash", "doc_pack_sequences", "doc_decontaminate",
       "dedup_clusters", "text_normalize", "text_repetition", "doc_chunk", "text_tfidf",
-      "corpus_stats", "dedup_cluster_keep", "text_surprisal", "corpus_mix", "embed_pq")
+      "corpus_stats", "dedup_cluster_keep", "text_surprisal", "corpus_mix", "embed_pq",
+      "dedup_incremental")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

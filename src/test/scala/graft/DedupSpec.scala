@@ -128,6 +128,25 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("incremental dedup flags only new-vs-corpus near-dups, never corpus-corpus pairs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (2L, "one two three four five six seven eight", "en"),
+      // corpus-internal near-dup pair — must NOT appear in the output
+      (3L, "red orange yellow green blue indigo violet pink", "en"),
+      (4L, "red orange yellow green blue indigo violet black", "en"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      // near-dup of corpus doc 1 (one token changed)
+      (100L, "alpha beta gamma delta epsilon zeta eta iota", "en"),
+      // fresh content — must pass clean
+      (101L, "completely novel words appearing nowhere else at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val found = Documents.dedupIncremental(corpus, batch, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(found === Set((100L, 1L)), s"got $found")
+  }
+
   test("langId predicts constructed texts") {
     val samples = Seq(
       ("the cat and the dog of the house is with us", "en"),
