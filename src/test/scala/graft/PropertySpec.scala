@@ -74,6 +74,48 @@ class PropertySpec extends SparkSuite {
     }, n = 4)
   }
 
+  test("length trim keeps exactly the docs inside the percentile bounds") {
+    val word = Gen.oneOf("x", "y", "z")
+    val doc = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.nonEmptyListOf(doc).map(_.take(40))
+    check(Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+      val lens = docs.map(_._2.split(" ").length.toLong).sorted
+      // replay DuckDB/Spark's shared linear-interpolation percentile
+      def pct(p: Double): Double = {
+        val idx = p * (lens.size - 1)
+        val lo = lens(idx.toInt)
+        val hi = lens(math.min(idx.toInt + 1, lens.size - 1))
+        lo + (idx - idx.toInt) * (hi - lo)
+      }
+      val (lo, hi) = (pct(0.1), pct(0.99))
+      val expect = docs.filter { case (_, t, _) =>
+        val n = t.split(" ").length; n >= lo && n <= hi
+      }.map(_._1).toSet
+      val got = graft.operators.Documents
+        .trimByLength(docs.toDF("doc_id", "text", "lang"))
+        .select("doc_id").as[Long].collect().toSet
+      got == expect
+    }, n = 4)
+  }
+
+  test("stratified sample is a deterministic, partition-invariant subset honoring absent strata") {
+    val langs = Gen.oneOf("en", "de", "xx")
+    val doc = Gen.zip(Gen.chooseNum(0L, 500L), Gen.alphaStr.map(_.take(12)), langs)
+    val corpus = Gen.nonEmptyListOf(doc).map(_.distinctBy(_._1).take(60))
+    check(Prop.forAll(corpus) { ds =>
+      val df = ds.toDF("doc_id", "text", "source").withColumn("lang", col("source"))
+        .select("doc_id", "text", "lang").withColumn("source", lit("s"))
+      val cut = Map("en" -> "80", "de" -> "40") // xx absent → dropped
+      val a = graft.operators.Documents.stratifiedSample(df, cut)
+        .select("doc_id").as[Long].collect().toSet
+      val b = graft.operators.Documents.stratifiedSample(df.repartition(7), cut)
+        .select("doc_id").as[Long].collect().toSet
+      val xxIds = ds.filter(_._3 == "xx").map(_._1).toSet
+      a == b && a.subsetOf(ds.map(_._1).toSet) && a.intersect(xxIds).isEmpty
+    }, n = 4)
+  }
+
   test("connected components agrees with local union-find on random graphs") {
     val edges = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
       .map(_.take(40).filter { case (a, b) => a != b })
