@@ -127,6 +127,7 @@ object SparkEntry {
     "doc_sample_hash" -> (Documents.docSampleHash _),
     "corpus_mix" -> (Documents.corpusMix _),
     "corpus_trim" -> (Documents.corpusTrim _),
+    "doc_split" -> (Documents.docSplit _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
     "doc_chunk" -> (Documents.docChunk _),
@@ -698,6 +699,12 @@ object SparkEntry {
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
         |ORDER BY event_id""".stripMargin,
+    "doc_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_trim" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
         |           FROM documents),

@@ -929,4 +929,21 @@ object Documents {
 
   def corpusTrim(spark: SparkSession, dir: String): DataFrame =
     trimByLength(Tables.load(spark, dir, "documents"))
+
+  /** Deterministic train/validation/test assignment — the reproducible
+    * split every training run needs: content-keyed (re-ingested
+    * duplicates land in the SAME split, so no eval example ever leaks
+    * into train via a copy), partition-invariant, cluster-invariant.
+    * Same md5-prefix mechanism as [[sampleHash]]; 'cc' ≈ 80% train,
+    * 'e6' ≈ next 10% val, rest test. Pure projection. */
+  def splitAssign(docs: DataFrame,
+                  trainBelow: String = "cc", valBelow: String = "e6"): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      when(substring(md5(col("text").cast("binary")), 1, 2) < trainBelow, "train")
+        .when(substring(md5(col("text").cast("binary")), 1, 2) < valBelow, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  def docSplit(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.load(spark, dir, "documents"))
 }
