@@ -153,6 +153,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("rank-filter top-k plans WindowGroupLimit (partial per-group limit before the shuffle)") {
+    // Catalyst rewrites `row_number().over(w) <= k` into
+    // WindowGroupLimit: each map task keeps only k rows per group
+    // (bounded heap) BEFORE the exchange, so a per-group top-k over
+    // 100 TB shuffles k·|groups| rows, not the corpus. Guard it for
+    // the ranked family — losing this rewrite (e.g. by aliasing the
+    // rank column through a non-deterministic expression) is a silent
+    // full-sort regression.
+    val rankShapes = Seq(
+      "window_rank" -> Relational.windowRank(spark, SparkSpec.sfTiny),
+      "text_tokens" -> graft.operators.Documents.textTokens(spark, SparkSpec.sfTiny))
+    rankShapes.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name must plan a partial per-group limit:\n" + p.take(2000))
+    }
+  }
+
   test("tfidf's TF aggregate and ranking window share ONE doc_id exchange") {
     val df = graft.operators.Documents.textTfidf(spark, SparkSpec.sfTiny)
     val p = plan(df)
