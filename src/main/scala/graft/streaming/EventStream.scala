@@ -50,6 +50,49 @@ object EventStream {
       }
   }
 
+  case class ClosedSession(user_id: Long, n_events: Long,
+                           total_value: Double, last_ts: Timestamp)
+
+  /** Session-CLOSE alerts via `flatMapGroupsWithState` + event-time
+    * timeout — the stateful shape [[sessionizedStream]] can't express:
+    * emit NOTHING while a session is live, exactly one summary row the
+    * moment the watermark passes its timeout. This is the
+    * alerting/compaction pattern (emit a record when a user goes
+    * quiet, flush a buffer when an upload stream ends). State carries
+    * one running summary per live user; the timeout is event-time, so
+    * it advances with the data (reprocessing history fires the same
+    * closes), not the wall clock. */
+  def sessionCloseAlerts(events: Dataset[Event], gapMinutes: Long = 30,
+                         watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMillis = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClosedSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[ClosedSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_ts + gap: the session is closed —
+            // emit its summary once and drop the state
+            val closed = state.get
+            state.remove()
+            Iterator(closed)
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption.getOrElse(ClosedSession(user, 0L, 0.0, null))
+            val last = events.map(_.ts).maxBy(_.getTime)
+            val next = ClosedSession(user,
+              prev.n_events + events.size,
+              prev.total_value + events.map(_.value).sum,
+              if (prev.last_ts == null || last.after(prev.last_ts)) last else prev.last_ts)
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts.getTime + gapMillis)
+            Iterator.empty // live sessions emit nothing
+          }
+      }
+  }
+
   /** Gap-based streaming sessionization via the native
     * `session_window`: a user's session stays open while events keep
     * arriving within `gap` of the last one and closes (gets emitted,

@@ -195,6 +195,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionCloseAlerts emits exactly one summary per session, only after the gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionCloseAlerts(stream.toDS())
+      .writeStream.format("memory").queryName("close_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: two events 10 min apart — one session, still live
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0)))
+      q.processAllAvailable()
+      assert(spark.table("close_test").count() === 0,
+        "live session must emit nothing")
+      // advance the watermark (2h lateness) far past 10:40 = last_ts+gap:
+      // 13:00 - 2h = 11:00 watermark > 10:40 timeout → session closes
+      stream.addData(Seq(Event(3, ts("2024-01-01 13:00:00"), 2, "view", 9.0)))
+      q.processAllAvailable()
+      // timeout fires on the NEXT batch after the watermark moves
+      stream.addData(Seq(Event(4, ts("2024-01-01 13:01:00"), 2, "view", 1.0)))
+      q.processAllAvailable()
+      val closed = spark.table("close_test")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(closed === Seq((1L, 2L, 3.0)), s"got $closed")
+    } finally q.stop()
+  }
+
   test("windowed aggregation state survives a checkpoint stop/restart") {
     implicit val sqlCtx = spark.sqlContext
     // kill-and-resume is the operational contract of a 100-TB stream:
