@@ -168,14 +168,16 @@ object Documents {
     * document — unbounded at scale). */
   def dedupIncremental(corpus: DataFrame, newDocs: DataFrame,
                        threshold: Double): DataFrame = {
-    def sh(d: DataFrame, side: String): DataFrame = shingleArray(d)
-      .select(col("doc_id").as(side), explode(col("sh")).as("s_raw"))
-      .select(col(side), xxhash64(col("s_raw")).as("s"))
     def sizes(d: DataFrame, side: String, n: String): DataFrame =
       shingleArray(d).select(col("doc_id").as(side), size(col("sh")).as(n))
         .filter(col(n) > 0)
-    val index = sh(corpus, "corpus_id").repartition(col("s")) // the standing index
-    val common = sh(newDocs, "new_id").join(index, "s")
+    // both sides through the shared hashed-inverted-index helper (the
+    // 8-byte-key rule lives in one place); its repartition makes the
+    // corpus side the standing s-partitioned index and co-partitions
+    // the batch side into the join
+    val index = shingles(corpus).withColumnRenamed("doc_id", "corpus_id")
+    val common = shingles(newDocs).withColumnRenamed("doc_id", "new_id")
+      .join(index, "s")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("common"))
     val scored = Ops.joinBroadcastIfFits(
       Ops.joinBroadcastIfFits(common, sizes(newDocs, "new_id", "nn"), "new_id", 16L),
@@ -871,7 +873,9 @@ object Documents {
     // shuffle. The sort-merge fallback (measured: 165 s at 4M docs vs
     // 24 s broadcast — two 160M-row spilling shuffles) stays for
     // web-scale vocabularies.
-    val unigram = graft.Caches.persist(toks.groupBy("t").agg(count(lit(1)).as("tf")))
+    // joinBroadcastIfFits persists the small side itself (registry-
+    // deduplicated), so `total` below reads the same cached frame
+    val unigram = toks.groupBy("t").agg(count(lit(1)).as("tf"))
     val total = unigram.agg(sum("tf").cast("long").as("total"))
     Ops.joinBroadcastIfFits(toks, unigram, "t", bytesPerRow = 24L)
       .crossJoin(broadcast(total))

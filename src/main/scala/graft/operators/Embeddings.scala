@@ -506,6 +506,7 @@ object Embeddings {
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val truth = byQuery(exact)
+    require(truth.nonEmpty, "recallAt: exact result is empty — nothing to compare")
     val got = byQuery(approx)
     val recalls = truth.map { case (q, t) =>
       t.count(got.getOrElse(q, Set.empty).contains).toDouble / t.size

@@ -55,13 +55,20 @@ object EventStream {
 
   /** Session-CLOSE alerts via `flatMapGroupsWithState` + event-time
     * timeout — the stateful shape [[sessionizedStream]] can't express:
-    * emit NOTHING while a session is live, exactly one summary row the
-    * moment the watermark passes its timeout. This is the
-    * alerting/compaction pattern (emit a record when a user goes
-    * quiet, flush a buffer when an upload stream ends). State carries
-    * one running summary per live user; the timeout is event-time, so
-    * it advances with the data (reprocessing history fires the same
-    * closes), not the wall clock. */
+    * emit NOTHING while a session is live, exactly one summary row per
+    * session once it closes. A session closes two ways, and BOTH must
+    * enforce the gap or boundaries become batch-slicing-dependent:
+    *  - timeout path: the watermark passes last_ts + gap with no new
+    *    data for the key — Spark invokes the function with
+    *    `hasTimedOut` and no rows;
+    *  - data path: a later event for the key arrives already more
+    *    than `gap` past the carried session's last event (possible
+    *    within one batch, or whenever a batch reaches the key before
+    *    its timeout fires) — the carried session is emitted closed
+    *    and a new one opens. A single-batch backfill of full history
+    *    therefore fires the same closes as the live stream.
+    * The timeout is event-time, so reprocessing history is
+    * deterministic; state carries one open session per user. */
   def sessionCloseAlerts(events: Dataset[Event], gapMinutes: Long = 30,
                          watermark: String = "2 hours"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -73,22 +80,28 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, batch: Iterator[Event], state: GroupState[ClosedSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed last_ts + gap: the session is closed —
-            // emit its summary once and drop the state
             val closed = state.get
             state.remove()
             Iterator(closed)
           } else {
-            val events = batch.toSeq
-            val prev = state.getOption.getOrElse(ClosedSession(user, 0L, 0.0, null))
-            val last = events.map(_.ts).maxBy(_.getTime)
-            val next = ClosedSession(user,
-              prev.n_events + events.size,
-              prev.total_value + events.map(_.value).sum,
-              if (prev.last_ts == null || last.after(prev.last_ts)) last else prev.last_ts)
-            state.update(next)
-            state.setTimeoutTimestamp(next.last_ts.getTime + gapMillis)
-            Iterator.empty // live sessions emit nothing
+            // fold the batch in event-time order, closing on every gap
+            val rows = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            rows.foreach { e =>
+              if (open != null && e.ts.getTime - open.last_ts.getTime > gapMillis) {
+                closed += open
+                open = null
+              }
+              open =
+                if (open == null) ClosedSession(user, 1L, e.value, e.ts)
+                else ClosedSession(user, open.n_events + 1,
+                  open.total_value + e.value,
+                  if (e.ts.after(open.last_ts)) e.ts else open.last_ts)
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.last_ts.getTime + gapMillis)
+            closed.result().iterator // only sessions CLOSED by a gap emit
           }
       }
   }

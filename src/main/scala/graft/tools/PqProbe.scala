@@ -16,7 +16,11 @@ object PqProbe {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+    // materialize the brute-force truth ONCE, outside the timed loop —
+    // recallAt collects its inputs, and an uncached plan would re-run
+    // the exact search inside every (m, k) timing
+    val exact = Embeddings.knnBrute(emb, queries, k = 10).cache()
+    exact.count()
     for (m <- Seq(8, 16); k <- Seq(16, 64)) {
       val t0 = System.nanoTime()
       val recall = Embeddings.recallAt(exact,
@@ -24,6 +28,7 @@ object PqProbe {
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[pqprobe] m=$m k=$k recall@10=$recall%.3f t=$t%.1fs")
     }
+    exact.unpersist()
     spark.stop()
   }
 }

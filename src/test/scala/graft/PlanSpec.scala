@@ -59,7 +59,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("InMemoryTableScan"), p.take(3000))
     val scans = "InMemoryTableScan".r.findAllIn(p).length
     assert(scans >= 2, s"expected both join sides to read the cache, saw $scans:\n" + p.take(3000))
-    spark.sharedState.cacheManager.clearCache()
+    Caches.release(spark) // scoped: drops the signature cache AND its registry entry
   }
 
   test("brute-force kNN broadcasts the query set, not the corpus") {
@@ -177,7 +177,7 @@ class PlanSpec extends SparkSuite {
     val docShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
     assert(docShuffles == 1,
       s"TF agg + window must reuse the single doc_id repartition, saw $docShuffles:\n" + p.take(3000))
-    spark.sharedState.cacheManager.clearCache()
+    Caches.release(spark) // scoped: drops dfreq AND its registry entry
   }
 
   test("tpch_q3 plans TakeOrderedAndProject over the aggregate; filters pushed") {

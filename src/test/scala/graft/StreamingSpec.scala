@@ -224,6 +224,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionCloseAlerts splits on the gap WITHIN a batch (backfill determinism)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionCloseAlerts(stream.toDS())
+      .writeStream.format("memory").queryName("close_batch_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // one batch replays a user's full history: two sessions separated
+      // by 3 hours — the first must close on the DATA path, not wait
+      // for (or worse, merge past) the event-time timeout
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+        Event(3, ts("2024-01-01 13:00:00"), 1, "view", 5.0)))
+      q.processAllAvailable()
+      val closed = spark.table("close_batch_test")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(closed === Seq((1L, 2L, 3.0)),
+        s"first session must close mid-batch, second stay open: $closed")
+    } finally q.stop()
+  }
+
   test("windowed aggregation state survives a checkpoint stop/restart") {
     implicit val sqlCtx = spark.sqlContext
     // kill-and-resume is the operational contract of a 100-TB stream:
