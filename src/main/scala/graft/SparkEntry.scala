@@ -103,6 +103,8 @@ object SparkEntry {
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
+    "filter_null_safe" -> (Relational.filterNullSafe _),
+    "scalar_string" -> (Relational.scalarString _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
@@ -691,6 +693,28 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(text), 1, 2) < '1a'
         |ORDER BY doc_id""".stripMargin,
+    "filter_null_safe" ->
+      """WITH big AS (SELECT o_custkey, max(o_totalprice) AS best_price
+        |             FROM orders WHERE o_totalprice > 450000.0 GROUP BY 1)
+        |SELECT c_custkey,
+        |       best_price = 500000.0 AS eq_cmp,
+        |       best_price IS NOT DISTINCT FROM NULL AS nullsafe_to_null,
+        |       best_price IS NULL AS is_null,
+        |       coalesce(best_price, 0.0) AS price_or_zero
+        |FROM customer LEFT JOIN big ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "scalar_string" ->
+      """SELECT c_custkey,
+        |       lpad(c_name, 25, '*') AS padded,
+        |       split_part(c_name, '#', 2) AS name_num,
+        |       translate(c_name, '#0', '-x') AS translated,
+        |       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2, 100)) AS segment_cap,
+        |       reverse(c_name) AS reversed,
+        |       levenshtein(c_name, c_mktsegment)::INT AS edit_dist,
+        |       CASE WHEN position('#' IN c_name) IS NULL THEN 0
+        |            ELSE position('#' IN c_name) END::INT AS hash_pos
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin,
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |           FROM events GROUP BY 1)

@@ -785,6 +785,46 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Null-safe comparison semantics — SQL's three-valued logic made
+    * explicit: a LEFT join manufactures NULLs, then the projection
+    * contrasts `=` (NULL-poisoned), `<=>` (null-safe, NULL = NULL is
+    * true), IS NULL, and coalesce. The reference has no NULL concept
+    * at all (SURVEY §1.2: empty dates throw); this query pins the
+    * standard-SQL semantics this engine adopts instead. */
+  def filterNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+    val big = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .groupBy("o_custkey").agg(max("o_totalprice").as("best_price"))
+    customer.join(big, customer("c_custkey") === big("o_custkey"), "left")
+      .select(col("c_custkey"),
+        (col("best_price") === 500000.0).as("eq_cmp"), // NULL where no match
+        (col("best_price") <=> lit(null)).as("nullsafe_to_null"), // true iff best_price IS NULL
+        col("best_price").isNull.as("is_null"),
+        coalesce(col("best_price"), lit(0.0)).as("price_or_zero"))
+      .orderBy("c_custkey")
+  }
+
+  /** String-function battery beyond [[scalarFuncs]] — the rest of the
+    * everyday text surface: pad/trim, split_part, translate, initcap,
+    * reverse, edit distance, position. All Catalyst built-ins with
+    * DuckDB twins, so the whole battery is one oracle row set. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        expr("split_part(c_name, '#', 2)").as("name_num"),
+        translate(col("c_name"), "#0", "-x").as("translated"),
+        // hand-rolled initcap (DuckDB has no initcap builtin): both
+        // engines run the identical upper-head + lower-tail concat
+        concat(upper(substring(col("c_mktsegment"), 1, 1)),
+          lower(substring(col("c_mktsegment"), 2, 100))).as("segment_cap"),
+        reverse(col("c_name")).as("reversed"),
+        levenshtein(col("c_name"), col("c_mktsegment")).as("edit_dist"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"))
+      .orderBy("c_custkey")
+
   /** Per-type z-score outliers — the monitoring staple: events whose
     * value sits more than 3 sample standard deviations from their
     * type's mean. Two passes in one plan: a tiny per-type moment

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.io.File
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Physical-layout management for co-located joins — the lever that
@@ -61,4 +63,26 @@ object Layout {
 
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Small-files compaction — the lake-maintenance pass every
+    * streaming/incremental ingest needs: thousands of tiny part files
+    * (one per micro-batch per partition) degrade scans (footer reads,
+    * scheduling overhead, no vectorized run length) until someone
+    * rewrites them at a sane target size. Rewrites `srcDir` into
+    * `destDir` with ⌈bytes / targetBytes⌉ files via a coalesce — a
+    * NARROW dependency (no shuffle): each output file concatenates
+    * whole input files, so the rewrite moves every byte exactly once.
+    * Returns the output file count. Compact into a NEW directory then
+    * swap — an in-place overwrite that fails mid-write loses data. */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val src = new File(srcDir)
+    val totalBytes = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(destDir)
+    Option(new File(destDir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
 }

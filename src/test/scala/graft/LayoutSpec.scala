@@ -49,6 +49,25 @@ class LayoutSpec extends SparkSuite {
       "differing bucket counts cannot co-locate")
   } }
 
+  test("compaction rewrites a many-small-files directory without shuffling") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val frag = "target/layout-spec/fragmented"
+    val compacted = "target/layout-spec/compacted"
+    docs.repartition(37).write.mode("overwrite").parquet(frag) // simulate micro-batch litter
+    val fragFiles = Option(new java.io.File(frag).listFiles()).get
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles === 37)
+    // generous target so everything fits one file at sfTiny
+    val outFiles = Layout.compact(spark, frag, compacted)
+    assert(outFiles === 1, s"expected 1 compacted file, got $outFiles")
+    // narrow rewrite: the plan must contain no Exchange
+    val plan = spark.read.parquet(frag).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "compaction must not shuffle:\n" + plan)
+    // and no row was lost or duplicated
+    assert(spark.read.parquet(compacted).count() === docs.count())
+  }
+
   test("partitioned layout prunes directories at planning time, not rows at scan time") {
     val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
     val dir = "target/layout-spec/docs_by_lang"
