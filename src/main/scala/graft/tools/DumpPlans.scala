@@ -34,7 +34,9 @@ object DumpPlans {
       "filter_in_subquery" -> "IN (subquery) rewritten to a broadcast left semi join",
       "events_retention" -> "cohort table broadcast into the distinct-activity stream",
       "text_surprisal" -> "vocabulary broadcasts when its measured size fits; shuffle-join fallback for web-scale vocabularies",
-      "embed_pq" -> "corpus pass over 8-byte PQ codes; exact rerank only on top-C survivors")
+      "embed_pq" -> "corpus pass over 8-byte PQ codes; exact rerank only on top-C survivors",
+      "text_tfidf" -> "ONE doc_id-keyed corpus shuffle shared by the TF aggregate and the ranking window; vocabulary broadcast by measured size",
+      "dedup_incremental" -> "batch shingles probe the standing s-partitioned corpus index — no corpus self-join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
