@@ -48,6 +48,7 @@ object SparkEntry {
     "agg_min_date" -> (Relational.aggMinDate _),
     "agg_max_date" -> (Relational.aggMaxDate _),
     "agg_multi" -> (Relational.aggMulti _),
+    "agg_string_minmax" -> (Relational.aggStringMinmax _),
     // filters / projection (SURVEY §2.2)
     "filter_and" -> (Relational.filterAnd _),
     "filter_or" -> (Relational.filterOr _),
@@ -184,6 +185,10 @@ object SparkEntry {
         |       max(l_quantity) AS max_qty,
         |       count(*) AS cnt
         |FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+    "agg_string_minmax" ->
+      """SELECT min(c_name) AS min_name, max(c_name) AS max_name,
+        |       min(c_mktsegment) AS min_seg, max(c_mktsegment) AS max_seg
+        |FROM customer""".stripMargin,
     "filter_and" ->
       """SELECT l_orderkey, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity >= 30 AND l_discount < 0.03

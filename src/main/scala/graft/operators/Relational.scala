@@ -116,6 +116,15 @@ object Relational {
         max("l_quantity").as("max_qty"),
         count(lit(1)).as("cnt"))
 
+  /** MIN/MAX over STRING — a (type × fn) cell the reference's aggregate
+    * path cannot reach at all (strings never transfer to its agg
+    * kernels, SURVEY §2.4 support matrix); here it's the same hash
+    * aggregate as any other type, lexicographic and deterministic. */
+  def aggStringMinmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .agg(min("c_name").as("min_name"), max("c_name").as("max_name"),
+        min("c_mktsegment").as("min_seg"), max("c_mktsegment").as("max_seg"))
+
   // ---- Filters / projection (reference §2.2; P1-P4) ----
 
   /** Conjunctive constant filters — pushed to the parquet scan, the
