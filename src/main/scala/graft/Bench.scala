@@ -47,7 +47,7 @@ object Bench {
       "corpus_stats", "corpus_mix", "group_having", "select_distinct", "filter_in_subquery",
       "window_first_last", "window_percent_rank", "agg_corr", "events_retention",
       "tpch_q3_shipping", "tpch_q5_local", "events_anomaly", "corpus_trim",
-      "filter_null_safe", "scalar_string",
+      "filter_null_safe", "scalar_string", "agg_string_minmax", "window_range_frame",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
       "events_sessionize", "events_funnel",
     ).filter(SparkEntry.queries.contains) ++

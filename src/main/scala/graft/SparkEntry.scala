@@ -105,6 +105,7 @@ object SparkEntry {
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     "filter_null_safe" -> (Relational.filterNullSafe _),
+    "window_range_frame" -> (Relational.windowRangeFrame _),
     "scalar_string" -> (Relational.scalarString _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
@@ -698,6 +699,17 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(text), 1, 2) < '1a'
         |ORDER BY doc_id""".stripMargin,
+    "window_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             epoch(o_orderdate)::BIGINT AS us, o_totalprice
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY us
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "filter_null_safe" ->
       """WITH big AS (SELECT o_custkey, max(o_totalprice) AS best_price
         |             FROM orders WHERE o_totalprice > 450000.0 GROUP BY 1)

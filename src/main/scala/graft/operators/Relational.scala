@@ -834,6 +834,28 @@ object Relational {
         instr(col("c_name"), "#").cast("int").as("hash_pos"))
       .orderBy("c_custkey")
 
+  /** RANGE-frame window — the value-based frame the ROWS windows can't
+    * express: each order's trailing-30-day spend for its customer
+    * counts every order whose DATE falls in [t−30d, t], however many
+    * rows that is (ties and bursts included), where a ROWS frame would
+    * count a fixed row span. Frame bounds run on unix seconds (exact
+    * integer arithmetic, engine-portable). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("us"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        // o_orderdate loads as TIMESTAMP_NTZ; the session TZ is pinned
+        // UTC, so the cast is a stable reinterpretation matching
+        // DuckDB's epoch()
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("us"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Per-type z-score outliers — the monitoring staple: events whose
     * value sits more than 3 sample standard deviations from their
     * type's mean. Two passes in one plan: a tiny per-type moment
