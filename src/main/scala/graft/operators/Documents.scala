@@ -137,14 +137,20 @@ object Documents {
       .agg(count(lit(1)).as("common"))
     // n is 1 row × 16 bytes per doc — broadcast both sides so the
     // (potentially large) pair stream never shuffles for the sizes
-    pairs
+    graft.Caches.persist(pairs
       .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
       .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") /
           (col("n1.n") + col("n2.n") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("d1", "d2")
+      .orderBy("d1", "d2"))
+    // persisted (registry-scoped, deduplicated by semantic hash): the
+    // qualifying-pair frame is tiny — real-dup volume, not candidate
+    // volume — but four registered queries derive from it
+    // (dedup_ngram_jaccard, dedup_keep_list, dedup_clusters,
+    // dedup_cluster_keep), and without the cache each re-runs the full
+    // shingle/inverted-index chain from the scan up.
   }
 
   /** Registered query: exact 3-gram Jaccard ≥ 0.6 pairs, uncapped so

@@ -307,10 +307,17 @@ object Embeddings {
     val cents = quantizers.computeIfAbsent(
       (sp, planKey, nCentroids, iters),
       _ => fitKmeans(emb, nCentroids, iters))
-    val posting = emb
+    // The posting lists ARE the index — persist them (registry-scoped,
+    // deduplicated by the plan's semantic hash like the quantizer memo)
+    // so repeated probe calls against the same corpus/params reuse the
+    // materialized cid-partitioned lists instead of re-running the
+    // assignment explode + shuffle per query. On a lake deployment the
+    // equivalent is a one-time `Layout.writeBucketed(posting, ..,
+    // "cid", ..)`; in-session the cache plays that role.
+    val posting = graft.Caches.persist(emb
       .select(col("vec_id"), col("embedding"),
         explode(nearestCids(cents, nAssign)).as("cid"))
-      .repartition(col("cid"))
+      .repartition(col("cid")))
     val queries = emb.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(nearestCids(cents, nProbe)).as("cid"))
@@ -397,6 +404,7 @@ object Embeddings {
     * cost alone was 80% of an 84 s run at 1M vectors. Same sampled-fit
     * regime as [[fitKmeans]]. Returns m × k × (d/m) codewords. */
   def fitPq(emb: DataFrame, m: Int, k: Int, iters: Int = 4): Seq[Seq[Seq[Double]]] = {
+    pqFitCount.incrementAndGet()
     val sp = emb.sparkSession
     import sp.implicits._
     val d = emb.select(size(col("embedding"))).head().getInt(0)
@@ -459,10 +467,32 @@ object Embeddings {
     * cannot preserve a 0.25-over-σ ranking margin); routing only the
     * FINAL ranking through exact vectors restores recall while the
     * full-corpus pass still runs on codes. */
+  /** Session-scoped memo of trained PQ codebooks, keyed like
+    * [[quantizers]] (corpus plan's semantic hash + PQ params): a
+    * codebook is fit once per corpus and reused by every encode/probe —
+    * without the memo each [[annPq]] call re-runs `iters` collect jobs.
+    * Same staleness caveat as the quantizer memo. */
+  private val codebooks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  /** Total [[fitPq]] invocations (spec hook: asserts the memo makes
+    * repeated [[annPq]] calls fit-free). */
+  private[graft] val pqFitCount = new java.util.concurrent.atomic.AtomicLong()
+
+  def clearCodebooks(spark: SparkSession): Unit = {
+    graft.Caches.sweepStopped(codebooks)(_._1)
+    val it = codebooks.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
   def annPq(corpus: DataFrame, queryIds: Column, k: Int,
             m: Int = 8, codebookSize: Int = 16, candFactor: Int = 15): DataFrame = {
+    val sp = corpus.sparkSession
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    val books = fitPq(emb, m, codebookSize)
+    graft.Caches.sweepStopped(codebooks)(_._1)
+    val books = codebooks.computeIfAbsent(
+      (sp, emb.queryExecution.analyzed.semanticHash(), m, codebookSize, 4),
+      _ => fitPq(emb, m, codebookSize))
     val booksLit = typedlit(books)
     val recon = pqEncode(emb, books)
       .select(col("vec_id"),

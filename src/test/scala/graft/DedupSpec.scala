@@ -111,6 +111,21 @@ class DedupSpec extends SparkSuite {
     assert(expected.subsetOf(found), s"capped run lost planted pairs: $found")
   }
 
+  test("jaccard-pair frame is shared — cluster-family queries reuse the cached pairs") {
+    Caches.release(spark)
+    // first consumer materializes the pair frame (and registers it)
+    Documents.dedupNgramJaccard(spark, SparkSpec.sfTiny).count()
+    assert(Caches.registered(spark) > 0, "jaccardPairs must register its persist")
+    // a second query deriving from the same pair frame must read the
+    // cache, not re-run the shingle/inverted-index chain
+    val keep = Documents.dedupKeepList(spark, SparkSpec.sfTiny)
+    keep.count()
+    val p = keep.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "dedupKeepList must reuse the cached jaccard pairs:\n" + p.take(2000))
+    Caches.release(spark)
+  }
+
   test("ngram-jaccard inverted-index join finds planted pairs with correct scores") {
     val sh = Documents.shingles(planted)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -156,6 +156,30 @@ class EmbeddingsSpec extends SparkSuite {
     assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
   }
 
+  test("annPq memoizes PQ codebooks — a repeated probe is fit-free") {
+    Embeddings.clearCodebooks(spark)
+    val before = Embeddings.pqFitCount.get()
+    Embeddings.annPq(emb, col("vec_id") < 3, k = 5).count()
+    assert(Embeddings.pqFitCount.get() === before + 1)
+    // different query set, same corpus/params → same codebooks
+    Embeddings.annPq(emb, col("vec_id") < 5, k = 5).count()
+    assert(Embeddings.pqFitCount.get() === before + 1,
+      "second annPq on the same corpus must reuse the memoized codebooks")
+  }
+
+  test("annIvf persists the posting lists — a repeated probe reads the cached index") {
+    Caches.release(spark)
+    Embeddings.clearQuantizers(spark)
+    Embeddings.annIvf(emb, col("vec_id") < 3, k = 5).count()
+    val second = Embeddings.annIvf(emb, col("vec_id") < 5, k = 5)
+    second.count()
+    val p = second.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "second probe must scan the persisted posting lists, not re-explode the corpus:\n" +
+        p.take(2000))
+    Caches.release(spark)
+  }
+
   test("embedQuantize int8 codes reconstruct cosine within 1%") {
     val src = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
       .select("vec_id", "embedding")
