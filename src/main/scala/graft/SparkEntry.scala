@@ -146,6 +146,7 @@ object SparkEntry {
     // LLM-pipeline: multimodal binary columns
     "multimodal_pack" -> (Multimodal.multimodalPack _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
+    "multimodal_decode_real" -> (Multimodal.multimodalDecodeReal _),
   )
 
   /** DuckDB oracle SQL per query (driver runs these on the same parquet

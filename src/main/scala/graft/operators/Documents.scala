@@ -186,8 +186,8 @@ object Documents {
       .join(index, "s")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("common"))
     val scored = Ops.joinBroadcastIfFits(
-      Ops.joinBroadcastIfFits(common, sizes(newDocs, "new_id", "nn"), "new_id", 16L),
-      sizes(corpus, "corpus_id", "nc"), "corpus_id", 16L)
+      Ops.joinBroadcastIfFits(common, sizes(newDocs, "new_id", "nn"), "new_id"),
+      sizes(corpus, "corpus_id", "nc"), "corpus_id")
     scored
       .select(col("new_id"), col("corpus_id"),
         round(col("common").cast("double") /
@@ -253,23 +253,41 @@ object Documents {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(withSimhash(Tables.load(spark, dir, "documents")), maxHamming = 3)
 
+  /** Widest supported band (8/16/32 bits) whose 64/b bands still
+    * pigeonhole-GUARANTEE recall at `maxHamming` (needs bands ≥
+    * maxHamming + 1); 8-bit bands (probabilistic recall, like the
+    * MinHash bands) when even 8 bands can't guarantee. Wider is always
+    * better for cost — random pairs collide per band at 2⁻ᵇ — so auto
+    * picks the widest width the recall bar permits: maxHamming ≤ 1 →
+    * 32, ≤ 3 → 16 (the classic 4-band configuration), ≤ 7 → 8. Unlike
+    * [[Embeddings.autoCosineBandBits]] the width canNOT grow with
+    * log₂(corpus): a document's SimHash is semantically 64 bits, so
+    * past the scale where 16-bit bands' n²·2⁻¹⁶ random-collision term
+    * rivals linear work (~2M docs at maxHamming 3) the lever is a
+    * wider simhash (128-bit expression + proportionally wider bands),
+    * not a narrower recall guarantee. */
+  def autoSimhashBandBits(maxHamming: Int): Int =
+    Seq(32, 16, 8).find(w => 64 / w >= maxHamming + 1).getOrElse(8)
+
   /** Band-join candidate generation + exact Hamming verify, reusable
     * over any (doc_id, simhash) frame.
     *
     * `bandBits` is the scale knob: wider bands collide on random pairs
     * at 2^-bandBits per band (so the quadratic false-candidate term
     * shrinks exponentially as corpora grow), while 64/bandBits bands
-    * pigeonhole-guarantee recall only up to Hamming 64/bandBits − 1 —
-    * size it to log₂(corpus) and the near-dup bar jointly. The 16-bit
-    * default is the classic 4-band SimHash configuration. */
-  def simhashPairs(sims: DataFrame, maxHamming: Int, bandBits: Int = 16): DataFrame = {
-    require(Set(8, 16, 32).contains(bandBits), s"bandBits must be 8/16/32, got $bandBits")
-    val bands = 64 / bandBits
-    val mask = (1L << bandBits) - 1
+    * pigeonhole-guarantee recall only up to Hamming 64/bandBits − 1.
+    * The default (0 = auto) resolves via [[autoSimhashBandBits]] to
+    * the widest width the `maxHamming` bar permits. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int, bandBits: Int = 0): DataFrame = {
+    require(Set(0, 8, 16, 32).contains(bandBits),
+      s"bandBits must be 0 (auto) or 8/16/32, got $bandBits")
+    val bw = if (bandBits == 0) autoSimhashBandBits(maxHamming) else bandBits
+    val bands = 64 / bw
+    val mask = (1L << bw) - 1
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
-           |          b -> struct(b AS band, shiftright(simhash, b * $bandBits) & $mask AS v))""".stripMargin)).as("bv"))
+           |          b -> struct(b AS band, shiftright(simhash, b * $bw) & $mask AS v))""".stripMargin)).as("bv"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
@@ -518,9 +536,15 @@ object Documents {
     * stand-in doc_id % 100 = 0; a real pipeline passes the benchmark
     * table. Shape: explode both sides to hashed shingles and LEFT SEMI
     * join corpus shingles against eval shingles — the eval side is
-    * small by construction, so the semi join broadcasts and the corpus
-    * is touched exactly once, map-side. */
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    * small for every real benchmark suite, so the semi join broadcasts
+    * and the corpus is touched exactly once, map-side; but "small" is a
+    * MEASURED decision ([[Ops.joinBroadcastIfFits]]), not an assumption
+    * — a massive eval set (e.g. decontaminating against another whole
+    * corpus) degrades to a shuffle semi join instead of OOMing the
+    * driver. Persists the eval shingles via [[graft.Caches]] (release
+    * obligation — see Ops). */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    budgetBytes: Long = Ops.DefaultBroadcastBudget): DataFrame = {
     // NOT the repartitioned `shingles` form: the corpus side feeds a
     // broadcast semi join, so a shuffle on the shingle would be pure
     // waste — the corpus stream stays map-side end to end.
@@ -528,8 +552,7 @@ object Documents {
       .select(col("doc_id"), explode(col("sh")).as("s_raw"))
       .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
     val evalSh = sh(evalDocs).select("s").distinct()
-    sh(docs)
-      .join(broadcast(evalSh), Seq("s"), "left_semi")
+    Ops.joinBroadcastIfFits(sh(docs), evalSh, "s", budgetBytes, "left_semi")
       .select("doc_id").distinct()
       .orderBy("doc_id")
   }
@@ -834,7 +857,7 @@ object Documents {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // vocabulary joins map-side when its measured size fits (Heaps'
     // law; same decision as unigramSurprisal), shuffle join otherwise
-    val joined = Ops.joinBroadcastIfFits(tf, dfreq, "tok", bytesPerRow = 32L)
+    val joined = Ops.joinBroadcastIfFits(tf, dfreq, "tok")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
     joined
@@ -883,7 +906,7 @@ object Documents {
     // deduplicated), so `total` below reads the same cached frame
     val unigram = toks.groupBy("t").agg(count(lit(1)).as("tf"))
     val total = unigram.agg(sum("tf").cast("long").as("total"))
-    Ops.joinBroadcastIfFits(toks, unigram, "t", bytesPerRow = 24L)
+    Ops.joinBroadcastIfFits(toks, unigram, "t")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

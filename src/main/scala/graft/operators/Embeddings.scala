@@ -150,39 +150,71 @@ object Embeddings {
     annSketch(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
 
   /** Embedding-cosine near-dup pairs: sign-LSH band candidates + EXACT
-    * cosine verify at `simThreshold`. 4×16-bit band join — a pair is a
-    * candidate iff some band matches, so candidate volume is governed
+    * cosine verify at `simThreshold`. 4 bands of [[autoCosineBandBits]]
+    * bits each (corpus-scale-derived; 16 at small corpora) — a pair is
+    * a candidate iff some band matches, so candidate volume is governed
     * by the angle (≈100% at cos ≥ 0.99, ~15% of random far pairs),
     * never all-pairs; the exact filter then makes precision 1.0.
     * Band-join candidate generation fits the near-dup task (high
     * similarity ⇒ near-identical signatures); for moderate-similarity
     * top-k retrieval use [[annSketch]], which ranks by full Hamming
     * distance instead of requiring an exact band match. */
+  /** Band width for the sign-LSH band join, derived from corpus scale:
+    * a random far pair collides in a b-bit band at 2⁻ᵇ, so the random-
+    * collision volume n²·bands·2⁻ᵇ stays ~linear only while b ≳ log₂ n
+    * — fixed 16-bit bands carry a quadratic term that bites past ~2M
+    * vectors (measured: dedup_embed_cosine 16 s → 230 s from 1M → 2M
+    * docs, BIGBENCH.md). b = ⌈log₂ n⌉ + 6 keeps expected random
+    * collisions at ~n/64 per band at every scale, clamped to [16, 32].
+    * Recall is preserved by growing the SIGNATURE, never by shrinking
+    * the band count: [[embedCosinePairs]] always gets 4 bands, packed
+    * from however many 64-bit sketch words the width needs. */
+  def autoCosineBandBits(n: Long): Int =
+    math.min(32, math.max(16,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt + 6))
+
   def embedCosinePairs(corpus: DataFrame, simThreshold: Double,
-                       bandBits: Int = 16): DataFrame = {
-    require(Set(8, 16, 32).contains(bandBits), s"bandBits must be 8/16/32, got $bandBits")
-    val bands = 64 / bandBits
-    val mask = (1L << bandBits) - 1
+                       bandBits: Int = 0, corpusSizeHint: Option[Long] = None): DataFrame = {
+    require(bandBits == 0 || (bandBits >= 8 && bandBits <= 32),
+      s"bandBits must be 0 (auto) or 8..32, got $bandBits")
+    // 0 = auto: size the band from the measured (or caller-hinted)
+    // corpus scale. The count on a parquet/cached corpus is a
+    // metadata-cheap job; pipelines that know their scale pass the hint.
+    val b =
+      if (bandBits != 0) bandBits
+      else autoCosineBandBits(corpusSizeHint.getOrElse(corpus.count()))
+    val nBands = 4
+    val perWord = 64 / b              // bands packed per sketch word
+    val words = (nBands + perWord - 1) / perWord
+    val nBits = words * 64
+    val mask = (1L << b) - 1
     val sigs = graft.Caches.persist(corpus
-      .select(col("vec_id"), element_at(signatureCol(64), 1).as("sig")))
-    val banded = sigs.select(col("vec_id"), col("sig"), explode(expr(
-      s"""transform(sequence(0, ${bands - 1}),
-         |          b -> struct(b AS band, shiftright(sig, b * $bandBits) & $mask AS v))""".stripMargin)).as("bv"))
+      .select(col("vec_id"), signatureCol(nBits).as("sig")))
+    val bandCols = (0 until nBands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("sig").getItem(i / perWord), (i % perWord) * b)
+          .bitwiseAND(lit(mask)).as("v"))
+    }
+    val banded = sigs.select(col("vec_id"), col("sig"),
+      explode(array(bandCols: _*)).as("bv"))
     // Full-signature Hamming gate between the band match and the exact
-    // verify: a random far pair clears a 16-bit band at P ≈ 6e-5 — at
-    // 1M vectors that's ~30M false candidates, and joining embeddings
-    // for them (measured: 838 s) IS the query cost. The gate keeps
-    // everything within E[ham] + 3σ of the threshold angle (E[ham] =
-    // 64·θ/π; at cos 0.95 the bound is 14) while a random pair
-    // (E[ham] = 32, σ = 4) passes at P ≈ 1e-5 — candidates collapse
-    // before any embedding is shuffled.
+    // verify: at 16-bit bands a random far pair clears a band at
+    // P ≈ 6e-5 — at 1M vectors that's ~30M false candidates, and
+    // joining embeddings for them (measured: 838 s) IS the query cost.
+    // The gate keeps everything within E[ham] + 3σ of the threshold
+    // angle (E[ham] = nBits·θ/π) while a random pair (E[ham] = nBits/2)
+    // passes at P ≈ 1e-5 — candidates collapse before any embedding is
+    // shuffled.
     val theta = math.acos(simThreshold)
     val p = theta / math.Pi
-    val maxHam = math.ceil(64 * p + 3 * math.sqrt(64 * p * (1 - p))).toInt
+    val maxHam = math.ceil(nBits * p + 3 * math.sqrt(nBits * p * (1 - p))).toInt
+    val ham = (0 until words)
+      .map(w => bit_count(col("a.sig").getItem(w).bitwiseXOR(col("b.sig").getItem(w))))
+      .reduce(_ + _)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
-      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHam)
+      .filter(ham <= maxHam)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
       .distinct()
     val e1 = corpus.select(col("vec_id").as("d1"), col("embedding").as("emb1"))

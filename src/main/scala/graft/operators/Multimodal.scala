@@ -122,6 +122,80 @@ object Multimodal {
     }
   }
 
+  /** Deterministic minimal-but-valid media files per the public format
+    * specs — the generator side of the decode seam, so the REAL
+    * [[MediaDecoder]] branches get a driver-visible registered query
+    * ([[multimodalDecodeReal]]): the text corpus packs as `text/plain`,
+    * which only ever exercises the hash-stub branch. */
+  object MediaEncoder {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + zeroed,
+      * 4-byte-aligned pixel rows. */
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.array()
+    }
+
+    /** PNG signature + IHDR (width/height big-endian, bit depth 8,
+      * `colorType` ∈ {0 gray, 2 RGB, 6 RGBA}). Header-only — the IDAT
+      * stream needs zlib, and the decoder reads only IHDR. */
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33) // big-endian by default
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      b.array()
+    }
+
+    /** 16-bit PCM WAV: RIFF/WAVE with fmt + data chunks, zeroed
+      * samples. */
+    def wav(rate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      val block = channels * 2
+      val dataLen = nFrames * block
+      val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(channels.toShort)
+      b.putInt(rate).putInt(rate * block).putShort(block.toShort).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      b.array()
+    }
+
+    /** The closed-form (doc_id → blob, mime) mapping behind
+      * [[syntheticMedia]] — format cycles by doc_id mod 3, dimensions
+      * derive arithmetically from doc_id, so the decoded features are
+      * an exact function of the id (spec-asserted). */
+    def forId(id: Long): (Array[Byte], String) = (id % 3) match {
+      case 0 => (bmp(8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt), "image/bmp")
+      case 1 => (png(16 + (id % 64).toInt, 16 + ((id / 64) % 64).toInt,
+        Seq(0, 2, 6)(((id / 3) % 3).toInt)), "image/png")
+      case _ => (wav(8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
+        1 + (id % 50).toInt), "audio/wav")
+    }
+  }
+
+  /** Synthetic media lake: one deterministic BMP/PNG/WAV blob per
+    * source document below `limit` — the stand-in for real crawled
+    * media that lets the full pack → decode pipeline run the REAL
+    * format parsers end to end. Generated executor-side (typed map —
+    * this tier is the `mapInPandas` seam, where per-row codec work
+    * lives), partition-invariant and reproducible. */
+  def syntheticMedia(spark: SparkSession, dir: String, limit: Long = 500L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(col("doc_id") < limit)
+      .as[(Long, String)]
+      .map { case (id, lang) =>
+        val (blob, mime) = MediaEncoder.forId(id)
+        MediaRecord(id, blob, mime, lang, blob.length.toLong)
+      }
+  }
+
   /** Partition-batched decode. `mapPartitions` mirrors the batch shape
     * of `mapInPandas`: the decoder amortizes codec init across a whole
     * partition instead of paying it per row. BMP, PNG and WAV decode for
@@ -167,4 +241,12 @@ object Multimodal {
     * full pack → decode pipeline. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decodeStub(pack(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Registered query (rows-only: blob bytes aren't SQL-reproducible):
+    * generate → decode over REAL format headers, so all three
+    * [[MediaDecoder]] branches (BMP, PNG, WAV) run driver-visibly —
+    * every decoded row's dims are the closed-form function of doc_id
+    * that [[MediaEncoder.forId]] defines, asserted in MultimodalSpec. */
+  def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame =
+    decodeStub(syntheticMedia(spark, dir)).toDF().orderBy("doc_id")
 }

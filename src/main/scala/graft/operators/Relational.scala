@@ -889,7 +889,7 @@ object Relational {
     // cohort table is one row per DISTINCT USER — unbounded at scale,
     // so the broadcast is a measured-size decision with a shuffle-join
     // fallback, not an unconditional hint
-    Ops.joinBroadcastIfFits(active, firstDay, "user_id", bytesPerRow = 24L)
+    Ops.joinBroadcastIfFits(active, firstDay, "user_id")
       .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("cohort", "day_offset")

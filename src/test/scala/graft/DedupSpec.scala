@@ -111,6 +111,27 @@ class DedupSpec extends SparkSuite {
     assert(expected.subsetOf(found), s"capped run lost planted pairs: $found")
   }
 
+  test("decontaminate degrades to a shuffle semi join when the eval side exceeds budget") {
+    val docs = planted
+    val expected = Documents.decontaminate(docs, docs.filter(col("doc_id") < 3))
+      .collect().map(_.getLong(0)).toSeq
+    // tiny budget drops the operator's broadcast hint; Spark's own
+    // auto-broadcast is disabled so the fallback shuffle path is visible
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffleOut = Documents.decontaminate(docs, docs.filter(col("doc_id") < 3),
+        budgetBytes = 1L)
+      val got = shuffleOut.collect().map(_.getLong(0)).toSeq
+      val p = shuffleOut.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "over-budget eval side must not broadcast:\n" + p.take(2000))
+      assert(p.contains("LeftSemi"), p.take(2000))
+      assert(got === expected, "join strategy must not change the flagged set")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    Caches.release(spark)
+  }
+
   test("jaccard-pair frame is shared — cluster-family queries reuse the cached pairs") {
     Caches.release(spark)
     // first consumer materializes the pair frame (and registers it)

@@ -156,6 +156,22 @@ class EmbeddingsSpec extends SparkSuite {
     assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
   }
 
+  test("LSH band width auto-sizes with corpus scale (pigeonhole/recall constraints held)") {
+    // cosine bands: ⌈log₂ n⌉ + 6, clamped [16, 32] — small corpora keep
+    // the classic 16, web scale saturates at 32 (4 bands of 32 = 2 words)
+    assert(Embeddings.autoCosineBandBits(100) === 16)
+    assert(Embeddings.autoCosineBandBits(10000) === 20)
+    assert(Embeddings.autoCosineBandBits(1000000) === 26)
+    assert(Embeddings.autoCosineBandBits(4000000) === 28)
+    assert(Embeddings.autoCosineBandBits(1L << 40) === 32)
+    // simhash bands: widest width whose band count still pigeonhole-
+    // guarantees the maxHamming bar (64-bit simhash caps the width)
+    assert(graft.operators.Documents.autoSimhashBandBits(1) === 32)
+    assert(graft.operators.Documents.autoSimhashBandBits(3) === 16)
+    assert(graft.operators.Documents.autoSimhashBandBits(7) === 8)
+    assert(graft.operators.Documents.autoSimhashBandBits(12) === 8)
+  }
+
   test("annPq memoizes PQ codebooks — a repeated probe is fit-free") {
     Embeddings.clearCodebooks(spark)
     val before = Embeddings.pqFitCount.get()

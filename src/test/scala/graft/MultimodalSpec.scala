@@ -113,6 +113,25 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.MediaDecoder.decodeWav(truncated()) === Some((44100, 2, 100)))
   }
 
+  test("multimodal_decode_real runs all three real decoder branches with exact dims") {
+    val out = Multimodal.multimodalDecodeReal(spark, SparkSpec.sfTiny)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out.nonEmpty)
+    // every decoded row matches the generator's closed-form dims
+    out.foreach { case (id, (w, h, frames)) =>
+      val expected = (id % 3) match {
+        case 0 => (8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt, 1)
+        case 1 => (16 + (id % 64).toInt, 16 + ((id / 64) % 64).toInt,
+          Seq(1, 3, 4)(((id / 3) % 3).toInt)) // PNG third field = channels
+        case _ => (8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt, 1 + (id % 50).toInt)
+      }
+      assert((w, h, frames) === expected, s"doc $id")
+    }
+    // all three mimes (hence all three REAL parser branches) occur
+    assert(out.keys.map(_ % 3).toSet === Set(0L, 1L, 2L))
+  }
+
   test("multimodal_pack query joins 1:1 with embeddings") {
     val out = Multimodal.multimodalPack(spark, SparkSpec.sfTiny)
     val nDocs = Tables.load(spark, SparkSpec.sfTiny, "documents").count()
