@@ -739,7 +739,7 @@ object SparkEntry {
         |SELECT event_id, e.event_type, round(value, 4) AS value,
         |       round((value - mu) / sigma, 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+        |WHERE sigma > 0 AND round(abs(value - mu) - 3 * sigma, 6) > 0
         |ORDER BY event_id""".stripMargin,
     "doc_split" ->
       """SELECT doc_id, lang,

@@ -45,12 +45,17 @@ object Tables {
     * microseconds with integer division — `ts div 1000`, not a double
     * divide, because epoch-ns (~1.7e18) exceeds the 2^53 double mantissa
     * and would corrupt low-order digits. DuckDB applies the same ns→µs
-    * truncation when it casts its ns timestamp down, so the oracle agrees. */
-  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * truncation when it casts its ns timestamp down, so the oracle agrees.
+    *
+    * The `nanosAsLong` conf is session-construction state
+    * ([[GraftSession.builder]]), NOT set here: a read-time
+    * `spark.conf.set` from a library call is a data race against every
+    * concurrent query in the session (and against another thread's
+    * read of the same flag). A session built without [[GraftSession]]
+    * fails fast with `PARQUET_TYPE_ILLEGAL`, which names the fix. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Register just the tables a query needs (keeps catalog init from
     * failing on unrelated unreadable files). */

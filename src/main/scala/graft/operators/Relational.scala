@@ -867,7 +867,12 @@ object Relational {
     val stats = events.groupBy("event_type")
       .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
     events.join(broadcast(stats), "event_type")
-      .filter(col("sigma") > 0 && abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+      // the margin is ROUNDED before the cut: mu/sigma come out of
+      // engine-specific summation orders, so an unrounded threshold
+      // makes rows within double-rounding of 3σ engine-dependent —
+      // the oracle applies the identical rounded margin
+      .filter(col("sigma") > 0 &&
+        round(abs(col("value") - col("mu")) - lit(3) * col("sigma"), 6) > 0)
       .select(col("event_id"), col("event_type"),
         round(col("value"), 4).as("value"),
         round((col("value") - col("mu")) / col("sigma"), 4).as("z"))

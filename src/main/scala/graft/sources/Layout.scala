@@ -69,20 +69,56 @@ object Layout {
     * (one per micro-batch per partition) degrade scans (footer reads,
     * scheduling overhead, no vectorized run length) until someone
     * rewrites them at a sane target size. Rewrites `srcDir` into
-    * `destDir` with ⌈bytes / targetBytes⌉ files via a coalesce — a
-    * NARROW dependency (no shuffle): each output file concatenates
-    * whole input files, so the rewrite moves every byte exactly once.
-    * Returns the output file count. Compact into a NEW directory then
-    * swap — an in-place overwrite that fails mid-write loses data. */
+    * `destDir` targeting ⌈bytes / targetBytes⌉ files and returns the
+    * output file count. Compact into a NEW directory then swap — an
+    * in-place overwrite that fails mid-write loses data.
+    *
+    * Sizing and listing go through the Hadoop FileSystem API,
+    * RECURSIVELY — a `java.io.File` top-level listing works only on
+    * the local FS and sees zero bytes under a Hive-partitioned or
+    * nested layout, which would silently coalesce the whole lake into
+    * one file. Two layouts, two shapes:
+    *  - flat source → `coalesce` — a NARROW dependency (no shuffle):
+    *    each output file concatenates whole input files, so the
+    *    rewrite moves every byte exactly once;
+    *  - Hive-partitioned source (`col=value` directories, detected
+    *    from the layout) → the partitioned layout is PRESERVED (its
+    *    pruning is why it exists) via a `partitionBy` rewrite with a
+    *    hash repartition on the partition columns — one shuffle, the
+    *    price of re-clustering each partition's scattered micro-batch
+    *    files into few writers (a coalesce would interleave partition
+    *    values across tasks and re-fragment the output). */
   def compact(spark: SparkSession, srcDir: String, destDir: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val src = new File(srcDir)
-    val totalBytes = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    import org.apache.hadoop.fs.Path
+    val srcPath = new Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetBytes(p: Path): Seq[Long] = {
+      val it = fs.listFiles(p, true) // recursive: partitioned/nested dirs
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) b += s.getLen
+      }
+      b.result()
+    }
+    // Hive partition columns, outermost first: each level of a
+    // partitioned layout is a rank of `col=value` directories
+    def partitionCols(p: Path): List[String] =
+      fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).find(_.getName.contains("=")) match {
+        case Some(child) => child.getName.takeWhile(_ != '=') :: partitionCols(child)
+        case None => Nil
+      }
+    val totalBytes = parquetBytes(srcPath).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(srcDir).coalesce(nFiles)
-      .write.mode("overwrite").parquet(destDir)
-    Option(new File(destDir).listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val df = spark.read.parquet(srcDir)
+    val parts = partitionCols(srcPath)
+    if (parts.isEmpty)
+      df.coalesce(nFiles).write.mode("overwrite").parquet(destDir)
+    else
+      df.repartition(nFiles, parts.map(df.col): _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(destDir)
+    parquetBytes(new Path(destDir)).size
   }
 }

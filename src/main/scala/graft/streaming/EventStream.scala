@@ -53,6 +53,16 @@ object EventStream {
   case class ClosedSession(user_id: Long, n_events: Long,
                            total_value: Double, last_ts: Timestamp)
 
+  /** [[sessionCloseAlerts]] state: the one open session per user.
+    * Carries `first_ts` as well as `last_ts` so a cross-batch
+    * OUT-OF-ORDER event that predates the session's start by more than
+    * the gap is recognized as foreign — comparing only against
+    * `last_ts` would silently absorb it (the delta is negative, never
+    * `> gap`), making live-stream session boundaries diverge from the
+    * single-batch backfill. */
+  case class OpenSession(user_id: Long, n_events: Long, total_value: Double,
+                         first_ts: Timestamp, last_ts: Timestamp)
+
   /** Session-CLOSE alerts via `flatMapGroupsWithState` + event-time
     * timeout — the stateful shape [[sessionizedStream]] can't express:
     * emit NOTHING while a session is live, exactly one summary row per
@@ -67,20 +77,29 @@ object EventStream {
     *    its timeout fires) — the carried session is emitted closed
     *    and a new one opens. A single-batch backfill of full history
     *    therefore fires the same closes as the live stream.
+    * A third, cross-batch-only case: a within-watermark OUT-OF-ORDER
+    * event arriving more than `gap` BEFORE the open session's first
+    * event cannot belong to it — it closes immediately as its own
+    * single-event session (its event-time neighborhood was already
+    * folded in earlier batches), instead of being absorbed. Within
+    * `gap` before the start it extends the session backward, exactly
+    * as the backfill would merge it.
     * The timeout is event-time, so reprocessing history is
     * deterministic; state carries one open session per user. */
   def sessionCloseAlerts(events: Dataset[Event], gapMinutes: Long = 30,
                          watermark: String = "2 hours"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMillis = gapMinutes * 60000L
+    def close(o: OpenSession) =
+      ClosedSession(o.user_id, o.n_events, o.total_value, o.last_ts)
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ClosedSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, batch: Iterator[Event], state: GroupState[ClosedSession]) =>
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val closed = state.get
+            val closed = close(state.get)
             state.remove()
             Iterator(closed)
           } else {
@@ -89,14 +108,20 @@ object EventStream {
             var open = state.getOption.orNull
             val closed = Seq.newBuilder[ClosedSession]
             rows.foreach { e =>
-              if (open != null && e.ts.getTime - open.last_ts.getTime > gapMillis) {
-                closed += open
-                open = null
-              }
-              open =
-                if (open == null) ClosedSession(user, 1L, e.value, e.ts)
-                else ClosedSession(user, open.n_events + 1,
+              val t = e.ts.getTime
+              if (open == null)
+                open = OpenSession(user, 1L, e.value, e.ts, e.ts)
+              else if (t - open.last_ts.getTime > gapMillis) {
+                closed += close(open)
+                open = OpenSession(user, 1L, e.value, e.ts, e.ts)
+              } else if (open.first_ts.getTime - t > gapMillis)
+                // out-of-order orphan: predates the session start by
+                // more than the gap — its own session, closed on the spot
+                closed += ClosedSession(user, 1L, e.value, e.ts)
+              else
+                open = OpenSession(user, open.n_events + 1,
                   open.total_value + e.value,
+                  if (e.ts.before(open.first_ts)) e.ts else open.first_ts,
                   if (e.ts.after(open.last_ts)) e.ts else open.last_ts)
             }
             state.update(open)
@@ -166,7 +191,8 @@ object EventStream {
     * as the batch path — feeding the converted schema to the file
     * source would misinterpret the raw longs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is session-construction state (GraftSession.builder)
+    // — mutating session conf at read time races concurrent queries
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory; glob the single table file
     // with an explicit basePath so a real lake layout (directory of

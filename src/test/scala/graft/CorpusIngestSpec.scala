@@ -48,4 +48,33 @@ class CorpusIngestSpec extends SparkSuite {
     // ledger carries one hash per distinct text
     assert(spark.read.parquet(ledger).distinct().count() === 4)
   }
+
+  test("Bloom pre-gate sends only probable hits into the ledger anti join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/corpus-ingest-bloom")
+    rm(base)
+    val (ledger, out) = (s"$base/ledger", s"$base/corpus")
+    val stream = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestWithLedger(
+      stream.toDF().toDF("doc_id", "text"), ledger, out, s"$base/ckpt")
+    try {
+      stream.addData(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")))
+      q.processAllAvailable()
+      // first batch: no ledger exists, nothing reaches a join
+      assert(CorpusIngest.lastProbedRows.get() === 0L)
+      // pre-populated ledger + a batch of 2 true dups and 3 novel docs:
+      // the exact anti join's input must be the Bloom-filtered subset
+      // (the dups — no false positive fires at this fpp/scale, and the
+      // filter is deterministic), NOT the whole batch
+      stream.addData(Seq((5L, "alpha"), (6L, "delta"), (7L, "eps"),
+        (8L, "zeta"), (9L, "eta")))
+      q.processAllAvailable()
+      val probed = CorpusIngest.lastProbedRows.get()
+      assert(probed === 2L,
+        s"anti join input must be the probable-hit subset, saw $probed of 5")
+    } finally q.stop()
+    // the gate prunes join INPUT, never decides membership — output exact
+    val texts = spark.read.parquet(out).select("text").as[String].collect().sorted
+    assert(texts === Array("alpha", "beta", "delta", "eps", "eta", "gamma", "zeta"))
+  }
 }

@@ -68,6 +68,38 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(compacted).count() === docs.count())
   }
 
+  test("compaction preserves a Hive-partitioned layout, sized from a recursive listing") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val frag = "target/layout-spec/frag_by_lang"
+    val compacted = "target/layout-spec/compacted_by_lang"
+    // micro-batch litter WITHIN each partition directory
+    docs.repartition(9).write.mode("overwrite").partitionBy("lang").parquet(frag)
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    def langDirs(dir: String): Set[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map(_.getName).toSet
+    val fragCount = parquetFiles(frag).size
+    assert(fragCount > langDirs(frag).size, s"fragmentation precondition: $fragCount")
+    val outCount = Layout.compact(spark, frag, compacted)
+    // the partitioned layout SURVIVES the rewrite (pruning is the
+    // point of the layout) and each value's litter collapses to one file
+    assert(langDirs(compacted) === langDirs(frag),
+      s"partition dirs lost: ${langDirs(compacted)}")
+    assert(outCount === langDirs(frag).size,
+      s"expected one file per partition value, got $outCount")
+    assert(parquetFiles(compacted).size === outCount)
+    // no row lost or duplicated, partition column included
+    assert(spark.read.parquet(compacted).count() === docs.count())
+    assert(spark.read.parquet(compacted).filter(col("lang") === "en").count() ===
+      docs.filter(col("lang") === "en").count())
+  }
+
   test("partitioned layout prunes directories at planning time, not rows at scan time") {
     val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
     val dir = "target/layout-spec/docs_by_lang"

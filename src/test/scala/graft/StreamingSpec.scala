@@ -248,6 +248,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionCloseAlerts closes a cross-batch out-of-order orphan as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionCloseAlerts(stream.toDS())
+      .writeStream.format("memory").queryName("orphan_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0)))
+      q.processAllAvailable()
+      // within the watermark (08:10) but 90 min BEFORE the open
+      // session's start: absorbing it would stretch the session across
+      // a gap the backfill never bridges — it must close on the spot as
+      // its own single-event session
+      stream.addData(Seq(Event(3, ts("2024-01-01 08:30:00"), 1, "view", 7.0)))
+      q.processAllAvailable()
+      val closed = spark.table("orphan_test")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(closed === Seq((1L, 1L, 7.0)),
+        s"orphan must close as its own session, not merge: $closed")
+      // the carried 10:00–10:10 session is untouched: it still closes
+      // with exactly its own two events once the watermark passes
+      stream.addData(Seq(Event(4, ts("2024-01-01 14:00:00"), 2, "view", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(5, ts("2024-01-01 14:01:00"), 2, "view", 0.0)))
+      q.processAllAvailable()
+      val all = spark.table("orphan_test")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(all.contains((1L, 2L, 3.0)), s"carried session must close intact: $all")
+    } finally q.stop()
+  }
+
   test("windowed aggregation state survives a checkpoint stop/restart") {
     implicit val sqlCtx = spark.sqlContext
     // kill-and-resume is the operational contract of a 100-TB stream:
