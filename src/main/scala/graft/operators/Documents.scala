@@ -301,6 +301,32 @@ object Documents {
       .orderBy("d1", "d2")
   }
 
+  /** Cross-frame SimHash probe: which `newSigs` docs (doc_id, simhash)
+    * have a neighbor within `maxHamming` among `indexSigs`? The
+    * incremental twin of [[simhashPairs]] — same banding, but new docs
+    * band-join a STANDING index instead of the corpus self-joining, so
+    * an ingest batch costs O(|batch| + collisions), never re-pairing
+    * the corpus. Returns the matched new doc_ids (one row each).
+    * Feeds [[graft.streaming.NearDupIngest]]; also the batch shape for
+    * "which of these candidate docs near-duplicate the lake". */
+  def simhashProbe(newSigs: DataFrame, indexSigs: DataFrame,
+                   maxHamming: Int, bandBits: Int = 0): DataFrame = {
+    require(Set(0, 8, 16, 32).contains(bandBits),
+      s"bandBits must be 0 (auto) or 8/16/32, got $bandBits")
+    val bw = if (bandBits == 0) autoSimhashBandBits(maxHamming) else bandBits
+    val bands = 64 / bw
+    val mask = (1L << bw) - 1
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |          b -> struct(b AS band, shiftright(simhash, b * $bw) & $mask AS v))""".stripMargin)).as("bv"))
+    banded(newSigs).as("a")
+      .join(banded(indexSigs).as("b"), col("a.bv") === col("b.bv"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.doc_id"))
+      .distinct()
+  }
+
   /** MinHash-LSH near-dup pairs over shingle sets, reusable over any
     * (doc_id, text) frame — native banded implementation:
     *

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Documents
+
+/** Streaming NEAR-dup ingest — the watermark-bounded fuzzy twin of
+  * [[CorpusIngest]]'s exact ledger: a document whose SimHash sits
+  * within `maxHamming` of anything already admitted inside the
+  * lateness horizon is dropped before it reaches the corpus.
+  *
+  * Shape per micro-batch (`foreachBatch`, because the body needs the
+  * standing index read):
+  *
+  *  1. signature — the codegen'd SimHash64 over the token stream, a
+  *     stateless map (the streaming-safe part of the batch operator);
+  *  2. probe — [[Documents.simhashProbe]] band-joins the batch
+  *     signatures against the STANDING index, so each batch costs
+  *     O(|batch| + band collisions), never a corpus self-join;
+  *  3. in-batch — [[Documents.simhashPairs]] over what survived the
+  *     probe, greedy keep-the-smaller-id (duplicates of a rejected doc
+  *     are re-admitted, by design: the KEPT corpus is what must hold no
+  *     near-pairs — chain-shaped clusters therefore resolve greedily,
+  *     like every streaming-order dedup);
+  *  4. append — survivors to the corpus; their (doc_id, simhash, ts)
+  *     to the index, Hive-partitioned by DATE so the watermark bound
+  *     below is a planning-time directory prune and retention (drop
+  *     directories older than the horizon) is an `rm`, not a rewrite.
+  *
+  * The WATERMARK bound mirrors `dropDuplicatesWithinWatermark`
+  * semantics at the index read: only signatures within `watermarkMs`
+  * of the batch's max event time are probed, so state per probe is
+  * bounded by the horizon (a near-dup arriving beyond it is admitted —
+  * the contract that makes unbounded-stream dedup feasible; run the
+  * batch near-dedup over the lake for the unbounded horizon).
+  *
+  * Failure honesty (same contract as [[CorpusIngest]]): a missing
+  * index directory is the expected first batch; any other read failure
+  * fails the micro-batch so the checkpoint retries it. */
+object NearDupIngest {
+
+  def ingestNearDedup(docs: DataFrame, indexDir: String, outDir: String,
+                      checkpointDir: String, maxHamming: Int = 12,
+                      watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sims = batch.withColumn("simhash",
+          graft.functions.VectorExpressions.simhash64(split(col("text"), " ")))
+        sims.persist()
+        try {
+          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val afterProbe =
+            if (!fs.exists(indexPath)) sims // first batch: no index yet
+            else {
+              val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
+              val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
+              // ts >= cutoff prunes expired date partitions at planning
+              // time — the index read is the horizon, not the history
+              val index = spark.read.parquet(indexDir)
+                .filter(col("ts") >= lit(cutoff))
+                .select(col("doc_id"), col("simhash"))
+              val dup = Documents.simhashProbe(
+                sims.select("doc_id", "simhash"), index, maxHamming)
+              sims.join(dup, Seq("doc_id"), "left_anti")
+            }
+          val inBatchDrop = Documents
+            .simhashPairs(afterProbe.select("doc_id", "simhash"), maxHamming)
+            .select(col("d2").as("doc_id")).distinct()
+          val survivors = afterProbe.join(inBatchDrop, Seq("doc_id"), "left_anti")
+          survivors.persist()
+          try {
+            survivors.drop("simhash")
+              .write.mode(SaveMode.Append).parquet(outDir)
+            survivors.select(col("doc_id"), col("simhash"), col("ts"),
+                to_date(col("ts")).as("d"))
+              .write.mode(SaveMode.Append).partitionBy("d").parquet(indexDir)
+          } finally survivors.unpersist()
+        } finally sims.unpersist()
+      }
+      .start()
+}

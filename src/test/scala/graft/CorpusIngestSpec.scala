@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.CorpusIngest
+import org.apache.spark.sql.functions.{col, split}
+import graft.operators.Documents
+import graft.streaming.{CorpusIngest, NearDupIngest}
 
 /** The unbounded-horizon dedup ledger: duplicates are dropped across
   * micro-batches AND across query restarts, because the seen set lives
@@ -76,5 +78,59 @@ class CorpusIngestSpec extends SparkSuite {
     // the gate prunes join INPUT, never decides membership — output exact
     val texts = spark.read.parquet(out).select("text").as[String].collect().sorted
     assert(texts === Array("alpha", "beta", "delta", "eps", "eta", "gamma", "zeta"))
+  }
+
+  test("streaming near-dedup drops a planted near-dup within the watermark, admits beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/neardup-ingest-spec")
+    rm(base)
+    // DISJOINT token sets per base doc: a shared small vocabulary would
+    // make every doc's token distribution (hence simhash) near-equal
+    var seed = 7L
+    def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
+    def freshText(prefix: String) =
+      (0 until 60).map(_ => s"$prefix${nextInt(100000)}").mkString(" ")
+    def nearDup(t: String) = {
+      val toks = t.split(" "); toks(7) = "zulu"; toks(31) = "yankee"; toks.mkString(" ")
+    }
+    val (a, b, c) = (freshText("apple"), freshText("berry"), freshText("cedar"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = NearDupIngest.ingestNearDedup(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), a),
+        (2L, ts("2024-01-01 10:00:01"), b)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (3L, ts("2024-01-01 10:30:00"), nearDup(a)), // near-dup vs the standing index
+        (4L, ts("2024-01-01 10:30:01"), c),
+        (5L, ts("2024-01-01 10:30:02"), nearDup(c)), // in-batch near pair
+        (6L, ts("2024-01-01 10:30:03"), b)))         // exact dup (hamming 0)
+      q.processAllAvailable()
+      val afterTwo = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterTwo === Array(1L, 2L, 4L), s"got ${afterTwo.toSeq}")
+      // the single-batch backfill (batch operator, greedy keep-min-id)
+      // lands on the same corpus for this chain-free history
+      val all6 = Seq((1L, a), (2L, b), (3L, nearDup(a)), (4L, c),
+        (5L, nearDup(c)), (6L, b)).toDF("doc_id", "text")
+      val sims = all6.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), Documents.simhashCol.as("simhash"))
+      val drop = Documents.simhashPairs(sims, maxHamming = 12)
+        .select(col("d2").as("doc_id")).distinct()
+      val batchKeep = all6.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterTwo === batchKeep,
+        "stream must equal the single-batch backfill on chain-free data")
+      // beyond the 2 h horizon the same near-dup is ADMITTED — probe
+      // state is bounded by the watermark, not the stream's lifetime
+      stream.addData(Seq((7L, ts("2024-01-01 14:00:00"), nearDup(a))))
+      q.processAllAvailable()
+      val afterThree = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterThree === Array(1L, 2L, 4L, 7L), s"got ${afterThree.toSeq}")
+    } finally q.stop()
   }
 }
