@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_minhash" -> (Documents.dedupMinhash _),
     "dedup_keep_list" -> (Documents.dedupKeepList _),
     "dedup_simhash" -> (Documents.dedupSimhash _),
+    "dedup_simhash_wide" -> (Documents.dedupSimhashWide _),
     "dedup_clusters" -> (Documents.dedupClusters _),
     "dedup_cluster_keep" -> (Documents.dedupClusterKeep _),
     "dedup_incremental" -> (Documents.dedupIncrementalQ _),

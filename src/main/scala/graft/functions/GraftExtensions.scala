@@ -37,6 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorExpressions.SimHash64(args.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash_wide"),
+      info("simhash_wide",
+        "simhash_wide(tokens, words) - words x 64-bit SimHash of a string array, as array<bigint>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"simhash_wide expects 2 arguments, got ${args.length}")
+        val words = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"simhash_wide words must be an integer literal, got $other")
+        }
+        VectorExpressions.SimHashWide(args.head, words)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(tokens, nPerms) - nPerms-permutation MinHash signature of a string array"),

@@ -330,6 +330,96 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `simhash_wide(tokens, words)` — a words×64-bit SimHash over an
+    * array<string>, as array<bigint>: word w votes with an independent
+    * xxhash64 seed (42 + w), so the signature is `words` independent
+    * 64-bit SimHashes side by side (word 0 ≡ [[SimHash64]]). This is
+    * the scale lever the 64-bit operator's doc names: near-dup bits
+    * scale with signature width (E[ham] = nBits·p), so a WIDER
+    * signature supports wider bands at the same pigeonhole-guaranteed
+    * Hamming bar — 128 bits give 4×32-bit bands at ham ≤ 3, collapsing
+    * the random band-collision term from n²·2⁻¹⁶ to n²·2⁻³², which
+    * stays sub-linear past 10⁹ docs. One codegen loop, 64·words vote
+    * counters per row. */
+  case class SimHashWide(child: Expression, words: Int) extends UnaryExpression {
+    require(words >= 1 && words <= 8, s"need 1 <= words <= 8, got $words")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash_wide"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      val cnt = new Array[Int](64 * words)
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i)) return null
+        val s = ad.getUTF8String(i)
+        var w = 0
+        while (w < words) {
+          val h = XxHash64Function.hash(s, StringType, 42L + w)
+          val off = w * 64
+          var p = 0
+          while (p < 64) { cnt(off + p) += (if (((h >>> p) & 1L) == 1L) 1 else -1); p += 1 }
+          w += 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](words)
+      var w = 0
+      while (w < words) {
+        var p = 0
+        while (p < 64) { if (cnt(w * 64 + p) > 0) out(w) |= 1L << p; p += 1 }
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val stype = ctx.addReferenceObj("stype", StringType, "org.apache.spark.sql.types.DataType")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val p = ctx.freshName("p")
+        val w = ctx.freshName("w")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        val s = ctx.freshName("s")
+        val cnt = ctx.freshName("cnt")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $a.numElements();
+           |int[] $cnt = new int[${64 * words}];
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+           |  for (int $w = 0; $w < $words; $w++) {
+           |    long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+           |      .hash($s, $stype, 42L + $w);
+           |    for (int $p = 0; $p < 64; $p++)
+           |      $cnt[$w * 64 + $p] += ((($h >>> $p) & 1L) == 1L) ? 1 : -1;
+           |  }
+           |}
+           |long[] $out = new long[$words];
+           |if (!${ev.isNull}) {
+           |  for (int $w = 0; $w < $words; $w++)
+           |    for (int $p = 0; $p < 64; $p++)
+           |      if ($cnt[$w * 64 + $p] > 0) $out[$w] |= 1L << $p;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `minhash_sig(tokens)` — nPerms-permutation MinHash signature over
     * a string-set column: sig[p] = min over elements of xxhash64 with
     * seed p (each seed is an independent permutation of the shingle
@@ -473,6 +563,9 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def simhashWide(tokens: Column, words: Int): Column =
+    ColumnBridge.column(SimHashWide(ColumnBridge.expression(tokens), words))
 
   def minhashSig(tokens: Column, nPerms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), nPerms))

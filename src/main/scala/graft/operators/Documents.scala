@@ -327,6 +327,73 @@ object Documents {
       .distinct()
   }
 
+  /** Near-dup pairs over a WIDE (words×64-bit) SimHash signature —
+    * [[simhashPairs]] for `simhash: array<bigint>` columns built by
+    * [[graft.functions.VectorExpressions.SimHashWide]].
+    *
+    * What width buys, stated honestly: a Hamming bar is PER-BIT, so
+    * the bar equivalent to ham ≤ 3 on 64 bits is ham ≤ 6-7 on 128
+    * (E[ham] = nBits·p for match probability p) — pigeonhole then
+    * needs proportionally more bands and the guaranteed-recall
+    * configuration (8×16 on 128 bits for ham ≤ 7) carries ~2× the
+    * 64-bit random-collision term, not less. The width's real value
+    * is unlocking 32-BIT BANDS (`bandBits = 32`): 4 bands at
+    * 2⁻³² random collisions — the quadratic term is gone at any
+    * realistic corpus size — with recall that is pigeonhole-GUARANTEED
+    * to ham ≤ 3 and probabilistic above (strong for long documents
+    * with small edits, whose relative hamming is tiny; spec-measured
+    * on planted dups). Pick by regime:
+    *  - ham bar tight (≲ 3 over the wide signature): bandBits = 32 —
+    *    collision-free scale, guaranteed recall;
+    *  - ham bar loose (long-tail edits): stay on [[simhashPairs]] /
+    *    16-bit bands and pay the collision term, or verify with exact
+    *    Jaccard downstream.
+    * Auto (0) picks the widest 8/16/32 whose band count still
+    * pigeonhole-guarantees `maxHamming` over words×64 bits. */
+  def simhashPairsWide(sims: DataFrame, maxHamming: Int, words: Int = 2,
+                       bandBits: Int = 0): DataFrame = {
+    require(Set(0, 8, 16, 32).contains(bandBits),
+      s"bandBits must be 0 (auto) or 8/16/32, got $bandBits")
+    val nBits = words * 64
+    val bw = if (bandBits == 0)
+      Seq(32, 16, 8).find(w => nBits / w >= maxHamming + 1).getOrElse(8)
+    else bandBits
+    val bands = nBits / bw
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    // bw divides 64, so a band never straddles two signature words
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash").getItem((b * bw) / 64), (b * bw) % 64)
+          .bitwiseAND(lit(mask)).as("v"))
+    }
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bv"))
+    val ham = (0 until words)
+      .map(w => bit_count(col("a.simhash").getItem(w)
+        .bitwiseXOR(col("b.simhash").getItem(w))))
+      .reduce(_ + _)
+    banded(sims).as("a")
+      .join(banded(sims).as("b"),
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .filter(ham <= maxHamming)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), ham.as("hamming"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** Registered query (rows-only, like dedup_simhash): 128-bit SimHash
+    * near-dups at the bar equivalent to the 64-bit query's ham ≤ 3
+    * (per-bit bars scale with width), on 32-bit bands — the
+    * configuration whose random-collision term (n²·4·2⁻³²) stays
+    * sub-linear past 10⁹ docs. */
+  def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
+    val sims = graft.Caches.persist(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhashWide(col("t"), 2).as("simhash")))
+    simhashPairsWide(sims, maxHamming = 6, words = 2, bandBits = 32)
+  }
+
   /** MinHash-LSH near-dup pairs over shingle sets, reusable over any
     * (doc_id, text) frame — native banded implementation:
     *

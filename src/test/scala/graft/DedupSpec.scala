@@ -111,6 +111,32 @@ class DedupSpec extends SparkSuite {
     assert(expected.subsetOf(found), s"capped run lost planted pairs: $found")
   }
 
+  test("simhashPairsWide on 32-bit bands finds small-edit near-dups, no false pairs") {
+    var seed = 99L
+    def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
+    // 500-token docs over per-doc-disjoint token sets (a shared tiny
+    // vocab would make all signatures near-equal); a 1-token edit on a
+    // long doc keeps the 128-bit hamming inside the tight bar 32-bit
+    // bands target — the regime's definition, not a test convenience
+    val bases = (0 until 20).map { i =>
+      (i.toLong, (0 until 500).map(_ => s"t${i}_${nextInt(100000)}").mkString(" "))
+    }
+    val dups = bases.map { case (i, text) =>
+      val tk = text.split(" "); tk(17) = "zz"; (i + 100, tk.mkString(" "))
+    }
+    val sims = (bases ++ dups).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhashWide(col("t"), 2).as("simhash"))
+    val found = Documents.simhashPairsWide(sims, maxHamming = 6, bandBits = 32)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val truePairs = bases.map { case (i, _) => (i, i + 100L) }.toSet
+    val recall = truePairs.count(found.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"recall $recall, found ${found.size}")
+    // disjoint vocabularies: any non-planted pair is a false positive
+    assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
+  }
+
   test("decontaminate degrades to a shuffle semi join when the eval side exceeds budget") {
     val docs = planted
     val expected = Documents.decontaminate(docs, docs.filter(col("doc_id") < 3))

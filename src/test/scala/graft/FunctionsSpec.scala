@@ -104,6 +104,24 @@ class FunctionsSpec extends SparkSuite {
     out.foreach { case (f, s) => assert(f === s) }
   }
 
+  test("simhash_wide word 0 equals simhash64; SQL and Column API agree") {
+    val docs = Seq("the quick brown fox jumps", "a b", "single")
+      .toDF("text").select(split(col("text"), " ").as("t"))
+    val out = docs.select(
+      VectorExpressions.simhash64(col("t")).as("h64"),
+      VectorExpressions.simhashWide(col("t"), 2).as("wide"))
+      .as[(Long, Seq[Long])].collect()
+    out.foreach { case (h, w) =>
+      assert(w.length === 2)
+      assert(w.head === h, "word 0 must be the seed-42 64-bit simhash")
+    }
+    val sql = spark.sql("SELECT simhash_wide(array('a','b','c'), 2) AS h")
+      .as[Seq[Long]].head()
+    val colApi = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(VectorExpressions.simhashWide(col("t"), 2)).as[Seq[Long]].head()
+    assert(sql === colApi, "SQL and Column API must agree")
+  }
+
   test("nearestCentroids returns top-n by dot product, ties to lower id") {
     val cents: Seq[Seq[Double]] = Seq(
       Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(1.0, 0.0))
