@@ -62,6 +62,20 @@ class PlanSpec extends SparkSuite {
     Caches.release(spark) // scoped: drops the signature cache AND its registry entry
   }
 
+  test("wide simhash band join reads persisted signatures and plans no cartesian") {
+    val df = graft.operators.Documents.dedupSimhashWide(spark, SparkSpec.sfTiny)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 2, s"expected both join sides to read the cache, saw $scans:\n" + p.take(3000))
+    // the band join is an equi join on the (band, value) struct —
+    // a cartesian/BNLJ here would mean the band key fell out of the
+    // join condition
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "band join must stay an equi join:\n" + p.take(3000))
+    Caches.release(spark)
+  }
+
   test("brute-force kNN broadcasts the query set, not the corpus") {
     val p = plan(graft.operators.Embeddings.embedKnn(spark, SparkSpec.sfTiny))
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
