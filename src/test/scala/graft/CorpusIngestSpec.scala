@@ -64,20 +64,47 @@ class CorpusIngestSpec extends SparkSuite {
       q.processAllAvailable()
       // first batch: no ledger exists, nothing reaches a join
       assert(CorpusIngest.lastProbedRows.get() === 0L)
+      assert(CorpusIngest.lastFilterSource.get() === "first-batch")
       // pre-populated ledger + a batch of 2 true dups and 3 novel docs:
       // the exact anti join's input must be the Bloom-filtered subset
       // (the dups — no false positive fires at this fpp/scale, and the
-      // filter is deterministic), NOT the whole batch
+      // filter is deterministic), NOT the whole batch. The filter comes
+      // from the PERSISTED file (written by batch 1), not a ledger scan.
       stream.addData(Seq((5L, "alpha"), (6L, "delta"), (7L, "eps"),
         (8L, "zeta"), (9L, "eta")))
       q.processAllAvailable()
       val probed = CorpusIngest.lastProbedRows.get()
       assert(probed === 2L,
         s"anti join input must be the probable-hit subset, saw $probed of 5")
+      assert(CorpusIngest.lastFilterSource.get() === "incremental",
+        "second batch must load the persisted filter, not rescan the ledger")
+      // maintenance path: dropping the filter file forces ONE rebuild
+      // scan, after which incremental maintenance resumes — and the
+      // rebuilt geometry stays merge-compatible
+      CorpusIngest.resetFilter(spark, ledger)
+      stream.addData(Seq((10L, "beta"), (11L, "theta")))
+      q.processAllAvailable()
+      assert(CorpusIngest.lastFilterSource.get() === "rebuilt")
+      assert(CorpusIngest.lastProbedRows.get() === 1L) // beta only
+      stream.addData(Seq((12L, "iota")))
+      q.processAllAvailable()
+      assert(CorpusIngest.lastFilterSource.get() === "incremental")
     } finally q.stop()
     // the gate prunes join INPUT, never decides membership — output exact
     val texts = spark.read.parquet(out).select("text").as[String].collect().sorted
-    assert(texts === Array("alpha", "beta", "delta", "eps", "eta", "gamma", "zeta"))
+    assert(texts === Array("alpha", "beta", "delta", "eps", "eta",
+      "gamma", "iota", "theta", "zeta"))
+    // SUPERSET INVARIANT: the persisted filter must cover every ledger
+    // hash — a false negative there would hand out wrong "definitely
+    // novel" verdicts (the write order corpus -> filter -> ledger
+    // exists to preserve exactly this)
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$ledger/_bloom/filter.bf"))
+    val filter = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    val hashes = spark.read.parquet(ledger).select("h").as[String].collect()
+    assert(hashes.length === 9)
+    hashes.foreach(h => assert(filter.mightContain(h), s"filter missing ledger hash $h"))
   }
 
   test("streaming near-dedup drops a planted near-dup within the watermark, admits beyond it") {
