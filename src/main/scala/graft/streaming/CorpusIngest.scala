@@ -87,13 +87,25 @@ object CorpusIngest {
         // derived from it, and novel must be CONSISTENT between its two
         // reads (recomputation against a just-updated ledger would see
         // its own writes)
+        // ONE filter-construction path (the distributed aggregate) with
+        // ONE explicit geometry: Spark's aggregate clamps numBits at
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits and derives
+        // its hash count differently from BloomFilter.create, so mixing
+        // paths (or letting fpp size the bits implicitly) produces
+        // filters mergeInPlace refuses. Capacity past the bit clamp
+        // degrades fpp — more join input, never wrong answers. A filter
+        // file written under a DIFFERENT conf clamp fails the merge and
+        // therefore the batch: resetFilter() is the remedy.
+        val numBits = math.min(
+          math.ceil(-bloomCapacity * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong,
+          spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong)
         val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
         try {
           val (novel, standing) =
             if (!fs.exists(ledgerPath)) { // first batch: no ledger yet
               lastProbedRows.set(0L)
               lastFilterSource.set("first-batch")
-              (hashed, BloomFilter.create(bloomCapacity, bloomFpp))
+              (hashed, None: Option[BloomFilter])
             } else {
               val ledger = spark.read.parquet(ledgerDir).select("h")
               val bp = bloomPath(ledgerDir)
@@ -104,7 +116,7 @@ object CorpusIngest {
                   finally in.close()
                 } else {
                   lastFilterSource.set("rebuilt")
-                  ledger.stat.bloomFilter("h", bloomCapacity, bloomFpp)
+                  ledger.stat.bloomFilter("h", bloomCapacity, numBits)
                 }
               val bloomBc = spark.sparkContext.broadcast(filter)
               val mightContain = udf((h: String) => bloomBc.value.mightContain(h))
@@ -114,15 +126,15 @@ object CorpusIngest {
               lastProbedRows.set(probable.count())
               (flagged.filter(!col("probable")).drop("probable")
                 .unionByName(probable.join(ledger, Seq("h"), "left_anti")),
-                filter)
+                Some(filter))
             }
           novel.persist(); toRelease += novel
           novel.drop("h").write.mode(SaveMode.Append).parquet(outDir)
           // merge the batch's novel hashes into the standing filter and
           // persist it BEFORE the ledger append (superset invariant)
-          standing.mergeInPlace(
-            novel.stat.bloomFilter("h", bloomCapacity, bloomFpp))
-          writeFilter(fs, bloomPath(ledgerDir), standing)
+          val batchFilter = novel.stat.bloomFilter("h", bloomCapacity, numBits)
+          standing.foreach(batchFilter.mergeInPlace)
+          writeFilter(fs, bloomPath(ledgerDir), batchFilter)
           novel.select("h").write.mode(SaveMode.Append).parquet(ledgerDir)
         } finally toRelease.foreach(_.unpersist())
       }

@@ -41,8 +41,12 @@ import graft.operators.Documents
   * fails the micro-batch so the checkpoint retries it. */
 object NearDupIngest {
 
+  /** `maxHamming` defaults to the strict 64-bit bar (3 → 4×16-bit
+    * bands, pigeonhole-guaranteed, collision-light); looser bars force
+    * 8-bit bands whose random-collision term grows quadratically with
+    * BATCH size — size micro-batches accordingly or verify downstream. */
   def ingestNearDedup(docs: DataFrame, indexDir: String, outDir: String,
-                      checkpointDir: String, maxHamming: Int = 12,
+                      checkpointDir: String, maxHamming: Int = 3,
                       watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -54,8 +58,17 @@ object NearDupIngest {
         try {
           val indexPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+          // data-file check, not bare exists: a fully-expired index
+          // (every date partition dropped) leaves an empty directory,
+          // which must mean "no standing signatures", not a read error
+          def hasData = {
+            val it = fs.listFiles(indexPath, true)
+            var found = false
+            while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+            found
+          }
           val afterProbe =
-            if (!fs.exists(indexPath)) sims // first batch: no index yet
+            if (!fs.exists(indexPath) || !hasData) sims // no index (yet, or expired)
             else {
               val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
               val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
@@ -83,4 +96,23 @@ object NearDupIngest {
         } finally sims.unpersist()
       }
       .start()
+
+  /** Drop index date-partitions entirely BEFORE `cutoff` — the
+    * retention pass the date-partitioned layout exists for: expiry is
+    * a directory delete, no rewrite, no scan. Runs against any Hadoop
+    * filesystem. Safe at any time relative to the probe: the probe
+    * filters `ts >= maxTs - watermark`, so partitions at least a full
+    * horizon older than the live stream can never be probed again.
+    * Returns the number of partitions dropped. */
+  def expireIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                  cutoff: java.time.LocalDate): Int = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("d="))
+      .filter(d => java.time.LocalDate.parse(d.getName.stripPrefix("d="))
+        .isBefore(cutoff))
+      .count { d => fs.delete(d, true); true }
+  }
 }

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.streaming.{CorpusIngest, NearDupIngest}
+
+/** Streaming-tier throughput at scale: drive the BigBenchLlm document
+  * corpus through the ingest stages as a real file-source stream
+  * (`maxFilesPerTrigger` slices the 32 part files into micro-batches)
+  * and report docs/sec end to end — checkpointing, ledger/index reads,
+  * Bloom maintenance and all sink writes included. Usage:
+  *
+  *   runMain graft.tools.IngestBench <rows> <exact|near> [filesPerTrigger]
+  *
+  * Emits one JSON line; results recorded in BIGBENCH.md. */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val mode = args.lift(1).getOrElse("exact")
+    val filesPerTrigger = args.lift(2).map(_.toInt).getOrElse(8)
+    val srcDir = s"target/bigbench/llm_$rows/documents.parquet"
+    require(new java.io.File(srcDir).exists(), s"run BigBenchLlm $rows first ($srcDir)")
+    val base = s"target/ingestbench/${mode}_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // fresh run each invocation: ledger/index state is the measurement
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(basePath)) fs.delete(basePath, true)
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(srcDir)
+
+    val t0 = System.nanoTime()
+    val q = mode match {
+      case "exact" =>
+        CorpusIngest.ingestWithLedger(
+          stream.select("doc_id", "text"),
+          s"$base/ledger", s"$base/corpus", s"$base/ckpt",
+          bloomCapacity = 1L << 25) // sized for the corpus, like production
+      case "near" =>
+        // deterministic event times spread over a day — the stream's
+        // watermark column (stateless projection, no data dependency)
+        NearDupIngest.ingestNearDedup(
+          stream.select(col("doc_id"),
+            timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(86400)))
+              .as("ts"),
+            col("text")),
+          s"$base/index", s"$base/corpus", s"$base/ckpt")
+      case other => sys.error(s"unknown mode $other")
+    }
+    q.processAllAvailable()
+    q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val kept = spark.read.parquet(s"$base/corpus").count()
+    val total = spark.read.parquet(srcDir).count()
+    println(f"""{"mode":"$mode","rows":$total,"kept":$kept,"secs":$secs%.1f,"docs_per_sec":${total / secs}%.0f,"files_per_trigger":$filesPerTrigger}""")
+    spark.stop()
+  }
+}

@@ -125,7 +125,8 @@ class CorpusIngestSpec extends SparkSuite {
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
     val q = NearDupIngest.ingestNearDedup(
       stream.toDF().toDF("doc_id", "ts", "text"),
-      s"$base/index", s"$base/corpus", s"$base/ckpt")
+      s"$base/index", s"$base/corpus", s"$base/ckpt",
+      maxHamming = 12) // loose bar: these short docs flip many bits per edit
     try {
       stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), a),
         (2L, ts("2024-01-01 10:00:01"), b)))
@@ -158,6 +159,18 @@ class CorpusIngestSpec extends SparkSuite {
       val afterThree = spark.read.parquet(s"$base/corpus")
         .select("doc_id").as[Long].collect().sorted
       assert(afterThree === Array(1L, 2L, 4L, 7L), s"got ${afterThree.toSeq}")
+      // retention is a DIRECTORY DROP on the date-partitioned index —
+      // and a fully-expired (empty) index must read as "no standing
+      // signatures", not break the next batch
+      val dropped = NearDupIngest.expireIndex(spark, s"$base/index",
+        java.time.LocalDate.parse("2024-01-02"))
+      assert(dropped === 1, s"dropped $dropped partitions")
+      stream.addData(Seq((8L, ts("2024-01-01 15:00:00"), nearDup(b))))
+      q.processAllAvailable()
+      val afterExpire = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterExpire === Array(1L, 2L, 4L, 7L, 8L),
+        s"expired signatures must be forgotten: ${afterExpire.toSeq}")
     } finally q.stop()
   }
 }
