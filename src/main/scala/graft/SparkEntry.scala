@@ -117,6 +117,8 @@ object SparkEntry {
     "dedup_clusters" -> (Documents.dedupClusters _),
     "dedup_cluster_keep" -> (Documents.dedupClusterKeep _),
     "dedup_incremental" -> (Documents.dedupIncrementalQ _),
+    "text_dup_passages" -> (Documents.textDupPassages _),
+    "dedup_substr_strip" -> (Documents.dedupSubstrStrip _),
     // LLM-pipeline: text analysis / fingerprinting
     "doc_fingerprint" -> (Documents.docFingerprint _),
     "text_stats" -> (Documents.textStats _),
@@ -576,6 +578,35 @@ object SparkEntry {
         |FROM p JOIN n n1 ON new_id = n1.doc_id JOIN n n2 ON corpus_id = n2.doc_id
         |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
         |ORDER BY new_id, corpus_id""".stripMargin,
+    "text_dup_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |        i -> array_to_string(t[i:i+7], ' '))) AS gm FROM tt),
+        |c AS (SELECT gm, count(*) AS c FROM g GROUP BY 1),
+        |d AS (SELECT doc_id, count(*) AS dup_grams FROM g JOIN c USING (gm)
+        |      WHERE c.c > 1 GROUP BY 1)
+        |SELECT tt.doc_id, len(tt.t) - 7 AS n_grams,
+        |       coalesce(d.dup_grams, 0) AS dup_grams,
+        |       round(coalesce(d.dup_grams, 0)::DOUBLE / (len(tt.t) - 7), 4) AS dup_frac
+        |FROM tt LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_substr_strip" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, unnest(t) AS tok FROM toks),
+        |g AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos,
+        |        unnest(list_transform(range(1, len(t) - 6),
+        |               i -> array_to_string(t[i:i+7], ' '))) AS gm FROM toks),
+        |occ AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gm) AS c,
+        |          row_number() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rk
+        |        FROM g),
+        |drops AS (SELECT DISTINCT o.doc_id, o.pos + j AS p
+        |          FROM occ o, (SELECT unnest(range(0, 8)) AS j)
+        |          WHERE o.c > 1 AND o.rk > 1),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |         LEFT JOIN drops ON tok.doc_id = drops.doc_id AND tok.p = drops.p
+        |         WHERE drops.doc_id IS NULL)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_stripped
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_cluster_keep" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -1072,4 +1072,96 @@ object Documents {
 
   def docSplit(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.load(spark, dir, "documents"))
+
+  // --------------------------------------------------------------------
+  // Exact substring dedup (duplicated k-token passages)
+  // --------------------------------------------------------------------
+
+  /** Every k-token window of every document with its 0-based position,
+    * keyed by the xxhash64 of the window text — the positional twin of
+    * [[shingles]] (which deduplicates windows per doc; here position
+    * and multiplicity matter, because the unit of deduplication is the
+    * OCCURRENCE, not the shingle). Hashed 8-byte keys and a single
+    * repartition on the key, so the count aggregate, the window rank,
+    * and the join back are all co-partitioned — one shuffle of the
+    * token-scale stream no matter how the result is consumed. */
+  private def gramWindows(docs: DataFrame, k: Int): DataFrame =
+    docs.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(expr(kgramSql(k))).as(Seq("pos", "gm")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gm")).as("g"))
+      .repartition(col("g"))
+
+  /** Per-document duplicated-passage profile: of a document's k-token
+    * windows, how many occur anywhere else in the corpus (including a
+    * second time in the same document)? High dup_frac marks boilerplate
+    * and template text that near-dup document matching misses — the
+    * passage-level signal behind exact-substring dedup (see Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — the ExactSubstr pass their suffix-array tool runs;
+    * here re-expressed as a window-hash aggregate, which a cluster can
+    * shuffle-partition where a suffix array cannot).
+    *
+    * Scale shape: the window stream is |tokens| rows of 20 bytes
+    * (hash + id + pos); the occurrence count is a map-side-combining
+    * hash aggregate on the already-partitioned key; the dup-set join
+    * back is co-partitioned (no second shuffle of the stream); the
+    * per-doc totals come from a 1-row-per-doc projection, never from
+    * re-aggregating the exploded stream. */
+  def dupPassageProfile(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = gramWindows(docs, k)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val perDocDup = grams.join(dup, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    val totals = docs
+      .select(col("doc_id"), (size(split(col("text"), " ")) - k + 1).as("n_grams"))
+      .filter(col("n_grams") > 0)
+    totals.join(perDocDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  def textDupPassages(spark: SparkSession, dir: String): DataFrame =
+    dupPassageProfile(Tables.load(spark, dir, "documents"))
+
+  /** Exact substring dedup: strip every duplicated k-token passage
+    * occurrence EXCEPT the canonical first one (lexicographic min
+    * (doc_id, pos) per window text), then reassemble each document
+    * from its surviving tokens. Documents whose every token sits under
+    * a stripped window vanish (an exact duplicate of an earlier doc is
+    * removed entirely — the ExactSubstr semantics).
+    *
+    * Scale shape: occurrence rank and count are both windows over the
+    * SAME (g)-partitioning the stream already has — Spark plans one
+    * exchange and one sort for the pair. Stripped positions explode to
+    * at most k rows per duplicated occurrence (duplicated-volume, not
+    * corpus-volume), and the rebuild is one token-level anti join +
+    * aggregate keyed by doc_id. No suffix array, no driver state —
+    * every stage is a shuffle the cluster partitions. */
+  def stripDupPassages(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy("g")
+    val occ = gramWindows(docs, k)
+      .withColumn("c", count(lit(1)).over(byG))
+      .withColumn("rk", row_number().over(byG.orderBy("doc_id", "pos")))
+    val drops = occ.filter(col("c") > 1 && col("rk") > 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+    toks.join(drops, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        " ").as("text_stripped"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstrStrip(spark: SparkSession, dir: String): DataFrame =
+    stripDupPassages(Tables.load(spark, dir, "documents"))
 }

@@ -209,6 +209,44 @@ class DedupSpec extends SparkSuite {
     assert(found === Set((100L, 1L)), s"got $found")
   }
 
+  test("dupPassageProfile counts only windows that repeat somewhere") {
+    // doc 0 and 1 share one 8-token passage; doc 2 is all-unique tokens
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (0L, s"a1 a2 $shared a3 a4"),
+      (1L, s"b1 b2 b3 $shared b4"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+    val out = Documents.dupPassageProfile(docs, k = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 0: 12 tokens → 5 windows, exactly one (the shared span aligned
+    // at pos 2) also occurs in doc 1; same for doc 1 at pos 3
+    assert(out(0L) === (5L, 1L))
+    assert(out(1L) === (5L, 1L))
+    assert(out(2L) === (3L, 0L)) // 10 tokens → 3 windows, none repeat
+  }
+
+  test("stripDupPassages keeps the canonical first occurrence only") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (0L, s"a1 a2 $shared a3"),
+      (1L, s"b1 $shared b2 b3"),
+      (999L, s"a1 a2 $shared a3")) // exact dup of doc 0
+      .toDF("doc_id", "text")
+    val out = Documents.stripDupPassages(docs, k = 8)
+      .as[(Long, String)].collect().toMap
+    // doc 0 is the lexicographic-first holder of every duplicated
+    // window → survives intact
+    assert(out(0L) === s"a1 a2 $shared a3")
+    // doc 1 loses the shared span's tokens but keeps its own
+    assert(out(1L) === "b1 b2 b3")
+    // the exact dup keeps only tokens outside duplicated windows; its
+    // windows "a2 s1..s7" etc. are all dups of doc 0's, so only the
+    // tokens never covered by any window (none here: every token sits
+    // under some duplicated window) survive → doc vanishes
+    assert(!out.contains(999L), s"exact dup not stripped: ${out.get(999L)}")
+  }
+
   test("langId predicts constructed texts") {
     val samples = Seq(
       ("the cat and the dog of the house is with us", "en"),
