@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_incremental" -> (Documents.dedupIncrementalQ _),
     "text_dup_passages" -> (Documents.textDupPassages _),
     "dedup_substr_strip" -> (Documents.dedupSubstrStrip _),
+    "dedup_semantic" -> (Embeddings.dedupSemantic _),
     // LLM-pipeline: text analysis / fingerprinting
     "doc_fingerprint" -> (Documents.docFingerprint _),
     "text_stats" -> (Documents.textStats _),
@@ -138,6 +139,10 @@ object SparkEntry {
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
     "doc_chunk" -> (Documents.docChunk _),
+    "pipeline_curate" -> (Documents.pipelineCurate _),
+    "corpus_upsample" -> (Documents.corpusUpsample _),
+    "corpus_shuffle" -> (Documents.corpusShuffle _),
+    "text_pmi" -> (Documents.textPmi _),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
@@ -607,6 +612,52 @@ object SparkEntry {
         |         WHERE drops.doc_id IS NULL)
         |SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_stripped
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_curate" ->
+      """WITH w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d AS (SELECT d.doc_id, d.lang, d.source, d.text, string_split(d.text, ' ') AS t
+        |      FROM documents d JOIN w USING (doc_id)),
+        |s AS (SELECT doc_id, lang, source, text, len(t)::BIGINT AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_frac,
+        |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_frac,
+        |  round(least(len(t)::DOUBLE / 64.0, 1.0), 4) AS len_frac,
+        |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
+        |  FROM d),
+        |q AS (SELECT doc_id, lang, source, text, n_tokens,
+        |  round(alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
+        |        + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality FROM s)
+        |SELECT doc_id, lang, source, n_tokens, quality
+        |FROM q WHERE quality >= 0.55 AND n_tokens >= 8 AND substr(md5(text), 1, 2) < 'd0'
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_upsample" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  (CASE lang WHEN 'de' THEN 2 WHEN 'es' THEN 3 WHEN 'fr' THEN 1
+        |             WHEN 'zh' THEN 0 ELSE 1 END
+        |   + CASE WHEN substr(md5(text), 1, 2) <
+        |       CASE lang WHEN 'de' THEN '80' WHEN 'es' THEN '40' WHEN 'fr' THEN '80'
+        |                 WHEN 'zh' THEN 'c0' ELSE '00' END
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, lang, n_copies, unnest(range(1, n_copies + 1))::BIGINT AS copy
+        |FROM d WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id, md5(text || ':42') AS skey FROM documents
+        |ORDER BY skey, doc_id LIMIT 200""".stripMargin,
+    "text_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT unnest(t) AS tok FROM t),
+        |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
+        |nu AS (SELECT count(*) AS nu FROM toks),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |       FROM t WHERE len(t) >= 2),
+        |cb AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |nb AS (SELECT count(*) AS nb FROM bg),
+        |s AS (SELECT bigram, cb, string_split(bigram, ' ')[1] AS w1,
+        |             string_split(bigram, ' ')[2] AS w2 FROM cb)
+        |SELECT s.bigram, s.cb AS n_pair,
+        |  round(ln((s.cb::DOUBLE / nb.nb) / ((u1.cu::DOUBLE / nu.nu) * (u2.cu::DOUBLE / nu.nu))), 4) AS pmi
+        |FROM s JOIN uni u1 ON s.w1 = u1.tok JOIN uni u2 ON s.w2 = u2.tok
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi DESC, s.bigram LIMIT 20""".stripMargin,
     "dedup_cluster_keep" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

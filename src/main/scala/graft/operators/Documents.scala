@@ -1164,4 +1164,151 @@ object Documents {
 
   def dedupSubstrStrip(spark: SparkSession, dir: String): DataFrame =
     stripDupPassages(Tables.load(spark, dir, "documents"))
+
+  /** End-to-end curation pipeline — the composed pass a training run
+    * actually executes: exact dedup → quality gate → length floor →
+    * deterministic downsample, as ONE declarative plan (Catalyst fuses
+    * the post-dedup stages into a single projection+filter over the
+    * aggregate, so the whole pipeline costs exactly one shuffle — the
+    * text-keyed dedup).
+    *
+    * The dedup keeps `min(struct(doc_id, lang, source))` per distinct
+    * text: struct ordering compares doc_id first, so the winner is the
+    * same min-doc_id representative as [[dedupExact]] but carries its
+    * lang/source along without a join back. Everything downstream
+    * (token count, quality score, md5 gate) is a map over the winner
+    * rows. Scale: one hash-aggregate shuffle on text, then narrow —
+    * the same shape at 100 TB, with AQE coalescing the post-agg
+    * stream. */
+  def curatePipeline(docs: DataFrame, minQuality: Double = 0.55,
+                     minTokens: Int = 8, keepBelow: String = "d0"): DataFrame = {
+    val winners = docs
+      .groupBy("text")
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.source").as("source"), col("text"))
+    val scored = winners
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("alpha_frac",
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")), 4))
+      .withColumn("distinct_frac",
+        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4))
+      .withColumn("len_frac",
+        round(least(size(col("t")).cast("double") / 64.0, lit(1.0)), 4))
+      .withColumn("stop_ratio",
+        round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("double") / size(col("t")), 4))
+      .withColumn("quality", round(
+        col("alpha_frac") * 0.3 + col("distinct_frac") * 0.3 +
+          col("len_frac") * 0.2 + least(col("stop_ratio") * 5, lit(1.0)) * 0.2, 4))
+    scored
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+      .filter(substring(md5(col("text").cast("binary")), 1, 2) < keepBelow)
+      .select("doc_id", "lang", "source", "n_tokens", "quality")
+      .orderBy("doc_id")
+  }
+
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame =
+    curatePipeline(Tables.load(spark, dir, "documents"))
+
+  /** Weighted-epoch upsampling — the mixture step that repeats
+    * high-value domains fractionally (wiki 2.5 epochs, books 1.25, …).
+    * Each doc gets `floor(w)` guaranteed copies plus one more iff its
+    * content hash falls under the fractional threshold, so a weight of
+    * 2.5 yields exactly 2 or 3 copies deterministically per document —
+    * reproducible across runs, clusters, and partitionings, unlike
+    * `rand()`-based sampling. Thresholds are two-hex-digit md5 prefixes
+    * (probability = prefix/256), the same engine-portable idiom as
+    * [[sampleHash]]. Copies materialize via `explode(sequence(1, n))` —
+    * a narrow generate, no shuffle anywhere; the whole operator is
+    * map-side at any scale. */
+  def upsampleByWeight(docs: DataFrame,
+                       weights: Map[String, (Int, String)],
+                       default: (Int, String) = (1, "00")): DataFrame = {
+    val (defFloor, defThr) = default
+    val floorCol = weights.foldLeft(lit(defFloor)) { case (acc, (lang, (fl, _))) =>
+      when(col("lang") === lang, lit(fl)).otherwise(acc)
+    }
+    val thrCol = weights.foldLeft(lit(defThr)) { case (acc, (lang, (_, thr))) =>
+      when(col("lang") === lang, lit(thr)).otherwise(acc)
+    }
+    docs
+      .withColumn("n_copies",
+        (floorCol + when(substring(md5(col("text").cast("binary")), 1, 2) < thrCol, 1)
+          .otherwise(0)).cast("long"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(expr("sequence(1L, n_copies)")).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  /** Registered mixture: de ×2.5, es ×3.25, fr ×1.5, zh ×0.75, en ×1. */
+  def corpusUpsample(spark: SparkSession, dir: String): DataFrame =
+    upsampleByWeight(Tables.load(spark, dir, "documents"),
+      Map("de" -> (2, "80"), "es" -> (3, "40"), "fr" -> (1, "80"),
+          "zh" -> (0, "c0"), "en" -> (1, "00")))
+
+  /** Deterministic global shuffle — the example-order randomization
+    * before training, as a content-keyed sort instead of `rand()`:
+    * key = md5(text ‖ seed), so the same corpus shuffles identically
+    * on every run and any cluster, and re-shuffling for epoch 2 is
+    * just a new seed. At scale the full operator is a range
+    * repartition + within-partition sort on the key (Spark's
+    * `orderBy` plans exactly that — sampled range boundaries, no
+    * single-node sort); the training loader then reads shards in
+    * partition order. */
+  def shuffleDeterministic(docs: DataFrame, seed: String = "42"): DataFrame =
+    docs
+      .withColumn("skey", md5(concat(col("text"), lit(":" + seed)).cast("binary")))
+      .select("doc_id", "skey")
+      .orderBy("skey", "doc_id")
+
+  /** Registered head: first 200 docs of the epoch-42 shuffle order —
+    * `orderBy.limit` plans TakeOrderedAndProject, so the query is a
+    * top-k scan, not a full sort, while the oracle pins the key
+    * computation and order. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    shuffleDeterministic(Tables.load(spark, dir, "documents")).limit(200)
+
+  /** PMI collocations — pointwise mutual information over adjacent
+    * token pairs: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from
+    * the bigram stream (duplicates preserved — [[kgramSql]] k=2) and
+    * p(·) from the unigram stream. The collocation mining every
+    * tokenizer-vocabulary and phrase-detection pass runs; `minCount`
+    * cuts the unstable long tail before ranking.
+    *
+    * Scale shape: two map-side-combining hash aggregates (unigram,
+    * bigram counts), two word-keyed equi joins to attach the marginal
+    * counts (AQE broadcasts whichever side fits; at corpus scale both
+    * are sound shuffle joins on the word key), 1-row count frames
+    * cross-joined in (broadcast NL), and a TakeOrderedAndProject
+    * top-k. Everything linear in token volume. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    val t = docs.select(split(col("text"), " ").as("t"))
+    val toks = t.select(explode(col("t")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val nUni = toks.agg(count(lit(1)).as("nu"))
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(explode(expr(kgramSql(2))).as("bigram"))
+    val cb = bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+    val nBi = bi.agg(count(lit(1)).as("nb"))
+    cb
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(nUni).crossJoin(nBi)
+      .select(col("bigram"), col("cb").as("n_pair"),
+        round(log((col("cb").cast("double") / col("nb")) /
+          ((col("cu1").cast("double") / col("nu")) *
+           (col("cu2").cast("double") / col("nu")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def textPmi(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.load(spark, dir, "documents"))
 }

@@ -558,6 +558,64 @@ object Embeddings {
   def embedPq(spark: SparkSession, dir: String): DataFrame =
     annPq(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
 
+  /** Semantic dedup pairs — SemDeDup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): partition the embedding space with k-means,
+    * then compare cosines only WITHIN each cluster. Complements the
+    * sign-LSH band path ([[embedCosinePairs]]): bands bound candidate
+    * volume probabilistically per signature collision; clusters bound
+    * it structurally — Σ (cluster choose 2) — and the k knob sets the
+    * expected cluster size (n/k), which is how the paper runs at
+    * web scale (k large enough that clusters hold thousands of
+    * points, making within-cluster all-pairs affordable).
+    *
+    * Determinism: [[fitKmeans]] is seeded + hash-sampled, assignment
+    * is the codegen argmax projection, so the pair set is stable
+    * across runs/partitionings. The assigned frame is persisted
+    * (registry-scoped) so the self-join's two sides share one
+    * computation and one cid-keyed exchange. */
+  def semanticDupPairs(emb: DataFrame, simThreshold: Double,
+                       nCentroids: Int = 16, iters: Int = 4): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val planKey = vecs.queryExecution.analyzed.semanticHash()
+    sweepQuantizers()
+    val cents = quantizers.computeIfAbsent(
+      (vecs.sparkSession, planKey, nCentroids, iters),
+      _ => fitKmeans(vecs, nCentroids, iters))
+    val assigned = graft.Caches.persist(vecs
+      .select(col("vec_id"), col("embedding"),
+        element_at(nearestCids(cents, 1), 1).as("cid"))
+      .repartition(col("cid")))
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotCol("ea", "eb") / (normCol("ea") * normCol("eb")), 6).as("sim"))
+      .filter(col("sim") >= simThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Greedy keep after semantic dedup: drop the higher id of every
+    * duplicate pair (anti join against the drop set — same decision
+    * rule as the text-side keep list). */
+  def semanticKeep(emb: DataFrame, simThreshold: Double,
+                   nCentroids: Int = 16, iters: Int = 4): DataFrame = {
+    val drops = semanticDupPairs(emb, simThreshold, nCentroids, iters)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.select("vec_id").join(drops, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** Registered query (rows-only: k-means is Spark-side). The driver
+    * corpus has no planted semantic dups (background cosine σ≈0.124),
+    * so 0 pairs at τ=0.9 is the true answer — the planted-dup
+    * behavior is spec-asserted (EmbeddingsSpec). */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticDupPairs(Tables.load(spark, dir, "embeddings"), simThreshold = 0.9)
+
   /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
     * top-k frames). Driver-side collect — a measurement utility for
     * the quality specs and `tools.PqProbe`, shared so the bar-setting

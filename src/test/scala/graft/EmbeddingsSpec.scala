@@ -126,6 +126,30 @@ class EmbeddingsSpec extends SparkSuite {
     assert(recallWide >= 0.9, s"wide-band recall $recallWide, found $foundWide")
   }
 
+  test("semanticDupPairs (SemDeDup) finds planted dups within k-means cells") {
+    // Same planted-dup corpus as the band-join test: a near-copy's
+    // embedding is ~identical, so it lands in the same k-means cell as
+    // its base and the within-cluster cosine pass must surface it.
+    var seed = 42L
+    def rnd(): Float = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33).toInt % 1000) / 1000.0f }
+    val bases = (0 until 60).map(i => (i.toLong, Array.fill(32)(rnd())))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 100, v.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.001f else x })
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val found = Embeddings.semanticDupPairs(df, simThreshold = 0.99, nCentroids = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(i => (i.toLong, i + 100L)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"recall $recall, found $found")
+    // greedy keep drops the higher id of each surviving pair, keeps the rest
+    val kept = Embeddings.semanticKeep(df, simThreshold = 0.99, nCentroids = 8)
+      .as[Long].collect().toSet
+    val dropped = found.map(_._2)
+    assert(kept === (bases ++ dups).map(_._1).toSet -- dropped)
+    assert((0 until 10).forall(i => kept.contains(i.toLong)), "canonical low ids kept")
+  }
+
   test("annPq (PQ pre-filter + exact rerank) recall@10 >= 0.9 vs brute force") {
     // default m=8 × 16 codewords = 8 bytes/vector (32× compression);
     // measured 0.94 at sf0.01 via tools.PqProbe — raw PQ ranking alone

@@ -159,4 +159,70 @@ class PipelineOpsSpec extends SparkSuite {
     }.toSet
     assert(covered === (1 to 60).toSet)
   }
+
+  test("curatePipeline dedups, gates quality and length, keeps winners") {
+    val prose = "the quick brown fox jumps over a lazy dog in the sunny field of grass"
+    val docs = Seq(
+      (1L, prose, "en", "srcA"),
+      (5L, prose, "en", "srcB"),                       // exact dup — loses to 1
+      (2L, "$$$ ### 123 %%% ^^^ &&& *** @@@ !!! ~~~ ;;; :::", "en", "srcA"), // symbol soup
+      (3L, "hello world", "en", "srcA"),               // under the token floor
+      (4L, "a calm river flows through the old town past the stone bridge and quiet gardens",
+        "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+    // keepBelow "zz" disables the downsample gate (every hex prefix < "zz")
+    val got = Documents.curatePipeline(docs, keepBelow = "zz")
+      .as[(Long, String, String, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 4L), s"survivors: ${got.toSeq}")
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._3 === "srcA", "dedup winner carries its own source, not the loser's")
+    assert(got.forall(_._5 >= 0.55) && got.forall(_._4 >= 8))
+  }
+
+  test("upsampleByWeight emits floor-or-floor+1 copies deterministically") {
+    val docs = (0 until 40).map(i => (i.toLong, s"document number $i with text", if (i % 2 == 0) "aa" else "bb"))
+      .toDF("doc_id", "text", "lang")
+    val got = Documents.upsampleByWeight(docs,
+      Map("aa" -> (2, "80"), "bb" -> (0, "00")))
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.forall(_._2 == "aa"), "weight-0 language is dropped entirely")
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.size === 20, "every aa doc survives")
+    byDoc.values.foreach { rows =>
+      val n = rows.head._3
+      assert(n == 2L || n == 3L, s"floor 2 + fractional '80' gives 2 or 3, got $n")
+      assert(rows.map(_._4).sorted.toSeq === (1L to n), "copy index is 1..n")
+    }
+    // ~50% threshold: both copy counts must actually occur over 20 docs
+    val counts = byDoc.values.map(_.head._3).toSet
+    assert(counts === Set(2L, 3L), s"fractional gate never fires or always fires: $counts")
+    // deterministic: a second run is identical
+    val again = Documents.upsampleByWeight(docs,
+      Map("aa" -> (2, "80"), "bb" -> (0, "00")))
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("shuffleDeterministic is stable across runs and input partitioning") {
+    val docs = (0 until 100).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")
+    val a = Documents.shuffleDeterministic(docs).as[(Long, String)].collect().toSeq
+    val b = Documents.shuffleDeterministic(docs.repartition(7)).as[(Long, String)].collect().toSeq
+    assert(a === b, "same order regardless of input partitioning")
+    assert(a.map(_._1).toSet === (0L until 100L).toSet, "a shuffle is a permutation")
+    assert(a.map(_._1) != (0L until 100L).toSeq, "and not the identity one")
+  }
+
+  test("pmiCollocations ranks an always-together pair above independent words") {
+    val glued = (0 until 8).map(i => (100L + i, s"new york skyline view number n$i"))
+    val filler = (0 until 8).map(i => (200L + i, s"the cat sat near the f$i door and the mat"))
+    val docs = (glued ++ filler).toDF("doc_id", "text")
+    val got = Documents.pmiCollocations(docs, minCount = 5, k = 10)
+      .as[(String, Long, Double)].collect()
+    val ny = got.find(_._1 == "new york")
+    assert(ny.nonEmpty, s"'new york' must survive minCount and rank: ${got.toSeq}")
+    assert(ny.get._2 === 8L)
+    assert(ny.get._3 > 0.0, "always-together pair has positive PMI")
+    // 'the cat' occurs 8 times but 'the' is frequent — PMI must be lower
+    got.find(_._1 == "the cat").foreach(tc => assert(tc._3 < ny.get._3))
+  }
 }
