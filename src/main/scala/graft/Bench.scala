@@ -95,7 +95,18 @@ object Bench {
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"load_s":$loadS,"runs":3,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"load_s":$loadS,"runs":3,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // Stdout-tail capture truncated round 6's line mid-JSON, losing the
+    // per-query timings; persist the full line so round-over-round
+    // regression diffs survive any output clipping.
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_latest.json"), line + "\n")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not persist bench_latest.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -27,8 +27,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw int64 ns
-      // (converted to µs timestamps in Tables.loadEvents).
+      // Some events.parquet generations carry TIMESTAMP(NANOS), which
+      // Spark 4 refuses without this conf; with it they read as raw
+      // int64 ns and Tables.normalizeTs converts. Harmless for the
+      // timestamp[us] generations (the conf only touches NANOS).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // catalog-managed (e.g. bucketed) tables land under target/, not
       // the repo root; cluster deployments override with their real

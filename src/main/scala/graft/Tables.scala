@@ -39,23 +39,47 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses outright (`PARQUET_TYPE_ILLEGAL`). Read the column
-    * as its raw int64 nanos (legacy `nanosAsLong`) and truncate to
-    * microseconds with integer division — `ts div 1000`, not a double
-    * divide, because epoch-ns (~1.7e18) exceeds the 2^53 double mantissa
-    * and would corrupt low-order digits. DuckDB applies the same ns→µs
-    * truncation when it casts its ns timestamp down, so the oracle agrees.
-    *
-    * The `nanosAsLong` conf is session-construction state
-    * ([[GraftSession.builder]]), NOT set here: a read-time
-    * `spark.conf.set` from a library call is a data race against every
-    * concurrent query in the session (and against another thread's
-    * read of the same flag). A session built without [[GraftSession]]
-    * fails fast with `PARQUET_TYPE_ILLEGAL`, which names the fix. */
+  /** The physical type of `events.ts` is environment-owned and has
+    * changed underneath the repo once already (TIMESTAMP(NANOS) →
+    * timestamp[us]), so the loader branches on the schema it actually
+    * read rather than assuming either layout. [[normalizeTs]] is the
+    * single place that branch lives; the streaming twin
+    * ([[graft.streaming.EventStream.readEvents]]) reuses it so batch
+    * and stream can never diverge. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Normalize an events frame so `ts` is always session-TZ
+    * `TimestampType`, whatever the file stored:
+    *
+    *  - `LongType`: raw int64 nanos (TIMESTAMP(NANOS) read via the
+    *    legacy `nanosAsLong` conf set in [[GraftSession.builder]] —
+    *    Spark 4 refuses NANOS outright without it). Truncate to µs with
+    *    integer division — `ts div 1000`, not a double divide, because
+    *    epoch-ns (~1.7e18) exceeds the 2^53 double mantissa and would
+    *    corrupt low-order digits. DuckDB applies the same ns→µs
+    *    truncation, so the oracle agrees.
+    *  - `TimestampNTZType`: parquet timestamp[us] with
+    *    isAdjustedToUTC=false (what pandas/pyarrow write by default).
+    *    Cast to session-TZ timestamp; the session TZ is pinned UTC
+    *    ([[GraftSession]]), so the cast is value-preserving and matches
+    *    DuckDB's naive read.
+    *  - `TimestampType`: already what we want — pass through.
+    *  - anything else: fail with a named error. A silent mis-read here
+    *    cost eight queries in round 6; unknown drift must be loud. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — supported: " +
+        "int64 nanos (legacy nanosAsLong), timestamp[us] (NTZ), timestamp (LTZ). " +
+        "The testdata schema drifted; extend Tables.normalizeTs.")
+    }
 
   /** Register just the tables a query needs (keeps catalog init from
     * failing on unrelated unreadable files). */

@@ -186,10 +186,13 @@ object EventStream {
 
   /** Streaming read of an events parquet directory (new files are
     * picked up incrementally — the standard lake-ingest pattern).
-    * The stream must use the RAW file schema (ts as int64 nanos via
-    * the legacy nanosAsLong read) and apply the same ns→µs conversion
-    * as the batch path — feeding the converted schema to the file
-    * source would misinterpret the raw longs. */
+    * The stream must use the RAW file schema (int64-nanos files arrive
+    * as LongType via the legacy nanosAsLong read; timestamp[us] files
+    * as TIMESTAMP_NTZ) and then apply the same schema-adaptive `ts`
+    * normalization as the batch path ([[graft.Tables.normalizeTs]]) —
+    * feeding a converted schema to the file source would misinterpret
+    * the raw values, and a hard-coded conversion breaks the moment the
+    * environment swaps the physical type (it did, round 6). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong is session-construction state (GraftSession.builder)
     // — mutating session conf at read time races concurrent queries
@@ -197,10 +200,10 @@ object EventStream {
     // the file source wants a directory; glob the single table file
     // with an explicit basePath so a real lake layout (directory of
     // part files) works identically
-    spark.readStream.schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events.[p]arquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.[p]arquet"))
   }
 
   /** Convenience: run [[windowedCounts]] on [[readEvents]] into an
