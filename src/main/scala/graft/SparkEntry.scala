@@ -522,14 +522,37 @@ object SparkEntry {
         |       round(avg(-ln(tf::DOUBLE / total)), 4) AS avg_surprisal
         |FROM toks JOIN u USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // ---- LLM-pipeline oracles (dedup_minhash / dedup_simhash /
-    // embed_ann_lsh / embed_ann_ivf are rows-only: they depend on
-    // Spark-side hash functions or LSH/quantizer internals the oracle
-    // can't reproduce; their quality bars live in the ScalaTest
-    // specs). ----
+    // ---- LLM-pipeline oracles (dedup_simhash / embed_ann_lsh /
+    // embed_ann_ivf are rows-only: they depend on Spark-side hash
+    // functions or LSH/quantizer internals the oracle can't
+    // reproduce; their quality bars live in the ScalaTest specs).
+    // dedup_minhash IS a hard oracle row since round 7: its hash
+    // family is salted md5, which DuckDB reproduces exactly, so the
+    // oracle replays signature → banding → candidates → verify. ----
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |sigs AS (SELECT doc_id,
+        |           list_transform(range(0, 16),
+        |             i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+        |         FROM shl WHERE len(sh) > 0),
+        |banded AS (SELECT doc_id, unnest(range(0, 8)) AS b, sig FROM sigs),
+        |bh AS (SELECT doc_id, b, sig[2*b + 1] AS h1, sig[2*b + 2] AS h2 FROM banded),
+        |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM bh a JOIN bh b
+        |            ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2
+        |               AND a.doc_id < b.doc_id),
+        |j AS (SELECT d1, d2,
+        |        round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+        |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        |      FROM cands JOIN shl s1 ON d1 = s1.doc_id JOIN shl s2 ON d2 = s2.doc_id)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

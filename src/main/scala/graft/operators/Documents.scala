@@ -426,6 +426,17 @@ object Documents {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         graft.functions.VectorExpressions.minhashSig(col("sh"), nPerms).as("sig"))
+    bandedVerifiedPairs(docs, sigs, bands, simThreshold)
+  }
+
+  /** Shared tail of both MinHash variants: band a `(doc_id, sig)` frame
+    * (2 signature values per band), self-join per band for candidates,
+    * then exact-Jaccard-verify ONLY the candidate docs (precision 1.0 —
+    * estimator error never reaches the output). The band join shuffles
+    * narrow (band, h1, h2, doc_id) rows; the fat shingle arrays are
+    * recomputed for just the candidate subset and broadcast. */
+  private def bandedVerifiedPairs(docs: DataFrame, sigs: DataFrame,
+                                  bands: Int, simThreshold: Double): DataFrame = {
     val banded = sigs.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |          b -> struct(b AS band, sig[b * 2] AS h1, sig[b * 2 + 1] AS h2))""".stripMargin)).as("bv"))
@@ -452,8 +463,35 @@ object Documents {
       .orderBy("d1", "d2")
   }
 
+  /** Engine-portable MinHash-LSH — the same banded pipeline as
+    * [[minhashPairs]] (16-value signature, 8 bands × 2 rows, candidate
+    * self-join, exact-Jaccard verify) with one substitution: the hash
+    * family is salted md5 over the shingle string (`md5(i || ':' || s)`,
+    * min by lexicographic hex) instead of the codegen'd xxhash64
+    * permutations. md5 exists with identical semantics in every SQL
+    * engine, so a DuckDB oracle can replay the ENTIRE pipeline —
+    * signatures, banding, candidate set, verify — value-for-value:
+    * the query is a hard rows+schema+hash oracle row even though LSH
+    * is probabilistic, because both engines take the same "random"
+    * choices. [[minhashPairs]] (xxhash64, one codegen loop, no
+    * per-perm string materialization) remains the measured 10M-doc
+    * scale path (BIGBENCH.md); this variant costs nPerms md5 calls
+    * per shingle, all map-side — the plan shape (one narrow-row band
+    * shuffle, candidate-only verify) is identical. */
+  def minhashPairsPortable(docs: DataFrame, simThreshold: Double): DataFrame = {
+    val nPerms = 16
+    val bands = 8 // × 2 rows/band
+    val sigs = shingleArray(docs).select("doc_id", "sh")
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${nPerms - 1}),
+           |  i -> array_min(transform(sh, s -> md5(concat(cast(i AS string), ':', s)))))"""
+          .stripMargin).as("sig"))
+    bandedVerifiedPairs(docs, sigs, bands, simThreshold)
+  }
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.load(spark, dir, "documents"), simThreshold = 0.6)
+    minhashPairsPortable(Tables.load(spark, dir, "documents"), simThreshold = 0.6)
 
   /** Content fingerprints per document: full-text md5 plus a 1-perm
     * MinHash signature (min over shingle md5s) that survives small
@@ -1300,7 +1338,11 @@ object Documents {
     cb
       .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
-      .crossJoin(nUni).crossJoin(nBi)
+      // 1-row total frames: broadcast explicitly like every other
+      // corpus-total crossJoin here — AQE would rescue an unhinted plan
+      // today, but the hint makes the replicated-side choice load-bearing
+      // rather than incidental
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .select(col("bigram"), col("cb").as("n_pair"),
         round(log((col("cb").cast("double") / col("nb")) /
           ((col("cu1").cast("double") / col("nu")) *

@@ -47,6 +47,21 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, found ${found.size} pairs")
   }
 
+  test("minhashPairsPortable recall >= 0.9 on planted near-dups and agrees with the codegen variant") {
+    val portable = Documents.minhashPairsPortable(planted, simThreshold = 0.6)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = truePairs.count(portable.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"recall $recall, found ${portable.size} pairs")
+    // both variants exact-verify, so precision is 1.0 by construction;
+    // on this corpus every true pair is well above threshold and both
+    // hash families catch all of them — the pair sets must coincide
+    val codegen = Documents.minhashPairs(planted, simThreshold = 0.6)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(portable == codegen,
+      s"portable ${portable.size} vs codegen ${codegen.size} pairs diverge: " +
+        s"only-portable=${(portable -- codegen).take(3)} only-codegen=${(codegen -- portable).take(3)}")
+  }
+
   test("simhashPairs finds planted near-dups via band join") {
     // 2 changed tokens out of 60 flip only a few simhash bits; allow
     // hamming <= 12 here (the production threshold is use-case tuned).
