@@ -68,6 +68,67 @@ object BigBench {
   }
 }
 
+/** Scale proof for the events/time tier: synthesizes N events with the
+  * driver table's exact shape (150 users per 10k events, 30-day span,
+  * five event types, `{"k": n}` props — measured from
+  * /root/testdata/sf0.01) and times each registered events query
+  * END-TO-END from parquet. The tier's heavy hitters are
+  * window-function shapes (sessionize/funnel/asof are one shuffle on
+  * user_id + an ordered partition scan) and the banded range join —
+  * this is the measurement that says whether those stay linear-ish
+  * when events go 1000× past sf0.1's 60k.
+  *
+  * Emits one JSON line; results are recorded in BIGBENCH.md.
+  */
+object BigBenchEvents {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val dir = s"target/bigbench/events_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) {
+      val users = math.max(rows / 67, 1L) // ~67 events/user, like sf0.01
+      val baseUs = 1704067200000000L // 2024-01-01 UTC
+      val spanUs = 30L * 86400 * 1000000 // 30 days
+      spark.range(0, rows, 1, 32).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(baseUs) + pmod(xxhash64(col("id")), lit(spanUs))).as("ts"),
+        pmod(xxhash64(col("id"), lit(1)), lit(users)).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
+          (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / lit(100.0)).as("value"),
+        concat(lit("{\"k\": "),
+          pmod(xxhash64(col("id"), lit(4)), lit(100)).cast("string"),
+          lit("}")).as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val allNames = Seq("events_window", "events_json_props", "events_sessionize",
+      "events_funnel", "events_retention", "events_anomaly",
+      "join_asof", "join_range")
+    val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
+      .getOrElse(allNames)
+    val results = names.map { n =>
+      val t = timeIt(noop(graft.SparkEntry.queries(n)(spark, dir)))
+      graft.Caches.release(spark)
+      n -> t
+    }
+    def jmap(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"rows":$rows,"events_end_to_end":${jmap(results)}}""")
+    spark.stop()
+  }
+}
+
 /** Scale proof for the LLM-pipeline tier: synthesizes 1M documents
   * (40 tokens each, 5k vocab) and 1M 64-dim embeddings —
   * deterministic, hash-derived — then times each dedup/ANN/text
