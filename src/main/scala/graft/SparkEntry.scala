@@ -522,13 +522,13 @@ object SparkEntry {
         |       round(avg(-ln(tf::DOUBLE / total)), 4) AS avg_surprisal
         |FROM toks JOIN u USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // ---- LLM-pipeline oracles (dedup_simhash / embed_ann_lsh /
-    // embed_ann_ivf are rows-only: they depend on Spark-side hash
-    // functions or LSH/quantizer internals the oracle can't
-    // reproduce; their quality bars live in the ScalaTest specs).
-    // dedup_minhash IS a hard oracle row since round 7: its hash
-    // family is salted md5, which DuckDB reproduces exactly, so the
-    // oracle replays signature → banding → candidates → verify. ----
+    // ---- LLM-pipeline oracles (embed_ann_lsh / embed_ann_ivf are
+    // rows-only: they depend on LSH/quantizer internals the oracle
+    // can't reproduce; their quality bars live in the ScalaTest
+    // specs). dedup_minhash and dedup_simhash ARE hard oracle rows
+    // since round 7: their hash family is md5, which DuckDB
+    // reproduces exactly, so the oracle replays signature → banding
+    // → candidates → verify. ----
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -537,10 +537,15 @@ object SparkEntry {
         |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
         |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
         |        FROM toks WHERE len(t) >= 3),
+        |hab AS (SELECT doc_id,
+        |          list_transform(list_transform(sh, s -> md5(s)),
+        |            m -> {'a': ('0x' || substr(m, 1, 15))::BIGINT % 2147483647,
+        |                  'b': ('0x' || substr(m, 17, 15))::BIGINT % 2147483647}) AS hs
+        |        FROM shl WHERE len(sh) > 0),
         |sigs AS (SELECT doc_id,
         |           list_transform(range(0, 16),
-        |             i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
-        |         FROM shl WHERE len(sh) > 0),
+        |             i -> list_min(list_transform(hs, h -> (h.a + i * h.b) % 2147483647))) AS sig
+        |         FROM hab),
         |banded AS (SELECT doc_id, unnest(range(0, 8)) AS b, sig FROM sigs),
         |bh AS (SELECT doc_id, b, sig[2*b + 1] AS h1, sig[2*b + 2] AS h2 FROM banded),
         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -552,6 +557,25 @@ object SparkEntry {
         |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
         |      FROM cands JOIN shl s1 ON d1 = s1.doc_id JOIN shl s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |hs AS (SELECT doc_id,
+        |         list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h
+        |       FROM toks),
+        |sig AS (SELECT doc_id,
+        |          list_sum(list_transform(range(0, 60), b ->
+        |            CASE WHEN list_sum(list_transform(h, x ->
+        |                   CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |                 THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS s
+        |        FROM hs),
+        |banded AS (SELECT doc_id, s, unnest(range(0, 4)) AS b FROM sig),
+        |bh AS (SELECT doc_id, s, b, (s >> (16 * b)::INT) & 65535 AS v FROM banded)
+        |SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+        |       CAST(bit_count(xor(a.s, b2.s)) AS INT) AS hamming
+        |FROM bh a JOIN bh b2
+        |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.s, b2.s)) <= 3
         |ORDER BY d1, d2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -244,14 +244,38 @@ object Documents {
       // InMemoryRelation is a boundary no predicate rewrite can push
       // below.
 
+  /** Engine-portable 60-bit SimHash signature: each token hashes to the
+    * first 15 hex chars of its md5 (60 bits — fits a signed long in
+    * BOTH engines with no sign games), tokens vote ±1 per bit, the
+    * counter signs become the bits. Same construction as the codegen
+    * [[simhashCol]] with one substitution — the hash family is md5,
+    * which DuckDB evaluates identically — so an oracle can replay
+    * signature, banding, candidates and Hamming verify value-for-value.
+    * Computed by the codegen'd
+    * [[graft.functions.VectorExpressions.SimHashMd5]] (one md5 + 60
+    * bit-tests per token, inside whole-stage codegen — NOT the
+    * interpreted HOF fold, whose 60·|tokens| lambda dispatches per row
+    * would tank the 1M-doc bench); the xxhash64 path ([[simhashCol]])
+    * stays available where oracle portability isn't needed and the
+    * md5 cost matters. */
+  def simhashPortableSigs(docs: DataFrame): DataFrame =
+    graft.Caches.persist(docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhashMd5(col("t")).as("simhash")))
+
   /** SimHash near-dup pairs with Hamming distance ≤ 3, via 4×16-bit
     * band join. Pigeonhole: ≤3 differing bits over 4 bands ⇒ at least
     * one band identical, so the band join finds every qualifying pair
     * while only ever shuffling on (band_id, band_value) — never
-    * all-pairs. Not SQL-oracle-expressible (xxhash64 is Spark-specific);
-    * covered by the planted-duplicate recall spec instead. */
+    * all-pairs. A hard oracle row since round 7: the registered query
+    * uses the md5-based [[simhashPortableSigs]] signature, so DuckDB
+    * replays the whole pipeline (the 60-bit signature leaves the top
+    * band with 12 effective bits — the pigeonhole recall guarantee is
+    * unchanged, random collisions per band rise 16×, which the Hamming
+    * gate absorbs). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(withSimhash(Tables.load(spark, dir, "documents")), maxHamming = 3)
+    simhashPairs(simhashPortableSigs(Tables.load(spark, dir, "documents")), maxHamming = 3)
 
   /** Widest supported band (8/16/32 bits) whose 64/b bands still
     * pigeonhole-GUARANTEE recall at `maxHamming` (needs bands ≥
@@ -466,27 +490,32 @@ object Documents {
   /** Engine-portable MinHash-LSH — the same banded pipeline as
     * [[minhashPairs]] (16-value signature, 8 bands × 2 rows, candidate
     * self-join, exact-Jaccard verify) with one substitution: the hash
-    * family is salted md5 over the shingle string (`md5(i || ':' || s)`,
-    * min by lexicographic hex) instead of the codegen'd xxhash64
+    * family is md5-derived instead of the codegen'd xxhash64
     * permutations. md5 exists with identical semantics in every SQL
     * engine, so a DuckDB oracle can replay the ENTIRE pipeline —
     * signatures, banding, candidate set, verify — value-for-value:
     * the query is a hard rows+schema+hash oracle row even though LSH
     * is probabilistic, because both engines take the same "random"
-    * choices. [[minhashPairs]] (xxhash64, one codegen loop, no
-    * per-perm string materialization) remains the measured 10M-doc
-    * scale path (BIGBENCH.md); this variant costs nPerms md5 calls
-    * per shingle, all map-side — the plan shape (one narrow-row band
-    * shuffle, candidate-only verify) is identical. */
+    * choices.
+    *
+    * ONE md5 per shingle, not one per (perm, shingle): the digest's
+    * two 60-bit halves `a`, `b` seed Kirsch–Mitzenmacher permutations
+    * `perm_i = (a + i·b) mod P` (P = 2³¹−1, so every intermediate
+    * stays ≤ 2³⁵ — portable to engines with CHECKED 64-bit arithmetic
+    * like DuckDB, where a wrapping-multiply formulation would error).
+    * Two independent hashes through KM is the standard replacement
+    * for k true permutations (Kirsch & Mitzenmacher 2006, same
+    * construction Bloom-filter libraries use); estimator quality at
+    * 16 perms is unchanged. [[minhashPairs]] (xxhash64 codegen loop)
+    * remains the non-oracle scale alternative; measured at 1M docs
+    * the two are within ~15% (BIGBENCH.md round 7). */
   def minhashPairsPortable(docs: DataFrame, simThreshold: Double): DataFrame = {
     val nPerms = 16
     val bands = 8 // × 2 rows/band
     val sigs = shingleArray(docs).select("doc_id", "sh")
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${nPerms - 1}),
-           |  i -> array_min(transform(sh, s -> md5(concat(cast(i AS string), ':', s)))))"""
-          .stripMargin).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.minhashSigMd5(col("sh"), nPerms).as("sig"))
     bandedVerifiedPairs(docs, sigs, bands, simThreshold)
   }
 

@@ -76,6 +76,15 @@ class DedupSpec extends SparkSuite {
     assert(found.contains((0L, 999L)))
   }
 
+  test("portable simhash finds planted near-dups and hamming-0 exact dup") {
+    val found = Documents.simhashPairs(
+      Documents.simhashPortableSigs(planted), maxHamming = 12)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = truePairs.count(found.contains).toDouble / truePairs.size
+    assert(recall >= 0.8, s"recall $recall, found ${found.size} pairs")
+    assert(found.contains((0L, 999L))) // exact dup: identical signature
+  }
+
   test("maxDocFreq cap bounds candidate volume under a corpus-wide hot shingle") {
     // Boilerplate skew: every doc opens with the same 5-token header
     // (3 corpus-wide shingles), so the uncapped inverted index emits

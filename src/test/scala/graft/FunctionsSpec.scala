@@ -104,6 +104,51 @@ class FunctionsSpec extends SparkSuite {
     out.foreach { case (f, s) => assert(f === s) }
   }
 
+  test("simhashMd5 matches the interpreted md5 vote fold (oracle portability)") {
+    // the SQL fold below is the exact per-token recipe the DuckDB
+    // oracle uses — conv(substring(md5(tok),1,15),16,10) — so this is
+    // the engine-portability contract in one test
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "", "single", "répété tokens répété",
+      "the quick brown fox jumps over the lazy cat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = docs
+      .select(split(col("text"), " ").as("t"))
+      .select(
+        VectorExpressions.simhashMd5(col("t")).as("fast"),
+        expr(
+          """aggregate(
+            |  transform(t, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) AS bigint)),
+            |  array_repeat(0, 60),
+            |  (acc, h) -> zip_with(acc, sequence(0, 59),
+            |              (c, i) -> c + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
+            |  acc -> aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+            |         (s, i) -> s + CASE WHEN acc[i] > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+            |                       ELSE CAST(0 AS BIGINT) END))""".stripMargin).as("slow"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("minhashSigMd5 matches the interpreted KM-over-md5-halves fold (oracle portability)") {
+    // the SQL fold is the DuckDB oracle's exact recipe: one md5 per
+    // element, 60-bit halves mod P, perm_i = (a + i*b) mod P
+    val docs = Seq("the quick brown fox", "a b", "single", "répété tokens")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = docs
+      .select(split(col("text"), " ").as("t"))
+      .select(
+        VectorExpressions.minhashSigMd5(col("t"), 16).as("fast"),
+        expr(
+          """transform(sequence(0, 15), i ->
+            |  array_min(transform(t, s ->
+            |    (cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint) % 2147483647
+            |     + i * (cast(conv(substring(md5(s), 17, 15), 16, 10) AS bigint) % 2147483647))
+            |    % 2147483647)))""".stripMargin).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (f, s) => assert(f === s) }
+  }
+
   test("simhash_wide word 0 equals simhash64; SQL and Column API agree") {
     val docs = Seq("the quick brown fox jumps", "a b", "single")
       .toDF("text").select(split(col("text"), " ").as("t"))
