@@ -558,6 +558,34 @@ object SparkEntry {
         |      FROM cands JOIN shl s1 ON d1 = s1.doc_id JOIN shl s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash_wide" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |hab AS (SELECT doc_id,
+        |          list_transform(list_transform(t, tok -> md5(tok)),
+        |            m -> {'a': ('0x' || substr(m, 1, 15))::BIGINT,
+        |                  'b': ('0x' || substr(m, 17, 15))::BIGINT}) AS h
+        |        FROM toks),
+        |sig AS (SELECT doc_id,
+        |          list_sum(list_transform(range(0, 60), p ->
+        |            CASE WHEN list_sum(list_transform(h, x ->
+        |                   CASE WHEN (x.a >> p) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |                 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS s0,
+        |          list_sum(list_transform(range(0, 60), p ->
+        |            CASE WHEN list_sum(list_transform(h, x ->
+        |                   CASE WHEN (x.b >> p) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |                 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS s1
+        |        FROM hab),
+        |banded AS (SELECT doc_id, s0, s1, unnest(range(0, 4)) AS b FROM sig),
+        |bh AS (SELECT doc_id, s0, s1, b,
+        |         ((CASE WHEN b < 2 THEN s0 ELSE s1 END) >> ((b * 32) % 64)::INT)
+        |           & 4294967295 AS v
+        |       FROM banded)
+        |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |       CAST(bit_count(xor(x.s0, y.s0)) + bit_count(xor(x.s1, y.s1)) AS INT) AS hamming
+        |FROM bh x JOIN bh y
+        |  ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.s0, y.s0)) + bit_count(xor(x.s1, y.s1)) <= 6
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |hs AS (SELECT doc_id,

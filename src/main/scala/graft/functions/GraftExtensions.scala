@@ -65,6 +65,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorExpressions.MinHashSig(args.head, nPerms)
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      info("simhash_md5",
+        "simhash_md5(tokens) - engine-portable 60-bit md5 SimHash of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash_md5 expects 1 argument, got ${args.length}")
+        VectorExpressions.SimHashMd5(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_md5"),
+      info("minhash_sig_md5",
+        "minhash_sig_md5(tokens, nPerms) - engine-portable md5/Kirsch-Mitzenmacher MinHash signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"minhash_sig_md5 expects 2 arguments, got ${args.length}")
+        val nPerms = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"minhash_sig_md5 nPerms must be an integer literal, got $other")
+        }
+        VectorExpressions.MinHashSigMd5(args.head, nPerms)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("mode_count"),
       info("mode_count",
         "mode_count(arr) - multiplicity of the most frequent element of a string array"),

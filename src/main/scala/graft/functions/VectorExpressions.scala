@@ -567,6 +567,41 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `simhash_md5_wide(tokens)` — ENGINE-PORTABLE wide SimHash as
+    * `array<bigint>` of 2 × 60-bit words: the md5 digest's two halves
+    * vote as independent hash functions, so one md5 per token buys a
+    * 120-bit signature. Wide signatures unlock 32-bit bands (random
+    * band collisions at ~2⁻²⁸ even on the 28-effective-bit high
+    * bands) — see [[graft.operators.Documents.simhashPairsWide]]'s
+    * regime notes. Value-identical to the per-half SQL formulation,
+    * so a DuckDB oracle replays it exactly. */
+  case class SimHashMd5Wide(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash_md5_wide"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      Md5SimHashHelper.sig60Wide(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+           |  graft.functions.Md5SimHashHelper$$.MODULE$$.sig60Wide($a);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `mode_count(arr)` — multiplicity of the most frequent element of
     * a string array (0 for empty, null for null input or a null
     * element). One open-addressing-free hash-map pass per row — O(n)
@@ -653,6 +688,9 @@ object VectorExpressions {
   def minhashSigMd5(tokens: Column, nPerms: Int): Column =
     ColumnBridge.column(MinHashSigMd5(ColumnBridge.expression(tokens), nPerms))
 
+  def simhashMd5Wide(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5Wide(ColumnBridge.expression(tokens)))
+
   def modeCount(arr: Column): Column =
     ColumnBridge.column(ModeCount(ColumnBridge.expression(arr)))
 }
@@ -705,6 +743,44 @@ object Md5SimHashHelper {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Wide (2 × 60-bit) portable SimHash: the md5 digest's two 60-bit
+    * halves vote as INDEPENDENT hash functions (word 0 ← hex chars
+    * 1–15, word 1 ← hex chars 17–31) — one md5 per token buys both
+    * words. See [[VectorExpressions.SimHashMd5Wide]]. Null iff any
+    * element is null. */
+  def sig60Wide(ad: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = ad.numElements()
+    val cnt = new Array[Int](120)
+    val md = tlMd.get()
+    var i = 0
+    while (i < n) {
+      if (ad.isNullAt(i)) return null
+      md.reset()
+      val d = md.digest(ad.getUTF8String(i).getBytes)
+      var a = 0L; var b = 0L
+      var j = 0
+      while (j < 8) { a = (a << 8) | (d(j) & 0xFFL); b = (b << 8) | (d(j + 8) & 0xFFL); j += 1 }
+      a = a >>> 4
+      b = b >>> 4
+      var p = 0
+      while (p < 60) {
+        cnt(p) += (if (((a >>> p) & 1L) == 1L) 1 else -1)
+        cnt(60 + p) += (if (((b >>> p) & 1L) == 1L) 1 else -1)
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](2)
+    var p = 0
+    while (p < 60) {
+      if (cnt(p) > 0) out(0) |= 1L << p
+      if (cnt(60 + p) > 0) out(1) |= 1L << p
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** 60-bit SimHash of a string array; null iff any element is null

@@ -405,16 +405,22 @@ object Documents {
       .orderBy("d1", "d2")
   }
 
-  /** Registered query (rows-only, like dedup_simhash): 128-bit SimHash
-    * near-dups at the bar equivalent to the 64-bit query's ham ≤ 3
+  /** Registered query — a hard oracle row since round 7, like
+    * dedup_simhash: 2×60-bit md5-portable wide SimHash
+    * ([[graft.functions.VectorExpressions.SimHashMd5Wide]] — the two
+    * digest halves vote as independent hash functions, one md5 per
+    * token) at the bar equivalent to the 64-bit query's ham ≤ 3
     * (per-bit bars scale with width), on 32-bit bands — the
-    * configuration whose random-collision term (n²·4·2⁻³²) stays
-    * sub-linear past 10⁹ docs. */
+    * configuration whose random-collision term (n²·4·2⁻³²; ~2⁻²⁸ on
+    * the 28-effective-bit high bands) stays sub-linear past 10⁹ docs.
+    * DuckDB replays signature, banding and the Hamming gate exactly.
+    * The xxhash64 [[graft.functions.VectorExpressions.SimHashWide]]
+    * stays available via [[simhashPairsWide]] for non-oracle use. */
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val sims = graft.Caches.persist(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        graft.functions.VectorExpressions.simhashWide(col("t"), 2).as("simhash")))
+        graft.functions.VectorExpressions.simhashMd5Wide(col("t")).as("simhash")))
     simhashPairsWide(sims, maxHamming = 6, words = 2, bandBits = 32)
   }
 

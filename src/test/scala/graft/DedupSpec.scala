@@ -159,6 +159,17 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, found ${found.size}")
     // disjoint vocabularies: any non-planted pair is a false positive
     assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
+    // the md5-portable wide signature (the registered oracle-row path)
+    // meets the same bars on the same corpus
+    val simsMd5 = (bases ++ dups).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhashMd5Wide(col("t")).as("simhash"))
+    val foundMd5 = Documents.simhashPairsWide(simsMd5, maxHamming = 6, bandBits = 32)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recallMd5 = truePairs.count(foundMd5.contains).toDouble / truePairs.size
+    assert(recallMd5 >= 0.9, s"md5-wide recall $recallMd5, found ${foundMd5.size}")
+    assert((foundMd5 -- truePairs).isEmpty, s"md5-wide false pairs: ${foundMd5 -- truePairs}")
   }
 
   test("decontaminate degrades to a shuffle semi join when the eval side exceeds budget") {

@@ -239,6 +239,14 @@ class FunctionsSpec extends SparkSuite {
     assert(sig.length === 4)
     val mc = spark.sql("SELECT mode_count(array('x', 'y', 'x')) AS m").as[Long].head()
     assert(mc === 2L)
+    val shMd5 = spark.sql("SELECT simhash_md5(array('a', 'b', 'c')) AS h").as[Long].head()
+    val shMd5Col = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(VectorExpressions.simhashMd5(col("t"))).as[Long].head()
+    assert(shMd5 === shMd5Col, "SQL and Column API must agree")
+    val sigMd5 = spark.sql("SELECT minhash_sig_md5(array('a', 'b'), 4) AS s")
+      .as[Seq[Long]].head()
+    assert(sigMd5.length === 4)
+    assert(sigMd5.forall(v => v >= 0 && v < 2147483647L), "KM perms live in [0, P)")
   }
 
   test("vector expressions run inside whole-stage codegen") {
