@@ -49,7 +49,7 @@ object Bench {
       "tpch_q3_shipping", "tpch_q5_local", "events_anomaly", "corpus_trim",
       "filter_null_safe", "scalar_string", "agg_string_minmax", "window_range_frame",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
-      "events_sessionize", "events_funnel",
+      "events_sessionize", "events_funnel", "events_resample",
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>
         n.startsWith("dedup_") || n.startsWith("embed_") ||

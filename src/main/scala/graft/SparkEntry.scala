@@ -101,6 +101,7 @@ object SparkEntry {
     "window_percent_rank" -> (Relational.windowPercentRank _),
     "agg_corr" -> (Relational.aggCorr _),
     "events_retention" -> (Relational.eventsRetention _),
+    "events_resample" -> (Relational.eventsResample _),
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
@@ -491,6 +492,19 @@ object SparkEntry {
         |       count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    "events_resample" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |                 count(*) AS n, round(sum(value), 2) AS sv
+        |               FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.d, daily.n, daily.sv
+        |      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d)
+        |SELECT user_id, d, coalesce(n, 0) AS n_events, coalesce(sv, 0.0) AS sum_value,
+        |       last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_sum
+        |FROM j ORDER BY user_id, d""".stripMargin,
     "tpch_q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

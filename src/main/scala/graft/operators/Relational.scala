@@ -899,4 +899,40 @@ object Relational {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("cohort", "day_offset")
   }
+
+  /** Resample to a regular per-user DAILY grid with gap-fill — the
+    * time-series normalization every downstream model wants: days with
+    * no events appear as explicit `n_events = 0` rows, and `carry_sum`
+    * forward-fills the most recent active day's total across the gap.
+    *
+    * Scale shape: the daily aggregate is ONE shuffle on
+    * (user_id, day); the grid is generated map-side from each user's
+    * own (min, max) span (`explode(sequence(...))` — never a global
+    * calendar cross join, so a user active for a week costs 7 rows
+    * however long the table's total span is); the grid↔daily join and
+    * the forward-fill window both re-use the user_id clustering. Grid
+    * size is bounded by Σ per-user spans — at 100 TB the operator's
+    * output is the business-meaningful densified series, not |users| ×
+    * |global span|. */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sv"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      // carry BEFORE coalescing: gap days must read as null to the
+      // ignoreNulls window, then report 0 in the output columns
+      .withColumn("carry_sum", last(col("sv"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"),
+        col("carry_sum"))
+      .orderBy("user_id", "d")
+  }
 }

@@ -113,7 +113,7 @@ object BigBenchEvents {
       df.write.format("noop").mode("overwrite").save()
 
     val allNames = Seq("events_window", "events_json_props", "events_sessionize",
-      "events_funnel", "events_retention", "events_anomaly",
+      "events_funnel", "events_retention", "events_anomaly", "events_resample",
       "join_asof", "join_range")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)

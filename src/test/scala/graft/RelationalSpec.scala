@@ -139,4 +139,25 @@ class RelationalSpec extends SparkSuite {
       .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
     assert(sum === total)
   }
+
+  test("events_resample: dense per-user grid, counts conserved, carry fills gaps") {
+    val rs = Relational.eventsResample(spark, dir).cache()
+    try {
+      // event counts are conserved (gap rows add zero)
+      val total = Tables.load(spark, dir, "events").count()
+      val sum = rs.agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+      assert(sum === total)
+      // the grid is DENSE: per user, rows = span days (no holes, no extras)
+      val holes = rs.groupBy("user_id")
+        .agg(count(lit(1)).as("rows"),
+          (datediff(max("d"), min("d")) + 1).as("span"))
+        .filter(col("rows") =!= col("span")).count()
+      assert(holes === 0L, s"$holes users have a sparse or overfull grid")
+      // carry_sum is never null (first grid day is an active day) and
+      // equals sum_value on active days
+      assert(rs.filter(col("carry_sum").isNull).count() === 0L)
+      assert(rs.filter(col("n_events") > 0 &&
+        col("carry_sum") =!= col("sum_value")).count() === 0L)
+    } finally rs.unpersist()
+  }
 }
