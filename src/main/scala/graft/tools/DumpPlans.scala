@@ -36,7 +36,9 @@ object DumpPlans {
       "text_surprisal" -> "vocabulary broadcasts when its measured size fits; shuffle-join fallback for web-scale vocabularies",
       "embed_pq" -> "corpus pass over 8-byte PQ codes; exact rerank only on top-C survivors",
       "text_tfidf" -> "ONE doc_id-keyed corpus shuffle shared by the TF aggregate and the ranking window; vocabulary broadcast by measured size",
-      "dedup_incremental" -> "batch shingles probe the standing s-partitioned corpus index — no corpus self-join")
+      "dedup_incremental" -> "batch shingles probe the standing s-partitioned corpus index — no corpus self-join",
+      "dedup_minhash" -> "codegen minhash_sig_md5 map-side; band self-join shuffles 24-byte rows; exact verify only on candidates",
+      "events_resample" -> "grid exploded map-side from per-user spans; fill window reuses the user_id clustering")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
