@@ -144,6 +144,7 @@ object SparkEntry {
     "corpus_upsample" -> (Documents.corpusUpsample _),
     "corpus_shuffle" -> (Documents.corpusShuffle _),
     "text_pmi" -> (Documents.textPmi _),
+    "text_boilerplate" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Documents.textBoilerplate(s, d)),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
@@ -546,6 +547,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks)
+        |SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

@@ -88,6 +88,23 @@ object Documents {
       .select("doc_id", "text")
       .orderBy("doc_id")
 
+  /** Boilerplate profile: the corpus's top-k word-3-grams by DOCUMENT
+    * frequency — the headers/footers/licence lines that recur across
+    * documents. This is the measurement behind the `maxDocFreq`
+    * hot-shingle cap in [[jaccardPairs]]: a shingle shared by a large
+    * fraction of the corpus carries no similarity signal but drives
+    * the inverted index's quadratic term, so a curation pipeline
+    * profiles (this operator), then caps or strips. Shape: one
+    * map-side-combining aggregate over exploded distinct-per-doc
+    * shingles (count = df directly), then TakeOrderedAndProject —
+    * the top-k never global-sorts. */
+  def textBoilerplate(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    shingleArray(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+
   /** Near-dup pairs by word-k-gram Jaccard ≥ `threshold`, via
     * inverted-index join: explode distinct shingles, bucket doc lists
     * per shingle, count common shingles per pair, compute
