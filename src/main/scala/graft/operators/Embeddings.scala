@@ -573,15 +573,27 @@ object Embeddings {
     * is the codegen argmax projection, so the pair set is stable
     * across runs/partitionings. The assigned frame is persisted
     * (registry-scoped) so the self-join's two sides share one
-    * computation and one cid-keyed exchange. */
+    * computation and one cid-keyed exchange.
+    *
+    * `nCentroids = 0` (the default) AUTO-SIZES k to hold the expected
+    * cell at ~1024 points (k = n/1024, clamped to [16, 4096]) — the
+    * knob is NOT optional at scale: a fixed k=16 at 1M vectors means
+    * ~62k-point cells and Σ(cell choose 2) ≈ 3×10¹⁰ cosine pairs
+    * (measured: the 1M bench ran >30 min before being killed, vs
+    * minutes with auto-k). Fit cost stays bounded because
+    * [[fitKmeans]] trains on a hash-sample (~256 points/centroid);
+    * assignment is one codegen argmax pass, k·d ops per row. */
   def semanticDupPairs(emb: DataFrame, simThreshold: Double,
-                       nCentroids: Int = 16, iters: Int = 4): DataFrame = {
+                       nCentroids: Int = 0, iters: Int = 4): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("embedding"))
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.min(4096L, math.max(16L, vecs.count() / 1024L)).toInt
     val planKey = vecs.queryExecution.analyzed.semanticHash()
     sweepQuantizers()
     val cents = quantizers.computeIfAbsent(
-      (vecs.sparkSession, planKey, nCentroids, iters),
-      _ => fitKmeans(vecs, nCentroids, iters))
+      (vecs.sparkSession, planKey, k, iters),
+      _ => fitKmeans(vecs, k, iters))
     val assigned = graft.Caches.persist(vecs
       .select(col("vec_id"), col("embedding"),
         element_at(nearestCids(cents, 1), 1).as("cid"))
@@ -602,7 +614,7 @@ object Embeddings {
     * duplicate pair (anti join against the drop set — same decision
     * rule as the text-side keep list). */
   def semanticKeep(emb: DataFrame, simThreshold: Double,
-                   nCentroids: Int = 16, iters: Int = 4): DataFrame = {
+                   nCentroids: Int = 0, iters: Int = 4): DataFrame = {
     val drops = semanticDupPairs(emb, simThreshold, nCentroids, iters)
       .select(col("id_b").as("vec_id")).distinct()
     emb.select("vec_id").join(drops, Seq("vec_id"), "left_anti")

@@ -183,7 +183,9 @@ object BigBenchLlm {
       "text_quality", "doc_sample_hash", "doc_pack_sequences", "doc_decontaminate",
       "dedup_clusters", "text_normalize", "text_repetition", "doc_chunk", "text_tfidf",
       "corpus_stats", "dedup_cluster_keep", "text_surprisal", "corpus_mix", "embed_pq",
-      "dedup_incremental")
+      "dedup_incremental",
+      "text_dup_passages", "dedup_substr_strip", "text_pmi", "text_boilerplate",
+      "pipeline_curate", "corpus_upsample", "corpus_shuffle", "dedup_semantic")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

@@ -144,4 +144,40 @@ class PropertySpec extends SparkSuite {
       got == expect
     }, n = 4)
   }
+
+  private val tokenArrays =
+    Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("a", "b", "the", "über", "日本", ""))).map(_.take(50))
+
+  test("md5 kernels: codegen expression == oracle SQL recipe on random token arrays") {
+    // the portability contract behind the dedup_minhash/simhash oracle
+    // rows, under adversarial inputs the fixed specs don't cover
+    // (empty strings, multi-byte UTF-8, duplicates)
+    check(Prop.forAll(tokenArrays) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val sh = df.select(
+        graft.functions.VectorExpressions.simhashMd5(col("t")).as("fast"),
+        expr(
+          """aggregate(
+            |  transform(t, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) AS bigint)),
+            |  array_repeat(0, 60),
+            |  (acc, h) -> zip_with(acc, sequence(0, 59),
+            |              (c, i) -> c + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
+            |  acc -> aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+            |         (s, i) -> s + CASE WHEN acc[i] > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+            |                       ELSE CAST(0 AS BIGINT) END))""".stripMargin).as("slow"))
+        .as[(Long, Long)].head()
+      val mh = df.select(
+        graft.functions.VectorExpressions.minhashSigMd5(col("t"), 8).as("fast"),
+        expr(
+          """transform(sequence(0, 7), i ->
+            |  array_min(transform(t, s ->
+            |    (cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint) % 2147483647
+            |     + i * (cast(conv(substring(md5(s), 17, 15), 16, 10) AS bigint) % 2147483647))
+            |    % 2147483647)))""".stripMargin).as("slow"))
+        .as[(Seq[Long], Seq[Long])].head()
+      sh._1 == sh._2 && mh._1 == mh._2
+    }, n = 8)
+  }
 }
