@@ -329,16 +329,32 @@ object Embeddings {
     cents
   }
 
+  /** `nCentroids = 0` (the default) auto-sizes the list count to
+    * 4·√n clamped to [10, 4096] — the classic IVF rule that keeps
+    * per-probe scan cost O(√n) instead of O(n) — and `nProbe = 0`
+    * auto-follows at nlist/16 (min 3) so the probed FRACTION of the
+    * space stays roughly constant as lists multiply (a fixed absolute
+    * nProbe over a growing nlist silently trades recall away). Fixed
+    * small-list configs remain available explicitly — the registered
+    * sf-corpus query pins 16/5/3 where the recall spec measures it —
+    * but a library user pointing this at a 10⁹-vector lake gets the
+    * √n geometry, not a 10-list near-brute-force scan (the same
+    * fixed-knob trap [[semanticDupPairs]]'s auto-k closes). */
   def annIvf(corpus: DataFrame, queryIds: Column, k: Int,
-             nCentroids: Int = 10, nProbe: Int = 3, nAssign: Int = 1,
+             nCentroids: Int = 0, nProbe: Int = 0, nAssign: Int = 1,
              iters: Int = 4): DataFrame = {
     val sp = corpus.sparkSession
     val emb = corpus.select(col("vec_id"), col("embedding"))
+    val nLists =
+      if (nCentroids > 0) nCentroids
+      else math.min(4096L, math.max(10L,
+        4L * math.round(math.sqrt(emb.count().toDouble)))).toInt
+    val probes = if (nProbe > 0) nProbe else math.max(3, nLists / 16)
     val planKey = emb.queryExecution.analyzed.semanticHash()
     sweepQuantizers()
     val cents = quantizers.computeIfAbsent(
-      (sp, planKey, nCentroids, iters),
-      _ => fitKmeans(emb, nCentroids, iters))
+      (sp, planKey, nLists, iters),
+      _ => fitKmeans(emb, nLists, iters))
     // The posting lists ARE the index — persist them (registry-scoped,
     // deduplicated by the plan's semantic hash like the quantizer memo)
     // so repeated probe calls against the same corpus/params reuse the
@@ -352,7 +368,7 @@ object Embeddings {
       .repartition(col("cid")))
     val queries = emb.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(nearestCids(cents, nProbe)).as("cid"))
+        explode(nearestCids(cents, probes)).as("cid"))
     val scored = posting.join(broadcast(queries), "cid")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),

@@ -69,7 +69,11 @@ class EmbeddingsSpec extends SparkSuite {
     val exact = Embeddings.knnBrute(df.select("vec_id", "embedding"), queries, k = 10)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = Embeddings.annIvf(df, queryPred, k = 10)
+    // the named 10-list / 3-probe geometry, pinned explicitly (the
+    // parameter DEFAULTS auto-size with corpus scale and would give a
+    // different geometry here)
+    val ivf = Embeddings.annIvf(df, queryPred, k = 10,
+      nCentroids = 10, nProbe = 3)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (q, truth) =>
@@ -77,6 +81,18 @@ class EmbeddingsSpec extends SparkSuite {
     }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.9, s"mean recall@10 $recall (per-query ${recalls.toSeq.sorted})")
+    // auto-sized geometry (4*sqrt(n) lists, nlist/16 probes) on the
+    // same corpus: more, smaller cells - the probed fraction shrinks,
+    // recall must stay in a usable band rather than collapse
+    val auto = Embeddings.annIvf(df, queryPred, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val autoRecalls = exact.map { case (q, truth) =>
+      truth.count(auto.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    val autoRecall = autoRecalls.sum / autoRecalls.size
+    assert(autoRecall >= 0.8,
+      s"auto-geometry mean recall@10 $autoRecall (per-query ${autoRecalls.toSeq.sorted})")
   }
 
   test("annIvf (k-means) recall@10 >= 0.9 on the DRIVER corpus with registered params") {
