@@ -37,5 +37,11 @@ object GraftSession {
       // warehouse path
       .config("spark.sql.warehouse.dir",
         new java.io.File("target/spark-warehouse").getAbsolutePath)
+      // the ingest Bloom pre-gate's geometry grows with its ledger
+      // (CorpusIngest); the default 2^26-bit clamp caps growth at ~7M
+      // entries at 1% fpp — raise to 2^30 bits (128 MiB broadcast at
+      // the ceiling, ~750M entries) so regrowth has headroom
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 30).toString)
       .config("spark.ui.enabled", "false")
 }

@@ -35,11 +35,16 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
   * The filter is MAINTAINED INCREMENTALLY, not rebuilt: it lives at
   * `<ledger>/_bloom/filter.bf` (underscore-hidden, so the parquet
   * reader never sees it), each batch merges a filter over its novel
-  * hashes into it (`mergeInPlace` — all filters share the fixed
-  * `bloomCapacity`/`bloomFpp` geometry, the merge-compatibility
-  * requirement), so per-batch filter cost is O(batch), independent of
-  * ledger size. Overfilling past `bloomCapacity` degrades fpp — more
-  * join input, never wrong answers. WRITE ORDER IS LOAD-BEARING:
+  * hashes into it (`mergeInPlace` — merging requires identical
+  * geometry), so per-batch filter cost is O(batch), independent of
+  * ledger size. The GEOMETRY GROWS with the ledger: `bloomCapacity`
+  * only seeds the first filter; once the ledger's row count exceeds
+  * the effective capacity (tracked in a `_bloom/capacity` sidecar),
+  * the filter rebuilds at max(4× previous, 2× ledger) — without this
+  * a standing guard's fpp drifts toward 1 as the corpus outgrows a
+  * fixed capacity and the pre-gate silently stops pruning. Rebuild
+  * cost is amortized O(ledger) over the ledger's lifetime (vector-
+  * growth argument). WRITE ORDER IS LOAD-BEARING:
   * corpus → filter → ledger, so a crash anywhere leaves the filter a
   * SUPERSET of the ledger — supersets cost false positives (safe);
   * a subset would hand out false "definitely novel" verdicts and
@@ -92,13 +97,34 @@ object CorpusIngest {
         // spark.sql.optimizer.runtime.bloomFilter.maxNumBits and derives
         // its hash count differently from BloomFilter.create, so mixing
         // paths (or letting fpp size the bits implicitly) produces
-        // filters mergeInPlace refuses. Capacity past the bit clamp
-        // degrades fpp — more join input, never wrong answers. A filter
-        // file written under a DIFFERENT conf clamp fails the merge and
-        // therefore the batch: resetFilter() is the remedy.
-        val numBits = math.min(
-          math.ceil(-bloomCapacity * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong,
+        // filters mergeInPlace refuses. A filter file written under a
+        // DIFFERENT conf clamp fails the merge; the self-heal below
+        // rebuilds instead of wedging the batch.
+        //
+        // GEOMETRY GROWS WITH THE LEDGER: a standing ingest guard's
+        // corpus is unbounded, and a fixed capacity means fpp → 1 as
+        // the ledger outgrows it — the pre-gate silently stops pruning
+        // (never wrong, just useless). The effective capacity lives in
+        // a `_bloom/capacity` sidecar; when the ledger's (metadata-only)
+        // row count exceeds it, the filter REBUILDS from the ledger at
+        // max(4× previous, 2× ledger) — amortized O(ledger) total over
+        // the ledger's lifetime, like vector growth. The saturation
+        // check reads the PERSISTENT ledger count, not the sidecar, so
+        // a crash that leaves a stale sidecar re-routes to the same
+        // rebuild and self-heals.
+        def numBitsFor(cap: Long): Long = math.min(
+          math.ceil(-cap * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong,
           spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong)
+        val capPath = new Path(s"$ledgerDir/_bloom/capacity")
+        def readCapacity(): Long =
+          if (!fs.exists(capPath)) bloomCapacity
+          else {
+            val in = fs.open(capPath)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          }
+        var effCapacity = bloomCapacity
         val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
         try {
           val (novel, standing) =
@@ -109,14 +135,21 @@ object CorpusIngest {
             } else {
               val ledger = spark.read.parquet(ledgerDir).select("h")
               val bp = bloomPath(ledgerDir)
+              effCapacity = readCapacity()
+              // parquet footer row count — metadata-only, no data scan
+              val ledgerRows = ledger.count()
               val filter =
-                if (fs.exists(bp)) {
+                if (ledgerRows > effCapacity) {
+                  effCapacity = math.max(effCapacity * 4, ledgerRows * 2)
+                  lastFilterSource.set("regrown")
+                  ledger.stat.bloomFilter("h", effCapacity, numBitsFor(effCapacity))
+                } else if (fs.exists(bp)) {
                   val in = fs.open(bp)
                   try { lastFilterSource.set("incremental"); BloomFilter.readFrom(in) }
                   finally in.close()
                 } else {
                   lastFilterSource.set("rebuilt")
-                  ledger.stat.bloomFilter("h", bloomCapacity, numBits)
+                  ledger.stat.bloomFilter("h", effCapacity, numBitsFor(effCapacity))
                 }
               val bloomBc = spark.sparkContext.broadcast(filter)
               val mightContain = udf((h: String) => bloomBc.value.mightContain(h))
@@ -132,9 +165,27 @@ object CorpusIngest {
           novel.drop("h").write.mode(SaveMode.Append).parquet(outDir)
           // merge the batch's novel hashes into the standing filter and
           // persist it BEFORE the ledger append (superset invariant)
-          val batchFilter = novel.stat.bloomFilter("h", bloomCapacity, numBits)
-          standing.foreach(batchFilter.mergeInPlace)
-          writeFilter(fs, bloomPath(ledgerDir), batchFilter)
+          val batchFilter =
+            novel.stat.bloomFilter("h", effCapacity, numBitsFor(effCapacity))
+          val merged =
+            try { standing.foreach(batchFilter.mergeInPlace); batchFilter }
+            catch { case _: Exception =>
+              // geometry drift (conf clamp change, torn regrow): heal by
+              // rebuilding from ledger ∪ novel at the effective geometry
+              // — still a superset of the post-append ledger
+              lastFilterSource.set("regrown")
+              val ledgerH =
+                if (fs.exists(ledgerPath))
+                  spark.read.parquet(ledgerDir).select("h")
+                    .unionByName(novel.select("h"))
+                else novel.select("h")
+              ledgerH.stat.bloomFilter("h", effCapacity, numBitsFor(effCapacity))
+            }
+          writeFilter(fs, bloomPath(ledgerDir), merged)
+          // capacity sidecar AFTER the filter: a crash between leaves a
+          // stale (smaller) capacity, which the persistent-ledger-count
+          // saturation check routes back to a rebuild — self-healing
+          writeCapacity(fs, capPath, effCapacity)
           novel.select("h").write.mode(SaveMode.Append).parquet(ledgerDir)
         } finally toRelease.foreach(_.unpersist())
       }
@@ -151,6 +202,18 @@ object CorpusIngest {
     fs.rename(tmp, p)
   }
 
+  /** The filter's effective capacity, same temp+rename discipline. */
+  private def writeCapacity(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                            capacity: Long): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(capacity.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
   /** Drop the persisted pre-gate filter (forces a rebuild scan on the
     * next batch) — maintenance hook, e.g. after manually compacting or
     * rewriting the ledger. */
@@ -158,5 +221,7 @@ object CorpusIngest {
     val p = bloomPath(ledgerDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, false)
+    val cap = new Path(s"$ledgerDir/_bloom/capacity")
+    if (fs.exists(cap)) fs.delete(cap, false)
   }
 }

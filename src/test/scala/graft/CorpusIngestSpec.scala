@@ -107,6 +107,50 @@ class CorpusIngestSpec extends SparkSuite {
     hashes.foreach(h => assert(filter.mightContain(h), s"filter missing ledger hash $h"))
   }
 
+  test("Bloom geometry regrows when the ledger outgrows its capacity; dedup stays exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/corpus-ingest-regrow")
+    rm(base)
+    val (ledger, out) = (s"$base/ledger", s"$base/corpus")
+
+    // seed capacity 64; three batches push the ledger to 150 distinct
+    // texts, over the 64-entry geometry twice
+    val stream = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestWithLedger(
+      stream.toDF().toDF("doc_id", "text"), ledger, out, s"$base/ckpt",
+      bloomCapacity = 64L)
+    try {
+      stream.addData((0L until 50L).map(i => (i, s"doc-$i")))
+      q.processAllAvailable()
+      stream.addData((0L until 100L).map(i => (i + 100, s"doc-$i"))) // 50 dups + 50 new
+      q.processAllAvailable() // ledger 50 ≤ 64 at batch start: still incremental
+      stream.addData((100L until 150L).map(i => (i + 200, s"doc-$i"))) // all new
+      q.processAllAvailable() // ledger 100 > 64 at batch start: regrow
+      assert(CorpusIngest.lastFilterSource.get() === "regrown",
+        s"ledger (100) over capacity (64) must regrow, got ${CorpusIngest.lastFilterSource.get()}")
+    } finally q.stop()
+
+    // exactness held through both geometries
+    val texts = spark.read.parquet(out).select("text").as[String].collect()
+    assert(texts.length === 150 && texts.distinct.length === 150)
+    // the sidecar recorded a grown capacity and the filter still loads
+    val cap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ledger/_bloom/capacity"))).trim.toLong
+    assert(cap >= 200L, s"capacity sidecar $cap should exceed the 100-row ledger it regrew for")
+    // a further batch under the grown geometry reads incrementally again
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = CorpusIngest.ingestWithLedger(
+      stream2.toDF().toDF("doc_id", "text"), ledger, out, s"$base/ckpt2",
+      bloomCapacity = 64L)
+    try {
+      stream2.addData(Seq((900L, "doc-0"), (901L, "fresh")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(CorpusIngest.lastFilterSource.get() === "incremental")
+    val after = spark.read.parquet(out).select("text").as[String].collect()
+    assert(after.length === 151 && after.count(_ == "fresh") === 1)
+  }
+
   test("streaming near-dedup drops a planted near-dup within the watermark, admits beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val base = new java.io.File("target/neardup-ingest-spec")
