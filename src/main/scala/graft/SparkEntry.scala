@@ -302,6 +302,15 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, o_totalprice""".stripMargin,
     "agg_count_distinct" ->
       "SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    // Each engine checks ITS OWN sketch against the shared exact count
+    // — the estimate itself is sketch-family-specific, the bound is the
+    // portable contract (deterministic: a sketch is a pure function of
+    // the data).
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders_exact,
+        |       abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        |         <= 0.05 * count(DISTINCT l_orderkey) AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
     "agg_percentile" ->
       """SELECT round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
         |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
@@ -998,5 +1007,23 @@ object SparkEntry {
         |       len(e.embedding) AS dim, e.label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+    // DuckDB recomputes MediaEncoder.forId's closed-form dims straight
+    // from doc_id; Spark's side had to round-trip them through REAL
+    // BMP/PNG/WAV bytes (encode → header parse), so a hash match proves
+    // the actual decoders, not the arithmetic.
+    "multimodal_decode_real" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 32
+        |                  WHEN 1 THEN 16 + doc_id % 64
+        |                  ELSE 8000 + (doc_id % 8) * 1000 END AS width,
+        |  CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id // 32) % 32
+        |                  WHEN 1 THEN 16 + (doc_id // 64) % 64
+        |                  ELSE 1 + doc_id % 2 END AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 1
+        |                  WHEN 1 THEN CASE (doc_id // 3) % 3
+        |                                WHEN 0 THEN 1 WHEN 1 THEN 3
+        |                                ELSE 4 END
+        |                  ELSE 1 + doc_id % 50 END AS n_frames
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -242,11 +242,17 @@ object Multimodal {
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decodeStub(pack(spark, dir)).toDF().orderBy("doc_id")
 
-  /** Registered query (rows-only: blob bytes aren't SQL-reproducible):
-    * generate → decode over REAL format headers, so all three
-    * [[MediaDecoder]] branches (BMP, PNG, WAV) run driver-visibly —
-    * every decoded row's dims are the closed-form function of doc_id
-    * that [[MediaEncoder.forId]] defines, asserted in MultimodalSpec. */
+  /** Registered query (HARD oracle): generate → decode over REAL
+    * format headers, so all three [[MediaDecoder]] branches (BMP, PNG,
+    * WAV) run driver-visibly. Every decoded row's dims are the
+    * closed-form function of doc_id that [[MediaEncoder.forId]]
+    * defines, which DuckDB recomputes directly in SQL — so the oracle
+    * verifies that the dims survived a real encode → header-parse
+    * round trip through actual BMP/PNG/WAV bytes. The murmur3
+    * `content_hash` is deliberately projected away here (not
+    * SQL-reproducible); MultimodalSpec covers it on [[decodeStub]]. */
   def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame =
-    decodeStub(syntheticMedia(spark, dir)).toDF().orderBy("doc_id")
+    decodeStub(syntheticMedia(spark, dir)).toDF()
+      .select("doc_id", "width", "height", "n_frames")
+      .orderBy("doc_id")
 }

