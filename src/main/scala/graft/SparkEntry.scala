@@ -104,6 +104,7 @@ object SparkEntry {
     "events_resample" -> (Relational.eventsResample _),
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
+    "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     "filter_null_safe" -> (Relational.filterNullSafe _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
@@ -144,12 +145,15 @@ object SparkEntry {
     "corpus_upsample" -> (Documents.corpusUpsample _),
     "corpus_shuffle" -> (Documents.corpusShuffle _),
     "text_pmi" -> (Documents.textPmi _),
+    "corpus_histogram" -> (Documents.corpusHistogramQ _),
+    "doc_overlap_report" -> (Documents.docOverlapReport _),
     "text_boilerplate" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Documents.textBoilerplate(s, d)),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
+    "embed_outliers" -> (Embeddings.embedOutliersQ _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
     "embed_pq" -> (Embeddings.embedPq _),
     "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
@@ -538,6 +542,17 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "tpch_q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, b.sum_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "text_surprisal" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |u AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
@@ -1025,5 +1040,37 @@ object SparkEntry {
         |                                ELSE 4 END
         |                  ELSE 1 + doc_id % 50 END AS n_frames
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    "corpus_histogram" ->
+      """WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |t AS (SELECT count(*) AS n_total FROM d)
+        |SELECT (n_tokens // 10) * 10 AS bucket_lo, count(*) AS n_docs,
+        |       round(count(*)::DOUBLE / n_total * 100, 4) AS pct
+        |FROM d CROSS JOIN t GROUP BY 1, n_total ORDER BY 1""".stripMargin,
+    "doc_overlap_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+        |        WHERE doc_id % 100 <> 0 GROUP BY 1),
+        |hit AS (SELECT c.doc_id, count(*) AS n_overlap FROM sh c JOIN ev USING (s)
+        |        WHERE c.doc_id % 100 <> 0 GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles, h.n_overlap,
+        |       round(h.n_overlap::DOUBLE / t.n_shingles, 4) AS overlap_frac
+        |FROM tot t JOIN hit h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
+    "embed_outliers" ->
+      """WITH x AS (SELECT vec_id, label,
+        |             unnest(range(0, len(embedding))) AS pos,
+        |             unnest(list_transform(embedding, v -> v::DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label, sqrt(sum((x.v - c.cv) * (x.v - c.cv))) AS dist
+        |      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos GROUP BY 1, 2),
+        |s AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd FROM d GROUP BY 1)
+        |SELECT d.vec_id, d.label, round(d.dist, 4) AS dist,
+        |       round((d.dist - s.mu) / s.sd, 4) AS z
+        |FROM d JOIN s ON d.label = s.label
+        |WHERE round((d.dist - s.mu) / s.sd, 4) > 2.0
+        |ORDER BY d.label, d.vec_id""".stripMargin,
   )
 }

@@ -1405,4 +1405,64 @@ object Documents {
 
   def textPmi(spark: SparkSession, dir: String): DataFrame =
     pmiCollocations(Tables.load(spark, dir, "documents"))
+
+  /** Token-length histogram over the corpus — the distribution profile
+    * a pipeline prints before/after every curation pass (trim bounds,
+    * pack sequence length, and mix ratios are all read off this
+    * table). Fixed-width buckets via integer floor-divide: one
+    * hash aggregate with map-side partials — the bucket count is
+    * ~max_len/width regardless of corpus size, so the reduced side is
+    * trivially small at any scale; the 1-row total broadcasts for the
+    * percentage column. */
+  def corpusHistogram(docs: DataFrame, bucketWidth: Int = 10): DataFrame = {
+    val sized = docs.select(
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val total = sized.agg(count(lit(1)).as("n_total"))
+    sized
+      .groupBy((floor(col("n_tokens") / bucketWidth) * bucketWidth).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket_lo"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total") * 100, 4).as("pct"))
+      .orderBy("bucket_lo")
+  }
+
+  def corpusHistogramQ(spark: SparkSession, dir: String): DataFrame =
+    corpusHistogram(Tables.load(spark, dir, "documents"))
+
+  /** Contamination REPORT — the audit twin of [[decontaminate]]: for
+    * each corpus document that shares any word-3-gram with the eval
+    * set, the fraction of its distinct shingles that are contaminated.
+    * A pipeline drops on [[decontaminate]]'s verdict but files THIS
+    * table with the release notes (how contaminated, not just
+    * whether). Same scale shape as decontaminate — the eval shingle
+    * set broadcasts when it fits (measured, not assumed) — but as a
+    * LEFT OUTER mark join so total and contaminated shingle counts
+    * come out of ONE conditional aggregate: the corpus explodes and
+    * shuffles exactly once (a totals/hits two-branch formulation
+    * would scan and shingle the 100-TB side twice). */
+  def overlapReport(docs: DataFrame, evalDocs: DataFrame,
+                    budgetBytes: Long = Ops.DefaultBroadcastBudget): DataFrame = {
+    def sh(d: DataFrame): DataFrame = shingleArray(d)
+      .select(col("doc_id"), explode(col("sh")).as("s_raw"))
+      .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
+    val evalSh = sh(evalDocs).select("s").distinct().withColumn("hit", lit(true))
+    Ops.joinBroadcastIfFits(sh(docs), evalSh, "s", budgetBytes, "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      // clean docs (no contaminated shingle) don't appear — the report
+      // is about the contaminated tail, not the whole corpus
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  def docOverlapReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    overlapReport(
+      docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+  }
 }

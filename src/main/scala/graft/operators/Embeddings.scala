@@ -644,6 +644,43 @@ object Embeddings {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     semanticDupPairs(Tables.load(spark, dir, "embeddings"), simThreshold = 0.9)
 
+  /** Embedding-space outlier report — the curation filter that drops
+    * mislabeled / off-distribution vectors before they poison a
+    * training mix: L2 distance to the label's centroid, z-scored
+    * within the label, emitting rows beyond `zCut`.
+    *
+    * Scale shape: the per-(label, pos) centroid is a grouped hash agg
+    * with map-side partials (labels × dim rows — tiny at any corpus
+    * size) and BROADCASTS back into the posexploded stream; the
+    * per-vector distance is one (vec_id, label)-keyed aggregate; the
+    * per-label moment frame is again labels-sized and broadcasts. So
+    * the corpus shuffles exactly twice (explode→distance agg feeds
+    * both), never on anything wider than (id, double).
+    *
+    * Determinism across engines: distances and z-scores are rounded
+    * (4 dp) BEFORE the cut in both engines, so the emitted set can't
+    * flip on summation-order ulps unless a true z sits within a
+    * rounding ulp of the cut — EmbeddingsSpec asserts the margin. */
+  def embedOutliers(emb: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val x = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = x.groupBy("label", "pos").agg(avg("x").as("cv"))
+    val dist = x.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("x") - col("cv")) * (col("x") - col("cv")))).as("dist"))
+    val moments = dist.groupBy("label")
+      .agg(avg("dist").as("mu"), stddev_samp(col("dist")).as("sd"))
+    dist.join(broadcast(moments), Seq("label"))
+      .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
+        round((col("dist") - col("mu")) / col("sd"), 4).as("z"))
+      .filter(col("z") > zCut)
+      .orderBy("label", "vec_id")
+  }
+
+  def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    embedOutliers(Tables.load(spark, dir, "embeddings"))
+
   /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
     * top-k frames). Driver-side collect — a measurement utility for
     * the quality specs and `tools.PqProbe`, shared so the bar-setting

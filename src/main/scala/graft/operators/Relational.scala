@@ -803,6 +803,34 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity clears a threshold, joined back to customer — the
+    * HAVING-subquery composite. The qualifying set comes from ONE
+    * lineitem hash aggregate whose `sum_qty` is carried straight into
+    * the result (Q18's outer re-aggregation over lineitem is
+    * redundant once the inner aggregate exists — same rows, one fewer
+    * fact-table pass); at scale that aggregate is the only lineitem
+    * shuffle, the filtered survivor set is tiny (sub-percent of
+    * orders), and the customer join runs on the survivors, not the
+    * fact table. Top-100 plans TakeOrderedAndProject. */
+  def tpchQ18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name")
+    big
+      .join(orders, big("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Null-safe comparison semantics — SQL's three-valued logic made
     * explicit: a LEFT join manufactures NULLs, then the projection
     * contrasts `=` (NULL-poisoned), `<=>` (null-safe, NULL = NULL is

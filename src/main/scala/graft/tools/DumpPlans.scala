@@ -38,7 +38,9 @@ object DumpPlans {
       "text_tfidf" -> "ONE doc_id-keyed corpus shuffle shared by the TF aggregate and the ranking window; vocabulary broadcast by measured size",
       "dedup_incremental" -> "batch shingles probe the standing s-partitioned corpus index — no corpus self-join",
       "dedup_minhash" -> "codegen minhash_sig_md5 map-side; band self-join shuffles 24-byte rows; exact verify only on candidates",
-      "events_resample" -> "grid exploded map-side from per-user spans; fill window reuses the user_id clustering")
+      "events_resample" -> "grid exploded map-side from per-user spans; fill window reuses the user_id clustering",
+      "doc_overlap_report" -> "ONE corpus pass: broadcast mark join + conditional count, single doc_id exchange",
+      "tpch_q18_big_orders" -> "lineitem aggregates once; survivors (not the fact table) join customer; top-100 is TakeOrderedAndProject")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")

@@ -96,4 +96,26 @@ class CorpusSpec extends SparkSuite {
     val flagged = Documents.decontaminate(docs, eval).as[Long].collect().toSet
     assert(flagged === Set(1L, 3L))
   }
+
+  test("overlap report: per-doc contaminated-shingle fraction, clean docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"), // 4 shingles, 1 shared
+      (2L, "one two three four five six seven", "en"))   // clean
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((100L, "intro alpha beta gamma outro words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Documents.overlapReport(docs, eval)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 4L, 1L, 0.25)))
+  }
+
+  test("corpus histogram partitions the corpus: counts sum to total, pct to 100") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Documents.corpusHistogram(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2).sum === docs.count())
+    assert(math.abs(out.map(_._3).sum - 100.0) < 0.05) // per-bucket 4-dp rounding
+    assert(out.forall(_._1 % 10 == 0))
+    assert(out.map(_._1) === out.map(_._1).sorted)
+  }
 }

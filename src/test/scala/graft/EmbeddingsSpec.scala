@@ -262,4 +262,37 @@ class EmbeddingsSpec extends SparkSuite {
       .select(countDistinct("label")).as[Long].head()
     assert(out.count() === labels * 64)
   }
+
+  test("embedOutliers flags a planted off-distribution vector, not the inliers") {
+    val rng = new scala.util.Random(7)
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian().toFloat * 0.1f), 0))
+    val planted = Seq((99L, Seq.fill(8)(5.0f), 0))
+    val df = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val out = Embeddings.embedOutliers(df)
+    val ids = out.select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(99L), s"flagged $ids")
+    val z = out.filter(col("vec_id") === 99L).select("z").as[Double].head()
+    assert(z > 3.0, s"planted outlier should clear the cut comfortably, z=$z")
+  }
+
+  test("embed_outliers: no z within 1e-3 of the 2.0 cut (rounding can't flip the set)") {
+    // the registered query rounds z before the cut in both engines;
+    // this canary asserts the table's z distribution keeps every point
+    // far enough from the boundary that summation-order ulps can't
+    // move a row across it
+    val e = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+    val x = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = x.groupBy("label", "pos").agg(avg("x").as("cv"))
+    val dist = x.join(cent, Seq("label", "pos")).groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("x") - col("cv")) * (col("x") - col("cv")))).as("dist"))
+    val mom = dist.groupBy("label")
+      .agg(avg("dist").as("mu"), stddev_samp(col("dist")).as("sd"))
+    val minMargin = dist.join(mom, Seq("label"))
+      .select(min(abs((col("dist") - col("mu")) / col("sd") - 2.0)))
+      .head().getDouble(0)
+    assert(minMargin > 1e-3, s"z margin $minMargin too tight for cross-engine rounding")
+  }
 }

@@ -130,6 +130,21 @@ class PlanSpec extends SparkSuite {
       s"corpus side must stay map-side before the broadcast semi join, saw $shuffles:\n" + p.take(3000))
   }
 
+  test("overlap report: one corpus pass — broadcast mark join, single doc_id shuffle") {
+    val p = plan(graft.operators.Documents.docOverlapReport(spark, SparkSpec.sfTiny))
+    assert(p.contains("Broadcast"), p.take(2000))
+    // same cut as the decontaminate test: the eval side's exchanges live
+    // under its cached subtree; the corpus stream must show no
+    // shingle-keyed exchange (map-side until the doc_id aggregate)
+    val cut = p.indexOf("InMemoryTableScan")
+    val visible = if (cut >= 0) p.take(cut) else p
+    assert("Exchange hashpartitioning\\(s#".r.findAllIn(visible).isEmpty,
+      "corpus must not shuffle on the shingle:\n" + p.take(3000))
+    val docShuffles = "Exchange hashpartitioning\\(doc_id#".r.findAllIn(visible).length
+    assert(docShuffles <= 1,
+      s"totals+hits must fuse into one doc_id aggregate, saw $docShuffles:\n" + p.take(3000))
+  }
+
   test("exact dedup is a single hash aggregate on text") {
     val p = plan(graft.operators.Documents.dedupExact(spark, SparkSpec.sfTiny))
     assert(p.contains("HashAggregate"), p.take(2000))

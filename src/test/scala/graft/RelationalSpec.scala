@@ -84,6 +84,22 @@ class RelationalSpec extends SparkSuite {
     assert(row.getBoolean(1), "HLL++ estimate strayed beyond the 5% flag bound")
   }
 
+  test("tpch_q18 matches SQL formulation") {
+    val df = Relational.tpchQ18BigOrders(spark, dir)
+    val sql = sqlOf(
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, b.sum_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+        |LIMIT 100""".stripMargin)
+    assert(df.collect().toSeq === sql.collect().toSeq)
+  }
+
   test("as-of join matches the per-probe subquery formulation") {
     // oracle-of-record is DuckDB ASOF JOIN; this in-repo differential
     // checks the union+window trick against the O(n·m) correlated form
