@@ -40,6 +40,7 @@ object Bench {
       "sort_asc", "sort_date", "sort_string", "sort_topn",
       "join_equi", "join_multicond", "join_skew_salted",
       "agg_count_distinct", "agg_approx_distinct",
+      "agg_regression", "agg_approx_percentile", "layout_zorder",
       "group_agg", "group_rollup", "group_cube", "window_rank",
       "set_union", "join_left_outer", "join_anti", "join_semi",
       "join_asof", "join_range", "agg_stddev", "window_running", "group_pivot",

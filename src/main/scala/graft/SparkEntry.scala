@@ -105,6 +105,9 @@ object SparkEntry {
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
+    "agg_regression" -> (Relational.aggRegression _),
+    "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
+    "layout_zorder" -> (graft.sources.Layout.layoutZorderQ _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     "filter_null_safe" -> (Relational.filterNullSafe _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
@@ -157,6 +160,7 @@ object SparkEntry {
     "embed_quantize" -> (Embeddings.embedQuantize _),
     "embed_pq" -> (Embeddings.embedPq _),
     "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
+    "dedup_embed_cosine_exact" -> (Embeddings.dedupEmbedCosineExact _),
     // LLM-pipeline: multimodal binary columns
     "multimodal_pack" -> (Multimodal.multimodalPack _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -553,6 +557,33 @@ object SparkEntry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "agg_regression" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem""".stripMargin,
+    // Same contract as agg_approx_distinct: each engine's own sketch
+    // (t-digest there, KLL-style percentile_approx here) checked
+    // against the shared exact percentile.
+    "agg_approx_percentile" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        |  abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+        |    <= quantile_cont(l_quantity, 0.5) * 0.05 AS p50_within_5pct,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+        |  abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+        |    <= quantile_cont(l_extendedprice, 0.9) * 0.05 AS p90_within_5pct
+        |FROM lineitem""".stripMargin,
+    // Fully parenthesized: DuckDB's & binds no tighter than |, so each
+    // interleave term carries its own parens.
+    "layout_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber, ${terms.mkString(" | ")} AS z
+         |FROM lineitem WHERE l_orderkey < 1000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "text_surprisal" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |u AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
@@ -1040,6 +1071,14 @@ object SparkEntry {
         |                                ELSE 4 END
         |                  ELSE 1 + doc_id % 50 END AS n_frames
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    "dedup_embed_cosine_exact" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+        |           FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "corpus_histogram" ->
       """WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
         |t AS (SELECT count(*) AS n_total FROM d)

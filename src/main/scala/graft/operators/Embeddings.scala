@@ -681,6 +681,28 @@ object Embeddings {
   def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
     embedOutliers(Tables.load(spark, dir, "embeddings"))
 
+  /** HARD-oracle exact twin of [[dedupEmbedCosine]], on a bounded
+    * 1000-vector slice: every pair's cosine computed outright, pairs
+    * at sim ≥ τ emitted with the similarity (rounded to 6 dp before
+    * the cut in both engines; the nearest pair sits 5.5e-4 from the
+    * τ=0.45 boundary at sf0.01, orders beyond summation noise). This
+    * is the differential GATE for the LSH variant's math — the slice
+    * brute force is O(slice²) by construction and is NOT the scale
+    * path; [[dedupEmbedCosine]]'s banded join is. */
+  def dedupEmbedCosineExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotCol("emb_a", "emb_b") / (normCol("emb_a") * normCol("emb_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
     * top-k frames). Driver-side collect — a measurement utility for
     * the quality specs and `tools.PqProbe`, shared so the bar-setting

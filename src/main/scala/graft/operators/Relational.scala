@@ -398,6 +398,40 @@ object Relational {
         (abs(col("approx") - col("n_orders_exact")).cast("double")
           / col("n_orders_exact") <= 0.05).as("approx_within_5pct"))
 
+  /** Linear-regression aggregates — slope/intercept/R² of price vs
+    * quantity in one pass (the moment-sketch family: like corr/covar,
+    * each is a deterministic function of five distributed sums, so
+    * map-side partials compose and the cross-engine values agree to
+    * well past the rounding). */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n"))
+
+  /** Sketch quantiles under the same cross-engine contract as
+    * [[aggApproxDistinct]]: emit the exact percentiles plus a flag
+    * that THIS engine's own sketch (Spark approx_percentile here,
+    * DuckDB approx_quantile there) landed within 5% — the estimate is
+    * sketch-family-specific, the bound is portable. At 100 TB the
+    * sketch is the only viable quantile (exact percentile holds the
+    * value multiset); this row keeps it honest against the exact
+    * answer while the testdata is small enough to afford one. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("xp50"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.9)").as("xp90"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"))
+      .select(
+        round(col("xp50"), 4).as("exact_p50"),
+        (abs(col("ap50") - col("xp50")) <= col("xp50") * 0.05).as("p50_within_5pct"),
+        round(col("xp90"), 4).as("exact_p90"),
+        (abs(col("ap90") - col("xp90")) <= col("xp90") * 0.05).as("p90_within_5pct"))
+
   /** Semi-structured extraction: parse the events `props` JSON column
     * with an explicit schema (`from_json` — schema-on-read, codegen'd,
     * no UDF) and aggregate the extracted field per event type. The

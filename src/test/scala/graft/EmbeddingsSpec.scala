@@ -276,6 +276,24 @@ class EmbeddingsSpec extends SparkSuite {
     assert(z > 3.0, s"planted outlier should clear the cut comfortably, z=$z")
   }
 
+  test("exact cosine slice matches a driver-side brute force, value for value") {
+    val vecs = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .filter(col("vec_id") < 1000).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = (for {
+      (ia, ea) <- vecs.toSeq; (ib, eb) <- vecs.toSeq if ia < ib
+      dot = ea.lazyZip(eb).map((x, y) => x.toDouble * y.toDouble).sum
+      na = math.sqrt(ea.map(x => x.toDouble * x.toDouble).sum)
+      nb = math.sqrt(eb.map(x => x.toDouble * x.toDouble).sum)
+      s = BigDecimal(dot / (na * nb))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.45
+    } yield (ia, ib, s)).sortBy(t => (t._1, t._2))
+    val got = Embeddings.dedupEmbedCosineExact(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("embed_outliers: no z within 1e-3 of the 2.0 cut (rounding can't flip the set)") {
     // the registered query rounds z before the cut in both engines;
     // this canary asserts the table's z distribution keeps every point

@@ -100,6 +100,40 @@ class LayoutSpec extends SparkSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("zValue interleaves bits: a→even positions, b→odd") {
+    import spark.implicits._
+    // a = 0b101 → bits at z-positions 0,4 = 0b10001; b = 0b011 → 1,3 = 0b01010
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 3).as("z"))
+      .as[Long].head()
+    assert(z === 27L, s"expected 0b11011, got ${z.toBinaryString}")
+    // order-sensitivity: swapping the args lands bits on the other rail
+    val zSwap = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 3).as("z")).as[Long].head()
+    assert(zSwap === 0b100111, s"got ${zSwap.toBinaryString}")
+  }
+
+  test("z-order clustering cuts files touched by a 2-D range predicate") {
+    val li = Tables.load(spark, SparkSpec.sfTiny, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val plainDir = "target/layout-spec/li_plain"
+    val zDir = "target/layout-spec/li_zorder"
+    li.repartition(8).write.mode("overwrite").parquet(plainDir)
+    Layout.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", nFiles = 8)
+    // quarter-window per dimension, read off the actual distribution
+    val Array(pLo, pHi) = li.stat.approxQuantile("l_partkey", Array(0.25, 0.5), 0.01)
+    val Array(sLo, sHi) = li.stat.approxQuantile("l_suppkey", Array(0.25, 0.5), 0.01)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+        .select(input_file_name()).distinct().count()
+    val (plainF, zF) = (filesTouched(plainDir), filesTouched(zDir))
+    assert(plainF === 8, s"unclustered layout should scatter matches everywhere, got $plainF")
+    assert(zF < plainF, s"z-order must localize the 2-D window: $zF vs $plainF")
+    // same rows either way — clustering is layout, not semantics
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
+
   test("partitioned layout prunes directories at planning time, not rows at scan time") {
     val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
     val dir = "target/layout-spec/docs_by_lang"

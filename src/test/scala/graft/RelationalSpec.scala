@@ -84,6 +84,29 @@ class RelationalSpec extends SparkSuite {
     assert(row.getBoolean(1), "HLL++ estimate strayed beyond the 5% flag bound")
   }
 
+  test("regression aggregates match their moment formulation") {
+    val row = Relational.aggRegression(spark, dir).head()
+    val m = Tables.load(spark, dir, "lineitem").agg(
+      covar_pop(col("l_extendedprice"), col("l_quantity")),
+      var_pop(col("l_quantity")),
+      avg("l_extendedprice"), avg("l_quantity")).head()
+    val slope = m.getDouble(0) / m.getDouble(1)
+    assert(math.abs(row.getDouble(0) - slope) < 1e-3, s"slope ${row.getDouble(0)} vs $slope")
+    assert(math.abs(row.getDouble(1) - (m.getDouble(2) - slope * m.getDouble(3))) < 1e-3)
+    assert(row.getLong(3) === Tables.load(spark, dir, "lineitem").count())
+  }
+
+  test("approx percentile contract: flags true, exacts match the percentile aggregate") {
+    val row = Relational.aggApproxPercentile(spark, dir).head()
+    assert(row.getBoolean(1), "p50 sketch outside 5%")
+    assert(row.getBoolean(3), "p90 sketch outside 5%")
+    val p = Tables.load(spark, dir, "lineitem").agg(
+      round(expr("percentile(l_quantity, 0.5)"), 4),
+      round(expr("percentile(l_extendedprice, 0.9)"), 4)).head()
+    assert(row.getDouble(0) === p.getDouble(0))
+    assert(row.getDouble(2) === p.getDouble(1))
+  }
+
   test("tpch_q18 matches SQL formulation") {
     val df = Relational.tpchQ18BigOrders(spark, dir)
     val sql = sqlOf(
