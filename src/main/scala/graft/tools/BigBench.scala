@@ -205,3 +205,44 @@ object BigBenchLlm {
     spark.stop()
   }
 }
+
+/** Scale proof for the Z-order layout pass: synthesizes N rows with two
+  * independent uniform keys, rewrites them plain (round-robin) and
+  * Morton-clustered ([[graft.sources.Layout.writeZOrdered]]) at the
+  * same file count, and measures (a) the rewrite cost of each and
+  * (b) files touched by a quarter×quarter 2-D window — the pruning
+  * payoff the clustering buys. At a real lake's scale the rewrite is
+  * the once-per-compaction-window price; the files-touched ratio is
+  * what every subsequent 2-D query saves.
+  *
+  * Emits one JSON line; results are recorded in BIGBENCH.md.
+  */
+object ZOrderBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(64)
+    val dir = s"target/bigbench/zorder_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val src = spark.range(0, rows, 1, 32).select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("k1"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("k2"))
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val plainDir = s"$dir/plain"; val zDir = s"$dir/zorder"
+    val tPlain = timeIt(src.repartition(nFiles)
+      .write.mode("overwrite").parquet(plainDir))
+    val tZ = timeIt(graft.sources.Layout.writeZOrdered(src, zDir, "k1", "k2", nFiles))
+
+    def touched(d: String): Long = spark.read.parquet(d)
+      .filter(col("k1").between(250000L, 500000L) && col("k2").between(250000L, 500000L))
+      .select(input_file_name()).distinct().count()
+    val (fPlain, fZ) = (touched(plainDir), touched(zDir))
+    println(s"""{"rows":$rows,"n_files":$nFiles,"write_plain_s":${f"$tPlain%.3f"},"write_zorder_s":${f"$tZ%.3f"},"files_touched_plain":$fPlain,"files_touched_zorder":$fZ}""")
+    spark.stop()
+  }
+}
