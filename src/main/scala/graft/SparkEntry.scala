@@ -106,6 +106,7 @@ object SparkEntry {
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
     "agg_regression" -> (Relational.aggRegression _),
+    "events_active_users" -> (Relational.eventsActiveUsers _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
     "layout_zorder" -> (graft.sources.Layout.layoutZorderQ _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "text_pmi" -> (Documents.textPmi _),
     "corpus_histogram" -> (Documents.corpusHistogramQ _),
     "doc_overlap_report" -> (Documents.docOverlapReport _),
+    "corpus_quality_sample" -> (Documents.corpusQualitySample _),
     "text_boilerplate" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Documents.textBoilerplate(s, d)),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
@@ -557,6 +559,14 @@ object SparkEntry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "events_active_users" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |w AS (SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |         INTERVAL 1 DAY))::DATE AS day, user_id FROM du),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau_trailing FROM w GROUP BY 1)
+        |SELECT d.day, d.dau, wau.wau_trailing
+        |FROM dau d JOIN wau USING (day) ORDER BY day""".stripMargin,
     "agg_regression" ->
       """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
@@ -1079,6 +1089,22 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "corpus_quality_sample" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |u AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS total FROM toks),
+        |s AS (SELECT doc_id, round(avg(-ln(tf::DOUBLE / total)), 4) AS avg_surprisal
+        |      FROM toks JOIN u USING (tok) CROSS JOIN n GROUP BY doc_id),
+        |b AS (SELECT quantile_cont(avg_surprisal, 0.25) AS p25,
+        |             quantile_cont(avg_surprisal, 0.75) AS p75 FROM s),
+        |t AS (SELECT d.doc_id, s.avg_surprisal, d.text,
+        |        CASE WHEN s.avg_surprisal <= b.p25 THEN 1
+        |             WHEN s.avg_surprisal > b.p75 THEN 3
+        |             ELSE 2 END AS tier
+        |      FROM documents d JOIN s ON d.doc_id = s.doc_id CROSS JOIN b)
+        |SELECT doc_id, tier, avg_surprisal FROM t
+        |WHERE substr(md5(text), 1, 2) < (CASE WHEN tier = 2 THEN 'zz' ELSE '40' END)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_histogram" ->
       """WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
         |t AS (SELECT count(*) AS n_total FROM d)

@@ -1430,6 +1430,20 @@ object Documents {
   def corpusHistogramQ(spark: SparkSession, dir: String): DataFrame =
     corpusHistogram(Tables.load(spark, dir, "documents"))
 
+  /** Streaming twin of [[corpusHistogram]] — the live quality monitor
+    * an ingest pipeline keeps on screen: per-bucket doc counts folded
+    * across micro-batches (Complete output; state is one row per
+    * bucket, so the stateful footprint is ~max_len/width rows forever,
+    * independent of how much stream has flowed). Accepts a streaming
+    * OR batch frame — StreamingSpec asserts the two agree on the same
+    * docs. The pct column is the reader's division over the tiny
+    * result; computing it in-stream would chain a second stateful
+    * aggregate for no information. */
+  def corpusHistogramStream(docs: DataFrame, bucketWidth: Int = 10): DataFrame =
+    docs.select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy((floor(col("n_tokens") / bucketWidth) * bucketWidth).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Contamination REPORT — the audit twin of [[decontaminate]]: for
     * each corpus document that shares any word-3-gram with the eval
     * set, the fraction of its distinct shingles that are contaminated.
@@ -1465,4 +1479,43 @@ object Documents {
       docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(100)) === 0))
   }
+
+  /** Quality-weighted downsample — the CCNet/FineWeb-style mix move:
+    * tier every document by its unigram surprisal (both tails are
+    * suspect — boilerplate at the low end, rare-token soup at the
+    * high end) and hash-sample each tier at its own rate (tails
+    * `keepTails`, middle `keepMid`; the defaults keep ~25% of each
+    * tail and the whole middle).
+    *
+    * Scale shape: the surprisal frame reuses [[unigramSurprisal]]'s
+    * broadcast-vocabulary single-shuffle plan; the tier bounds are a
+    * 1-row percentile aggregate broadcast back; tier assignment and
+    * the md5-prefix sample are map-side. Tier thresholds compare the
+    * ROUNDED (4 dp) surprisal in both engines, and the sample is
+    * content-hash-deterministic like [[sampleHash]] — the same subset
+    * survives on any cluster at any partitioning. The md5 prefix is
+    * projected BEFORE the doc_id join, so the exchange carries
+    * (doc_id, 2-char prefix) — never the document text. */
+  def qualityWeightedSample(docs: DataFrame, keepTails: String = "40",
+                            keepMid: String = "zz"): DataFrame = {
+    val s = unigramSurprisal(docs).select(col("doc_id"), col("avg_surprisal"))
+    val bounds = s.agg(
+      expr("percentile(avg_surprisal, 0.25)").as("p25"),
+      expr("percentile(avg_surprisal, 0.75)").as("p75"))
+    docs.select(col("doc_id"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("h"))
+      .join(s, Seq("doc_id"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("tier",
+        when(col("avg_surprisal") <= col("p25"), 1)
+          .when(col("avg_surprisal") > col("p75"), 3)
+          .otherwise(2))
+      .filter(col("h") <
+        when(col("tier") === 2, lit(keepMid)).otherwise(lit(keepTails)))
+      .select(col("doc_id"), col("tier"), col("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  def corpusQualitySample(spark: SparkSession, dir: String): DataFrame =
+    qualityWeightedSample(Tables.load(spark, dir, "documents"))
 }

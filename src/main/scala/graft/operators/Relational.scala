@@ -971,6 +971,31 @@ object Relational {
       .orderBy("cohort", "day_offset")
   }
 
+  /** DAU / rolling-WAU — the other product-analytics staple: distinct
+    * users per day, and per day the distinct users over the trailing
+    * 7 days. Rolling DISTINCT does not decompose over daily partials
+    * (summing DAUs double-counts returners), so each distinct
+    * (day, user) row is exploded to the 7 trailing report days it
+    * contributes to and the WAU is one (day)-keyed distinct count —
+    * at scale the cost is 7× the distinct-activity frame (two slim
+    * columns), never |days| × |users|, and both aggregates reuse one
+    * shuffle family. Report days are restricted to days with actual
+    * activity (the explode manufactures up-to-6-day tails past each
+    * active day; an inner join with the DAU frame drops them). */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau_trailing"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau_trailing"))
+      .orderBy("day")
+  }
+
   /** Resample to a regular per-user DAILY grid with gap-fill — the
     * time-series normalization every downstream model wants: days with
     * no events appear as explicit `n_events = 0` rows, and `carry_sum`

@@ -114,7 +114,7 @@ object BigBenchEvents {
 
     val allNames = Seq("events_window", "events_json_props", "events_sessionize",
       "events_funnel", "events_retention", "events_anomaly", "events_resample",
-      "join_asof", "join_range")
+      "events_active_users", "join_asof", "join_range")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
     val results = names.map { n =>
@@ -185,7 +185,8 @@ object BigBenchLlm {
       "corpus_stats", "dedup_cluster_keep", "text_surprisal", "corpus_mix", "embed_pq",
       "dedup_incremental",
       "text_dup_passages", "dedup_substr_strip", "text_pmi", "text_boilerplate",
-      "pipeline_curate", "corpus_upsample", "corpus_shuffle", "dedup_semantic")
+      "pipeline_curate", "corpus_upsample", "corpus_shuffle", "dedup_semantic",
+      "corpus_histogram", "doc_overlap_report", "corpus_quality_sample")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

@@ -40,6 +40,8 @@ object DumpPlans {
       "dedup_minhash" -> "codegen minhash_sig_md5 map-side; band self-join shuffles 24-byte rows; exact verify only on candidates",
       "events_resample" -> "grid exploded map-side from per-user spans; fill window reuses the user_id clustering",
       "doc_overlap_report" -> "ONE corpus pass: broadcast mark join + conditional count, single doc_id exchange",
+      "corpus_quality_sample" -> "broadcast-vocabulary surprisal + map-side md5 sample; no exchange carries text",
+      "events_active_users" -> "rolling distinct via 7-day explode of the slim (day,user) frame — never days × users",
       "tpch_q18_big_orders" -> "lineitem aggregates once; survivors (not the fact table) join customer; top-100 is TakeOrderedAndProject")
 
     val sb = new StringBuilder

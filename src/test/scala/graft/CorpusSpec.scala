@@ -109,6 +109,26 @@ class CorpusSpec extends SparkSuite {
     assert(out === Seq((1L, 4L, 1L, 0.25)))
   }
 
+  test("quality-weighted sample keeps the whole middle tier, ~25% of each tail") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Documents.qualityWeightedSample(docs)
+      .select("doc_id", "tier").as[(Long, Int)].collect().toSeq
+    val tiers = out.groupBy(_._2).view.mapValues(_.size).toMap
+    val total = docs.count()
+    // quartile tiers: ~25% of the corpus in each tail, ~50% in the middle
+    assert(math.abs(tiers(2) - total * 0.5) <= total * 0.1,
+      s"middle tier kept wholesale: $tiers")
+    // each tail sampled at 64/256 = 25% of its ~quarter of the corpus
+    Seq(1, 3).foreach { t =>
+      val rate = tiers(t).toDouble / (total * 0.25)
+      assert(rate > 0.12 && rate < 0.40, s"tier $t rate $rate outside sampling band")
+    }
+    // determinism: same subset on a re-run
+    val again = Documents.qualityWeightedSample(docs)
+      .select("doc_id", "tier").as[(Long, Int)].collect().toSeq
+    assert(again === out)
+  }
+
   test("corpus histogram partitions the corpus: counts sum to total, pct to 100") {
     val docs = Tables.load(spark, dir, "documents")
     val out = Documents.corpusHistogram(docs)

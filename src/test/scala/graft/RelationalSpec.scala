@@ -84,6 +84,18 @@ class RelationalSpec extends SparkSuite {
     assert(row.getBoolean(1), "HLL++ estimate strayed beyond the 5% flag bound")
   }
 
+  test("active users: first day's WAU equals its DAU, WAU bounded by DAU and total users") {
+    val rows = Relational.eventsActiveUsers(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, dau, wau) => wau >= dau },
+      "a trailing-7-day distinct count can never undercut its own day")
+    assert(rows.head._2 === rows.head._3, "first active day has no trailing history")
+    val totalUsers = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.forall(_._3 <= totalUsers))
+  }
+
   test("regression aggregates match their moment formulation") {
     val row = Relational.aggRegression(spark, dir).head()
     val m = Tables.load(spark, dir, "lineitem").agg(

@@ -75,4 +75,29 @@ class ShuffleSpec extends SparkSuite {
     assert(hashed < strings,
       s"hashed keys must shuffle fewer bytes: hashed=$hashed vs strings=$strings")
   }
+
+  test("quality-weighted sample plans no exchange carrying document text") {
+    // the md5 prefix is projected before the doc_id join, so every
+    // exchange moves (doc_id, 2-char prefix) or aggregate rows — the
+    // corpus text column must never appear in an exchange's output
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    def collectEx(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val self = p match { case s: ShuffleExchangeLike => Seq(s); case _ => Nil }
+      val nested = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectEx(unwrap(q.plan))
+        case _ => Nil
+      }
+      self ++ nested ++ p.children.flatMap(c => collectEx(unwrap(c))) ++
+        p.subqueries.flatMap(c => collectEx(unwrap(c)))
+    }
+    val qe = Documents.qualityWeightedSample(docs).queryExecution
+    val exs = collectEx(unwrap(qe.executedPlan))
+    assert(exs.nonEmpty, "expected at least one exchange in the plan")
+    exs.foreach(e => assert(!e.output.exists(_.name == "text"),
+      s"text crosses an exchange:\n$e"))
+  }
 }

@@ -76,6 +76,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram equals the batch histogram on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "en"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.operators.Documents
+      .corpusHistogramStream(stream.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("hist_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(rows.take(15)); q.processAllAvailable()
+      stream.addData(rows.drop(15)); q.processAllAvailable()
+      val streamed = spark.table("hist_test")
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val batch = graft.operators.Documents
+        .corpusHistogramStream(rows.toDF("doc_id", "text", "lang"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(streamed === batch, "histogram must fold across micro-batches")
+      assert(streamed.map(_._2).sum === 40L)
+      // and the registered batch query's buckets agree (pct aside)
+      val full = graft.operators.Documents
+        .corpusHistogram(rows.toDF("doc_id", "text", "lang"))
+        .select("bucket_lo", "n_docs").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(full === streamed)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
