@@ -155,6 +155,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Documents.textBoilerplate(s, d)),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
+    "embed_knn_filtered" -> (Embeddings.embedKnnFiltered _),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
@@ -1038,6 +1039,19 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
         |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "embed_knn_filtered" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |      FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |        round(list_sum(list_transform(range(1, len(q_emb) + 1),
+        |                i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+        |          / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |           * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+        |      FROM q, e WHERE vec_id <> q_id AND label = q_label),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
+        |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "embed_centroid" ->
       """WITH x AS (SELECT label,
         |             unnest(range(0, len(embedding))) AS pos,

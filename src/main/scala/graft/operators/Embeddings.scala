@@ -43,10 +43,15 @@ object Embeddings {
 
   /** Exact top-k cosine neighbors for each query vector. Queries are
     * broadcast (tiny); the corpus is scanned once, each partition
-    * scoring all queries; the window top-k shuffles only on q_id. */
-  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * scoring all queries; the window top-k shuffles only on q_id.
+    * `extra` narrows the candidate set per query (metadata-filtered
+    * search — e.g. same-label only); it rides the broadcast join
+    * condition, so filtered candidates are dropped at scan time, not
+    * post-scored. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
+               extra: Column = lit(true)): DataFrame = {
     val scored = corpus
-      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id") && extra)
       .select(col("q_id"), col("vec_id"),
         round(dotCol("q_emb", "embedding") / (normCol("q_emb") * normCol("embedding")), 6)
           .as("sim"))
@@ -66,6 +71,22 @@ object Embeddings {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     knnBrute(emb, queries, k = 10)
+  }
+
+  /** Metadata-FILTERED vector search — the production shape of kNN
+    * (nobody searches the whole lake; they search "same language",
+    * "same tenant", "same label"): exact top-5 cosine neighbors
+    * restricted to the query's own label, the filter applied inside
+    * the candidate join rather than after scoring. At scale the same
+    * predicate composes with the IVF/LSH candidate generators —
+    * filtering candidates, never results. */
+  def embedKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    knnBrute(emb, queries, k = 5, extra = col("label") === col("q_label"))
   }
 
   /** Fixed ±1 projection matrix (nBits × 64) — seeded, so signatures

@@ -276,6 +276,34 @@ class EmbeddingsSpec extends SparkSuite {
     assert(z > 3.0, s"planted outlier should clear the cut comfortably, z=$z")
   }
 
+  test("filtered kNN returns only same-label neighbors, exactly 5 per query") {
+    val out = Embeddings.embedKnnFiltered(spark, SparkSpec.sfTiny)
+    val labels = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .select("vec_id", "label")
+    val joined = out.join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+    assert(joined.filter(col("label") =!= col("q_label")).count() === 0,
+      "a neighbor outside the query's label leaked through the filter")
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0)
+    // the filtered list is the unfiltered ranking restricted to the
+    // label: per query, the same-label members of the global top-10
+    // (in rank order, first 5) must all appear in the filtered result
+    val sameLabelTop = Embeddings.embedKnn(spark, SparkSpec.sfTiny)
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+      .filter(col("label") === col("q_label"))
+      .select("q_id", "vec_id", "rnk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).take(5).map(_._2).toSet)
+    val got = out.select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    sameLabelTop.foreach { case (q, expectIn) =>
+      assert(expectIn.subsetOf(got.getOrElse(q, Set.empty)),
+        s"query $q: global-top-10 same-label members $expectIn missing from filtered ${got.get(q)}")
+    }
+  }
+
   test("exact cosine slice matches a driver-side brute force, value for value") {
     val vecs = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
       .filter(col("vec_id") < 1000).select("vec_id", "embedding")

@@ -11,6 +11,26 @@ class PlanSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("runtime bloom-filter join pruning engages once scan thresholds allow") {
+    // Spark's row-level runtime filtering is ON in GraftSession but
+    // gated by a 10 GiB application-side scan threshold — invisible at
+    // test scale, live at lake scale. This pins that the lever actually
+    // fires with our session + extensions: thresholds down, broadcast
+    // off (bloom injection targets shuffle joins), a selective dim →
+    // fact join must inject might_contain on the fact scan side.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = Relational.tpchQ3Shipping(spark, SparkSpec.sfTiny)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a runtime bloom filter on the fact side:\n" + p.take(3000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("filter_and pushes predicates into the parquet scan") {
     val p = plan(Relational.filterAnd(spark, SparkSpec.sfTiny))
     assert(p.contains("PushedFilters: ["), p)
