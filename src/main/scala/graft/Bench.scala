@@ -49,6 +49,7 @@ object Bench {
       "window_first_last", "window_percent_rank", "agg_corr", "events_retention",
       "tpch_q3_shipping", "tpch_q5_local", "tpch_q18_big_orders",
       "events_anomaly", "corpus_trim", "corpus_histogram",
+      "corpus_quality_sample", "corpus_upsert",
       "filter_null_safe", "scalar_string", "agg_string_minmax", "window_range_frame",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
       "events_sessionize", "events_funnel", "events_resample",

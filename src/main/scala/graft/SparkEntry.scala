@@ -152,6 +152,7 @@ object SparkEntry {
     "corpus_histogram" -> (Documents.corpusHistogramQ _),
     "doc_overlap_report" -> (Documents.docOverlapReport _),
     "corpus_quality_sample" -> (Documents.corpusQualitySample _),
+    "corpus_upsert" -> (Documents.corpusUpsert _),
     "text_boilerplate" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Documents.textBoilerplate(s, d)),
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
@@ -1083,17 +1084,20 @@ object SparkEntry {
     // the actual decoders, not the arithmetic.
     "multimodal_decode_real" ->
       """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 32
+        |  CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 32
         |                  WHEN 1 THEN 16 + doc_id % 64
-        |                  ELSE 8000 + (doc_id % 8) * 1000 END AS width,
-        |  CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id // 32) % 32
+        |                  WHEN 2 THEN 8000 + (doc_id % 8) * 1000
+        |                  ELSE 12 + doc_id % 48 END AS width,
+        |  CASE doc_id % 4 WHEN 0 THEN 8 + (doc_id // 32) % 32
         |                  WHEN 1 THEN 16 + (doc_id // 64) % 64
-        |                  ELSE 1 + doc_id % 2 END AS height,
-        |  CASE doc_id % 3 WHEN 0 THEN 1
+        |                  WHEN 2 THEN 1 + doc_id % 2
+        |                  ELSE 12 + (doc_id // 48) % 48 END AS height,
+        |  CASE doc_id % 4 WHEN 0 THEN 1
         |                  WHEN 1 THEN CASE (doc_id // 3) % 3
         |                                WHEN 0 THEN 1 WHEN 1 THEN 3
         |                                ELSE 4 END
-        |                  ELSE 1 + doc_id % 50 END AS n_frames
+        |                  WHEN 2 THEN 1 + doc_id % 50
+        |                  ELSE CASE (doc_id // 4) % 2 WHEN 0 THEN 1 ELSE 3 END END AS n_frames
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
@@ -1103,6 +1107,16 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "corpus_upsert" ->
+      """WITH up AS (SELECT doc_id, text || ' [rev2]' AS text, lang
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |all_rows AS (SELECT doc_id, text, lang, 0 AS src FROM documents
+        |             UNION ALL SELECT doc_id, text, lang, 1 FROM up),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY src DESC) AS rn
+        |      FROM all_rows)
+        |SELECT doc_id, lang, length(text) AS n_chars,
+        |       text LIKE '% [rev2]' AS revised
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "corpus_quality_sample" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |u AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),

@@ -1518,4 +1518,38 @@ object Documents {
 
   def corpusQualitySample(spark: SparkSession, dir: String): DataFrame =
     qualityWeightedSample(Tables.load(spark, dir, "documents"))
+
+  /** Keyed upsert (MERGE semantics on plain frames): updates win over
+    * base rows on `key`, inserts pass through — the re-crawl /
+    * corrected-batch refresh every lake without a table format does by
+    * hand. Shape: union with a source rank + one row_number window
+    * keyed by `key` — a single shuffle on the merge key, which an
+    * anti-join + union formulation would pay TWICE (once for the anti
+    * join, once more because the union's halves arrive with unrelated
+    * partitionings). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col("_src").desc)
+    base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+
+  /** Registered query: refresh the corpus with a deterministic
+    * corrected batch (every 10th doc re-ingested with a revision
+    * marker); row count must equal the base corpus, revised rows carry
+    * the marker. */
+  def corpusUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    val updates = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("text", concat(col("text"), lit(" [rev2]")))
+    upsert(docs, updates, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        col("text").endsWith(" [rev2]").as("revised"))
+      .orderBy("doc_id")
+  }
 }

@@ -11,11 +11,12 @@ import graft.Tables
   * The Spark-side plumbing is real — binary packing, typed Dataset
   * schema, partition-batched decode — and so is the decoder for the
   * formats a pure-JVM header parse can handle: BMP and PNG (pixel
-  * dimensions, channels)
-  * and WAV (sample rate / channels / frame count) via
-  * [[MediaDecoder]]. Formats needing a real codec (JPEG, H.264, ...)
-  * fall back to a clearly-marked DETERMINISTIC STUB that derives fake
-  * dimensions from a content hash — the container ships no codecs.
+  * dimensions, channels), WAV (sample rate / channels / frame count)
+  * and JPEG (SOF frame dimensions + component count) via
+  * [[MediaDecoder]]. Formats needing a full codec (pixel data,
+  * H.264, ...) fall back to a clearly-marked DETERMINISTIC STUB that
+  * derives fake dimensions from a content hash — the container ships
+  * no codecs.
   * Swapping in a full decoder (JNI codec or `mapInPandas` + Pillow on
   * a PySpark cluster) changes only the per-format branch; the schema,
   * partitioning, and batch shape are what this module pins down — and
@@ -120,6 +121,42 @@ object Multimodal {
       }
       if (w > 0 && h > 0 && channels > 0) Some((w, h, channels)) else None
     }
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    /** (width, height, components) from a JPEG's SOF segment — the
+      * marker walk every JPEG dimension probe does: SOI, then
+      * length-prefixed segments until a start-of-frame marker
+      * (SOF0–SOF3, SOF5–SOF7, SOF9–SOF11, SOF13–SOF15 — baseline
+      * through differential lossless) carrying precision, height,
+      * width, component count. Same hostile-input posture as the RIFF
+      * walk: segment lengths come from untrusted bytes, so the offset
+      * advances in Long, must strictly increase, and must stay in
+      * bounds — a crafted length of 0 or 0xFFFF must end the walk,
+      * never spin or overrun. */
+    def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var off = 2L
+      while (off + 4 <= b.length) {
+        if ((b(off.toInt) & 0xff) != 0xff) return None // marker misalignment
+        val marker = b(off.toInt + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc // DHT/JPG/DAC aren't frames
+        val len = be16(b, off.toInt + 2)
+        if (isSof) {
+          if (off + 2 + 2 + 6 > b.length || len < 8) return None
+          val h = be16(b, off.toInt + 5)
+          val w = be16(b, off.toInt + 7)
+          val comp = b(off.toInt + 9) & 0xff
+          return if (w > 0 && h > 0 && comp > 0) Some((w, h, comp)) else None
+        }
+        val next = off + 2L + len
+        if (len < 2 || next <= off || next > b.length.toLong) return None
+        off = next
+      }
+      None
+    }
   }
 
   /** Deterministic minimal-but-valid media files per the public format
@@ -165,16 +202,38 @@ object Multimodal {
       b.array()
     }
 
+    /** Minimal JFIF: SOI + APP0 (JFIF 1.1 stub) + SOF0 with the real
+      * dimensions and component count. Header-only like [[png]] — the
+      * entropy-coded scan needs a codec, and the decoder reads only
+      * the frame header. */
+    def jpeg(w: Int, h: Int, components: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 10 + 3 * components)
+      b.putShort(0xffd8.toShort) // SOI
+      b.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      b.putShort(0x0101.toShort).put(0.toByte) // version 1.1, aspect units
+      b.putShort(1.toShort).putShort(1.toShort).put(0.toByte).put(0.toByte)
+      b.putShort(0xffc0.toShort).putShort((8 + 3 * components).toShort) // SOF0
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.put(components.toByte)
+      (1 to components).foreach(i =>
+        b.put(i.toByte).put(0x11.toByte).put(0.toByte))
+      b.array()
+    }
+
     /** The closed-form (doc_id → blob, mime) mapping behind
-      * [[syntheticMedia]] — format cycles by doc_id mod 3, dimensions
+      * [[syntheticMedia]] — format cycles by doc_id mod 4, dimensions
       * derive arithmetically from doc_id, so the decoded features are
-      * an exact function of the id (spec-asserted). */
-    def forId(id: Long): (Array[Byte], String) = (id % 3) match {
+      * an exact function of the id (spec-asserted, DuckDB-oracle-
+      * replayed). */
+    def forId(id: Long): (Array[Byte], String) = (id % 4) match {
       case 0 => (bmp(8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt), "image/bmp")
       case 1 => (png(16 + (id % 64).toInt, 16 + ((id / 64) % 64).toInt,
         Seq(0, 2, 6)(((id / 3) % 3).toInt)), "image/png")
-      case _ => (wav(8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
+      case 2 => (wav(8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
         1 + (id % 50).toInt), "audio/wav")
+      case _ => (jpeg(12 + (id % 48).toInt, 12 + ((id / 48) % 48).toInt,
+        if ((id / 4) % 2 == 0) 1 else 3), "image/jpeg")
     }
   }
 
@@ -198,12 +257,12 @@ object Multimodal {
 
   /** Partition-batched decode. `mapPartitions` mirrors the batch shape
     * of `mapInPandas`: the decoder amortizes codec init across a whole
-    * partition instead of paying it per row. BMP, PNG and WAV decode for
-    * real ([[MediaDecoder]]); other formats fall back to the
-    * deterministic murmur3-hash STUB (no codecs in the container), so
-    * specs and the verify harness stay stable. For WAV, `width` is the
-    * sample rate, `height` the channel count, `n_frames` the sample
-    * frames. */
+    * partition instead of paying it per row. BMP, PNG, WAV and JPEG
+    * decode for real ([[MediaDecoder]]); other formats fall back to
+    * the deterministic murmur3-hash STUB (no codecs in the container),
+    * so specs and the verify harness stay stable. For WAV, `width` is
+    * the sample rate, `height` the channel count, `n_frames` the
+    * sample frames; for JPEG, `n_frames` is the component count. */
   def decodeStub(records: Dataset[MediaRecord]): Dataset[DecodedFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
@@ -211,10 +270,11 @@ object Multimodal {
       it.map { r =>
         val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, seed = 42)
         val decoded = r.mime match {
-          case "image/bmp" => MediaDecoder.decodeBmp(r.media)
-          case "image/png" => MediaDecoder.decodePng(r.media)
-          case "audio/wav" => MediaDecoder.decodeWav(r.media)
-          case _           => None
+          case "image/bmp"  => MediaDecoder.decodeBmp(r.media)
+          case "image/png"  => MediaDecoder.decodePng(r.media)
+          case "audio/wav"  => MediaDecoder.decodeWav(r.media)
+          case "image/jpeg" => MediaDecoder.decodeJpeg(r.media)
+          case _            => None
         }
         val (w, ht, frames) = decoded.getOrElse((
           64 + (math.abs(h.toLong) % 512).toInt,
@@ -243,8 +303,8 @@ object Multimodal {
     decodeStub(pack(spark, dir)).toDF().orderBy("doc_id")
 
   /** Registered query (HARD oracle): generate → decode over REAL
-    * format headers, so all three [[MediaDecoder]] branches (BMP, PNG,
-    * WAV) run driver-visibly. Every decoded row's dims are the
+    * format headers, so all four [[MediaDecoder]] branches (BMP, PNG,
+    * WAV, JPEG) run driver-visibly. Every decoded row's dims are the
     * closed-form function of doc_id that [[MediaEncoder.forId]]
     * defines, which DuckDB recomputes directly in SQL — so the oracle
     * verifies that the dims survived a real encode → header-parse

@@ -109,6 +109,14 @@ class CorpusSpec extends SparkSuite {
     assert(out === Seq((1L, 4L, 1L, 0.25)))
   }
 
+  test("upsert: updates win on key, inserts pass through, base rows survive") {
+    val base = Seq((1L, "a", "en"), (2L, "b", "en")).toDF("doc_id", "text", "lang")
+    val ups = Seq((2L, "b2", "en"), (3L, "c", "de")).toDF("doc_id", "text", "lang")
+    val out = Documents.upsert(base, ups, "doc_id").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out === Seq((1L, "a", "en"), (2L, "b2", "en"), (3L, "c", "de")))
+  }
+
   test("quality-weighted sample keeps the whole middle tier, ~25% of each tail") {
     val docs = Tables.load(spark, dir, "documents")
     val out = Documents.qualityWeightedSample(docs)

@@ -113,23 +113,47 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.MediaDecoder.decodeWav(truncated()) === Some((44100, 2, 100)))
   }
 
-  test("multimodal_decode_real runs all three real decoder branches with exact dims") {
+  test("multimodal_decode_real runs all four real decoder branches with exact dims") {
     val out = Multimodal.multimodalDecodeReal(spark, SparkSpec.sfTiny)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     assert(out.nonEmpty)
     // every decoded row matches the generator's closed-form dims
     out.foreach { case (id, (w, h, frames)) =>
-      val expected = (id % 3) match {
+      val expected = (id % 4) match {
         case 0 => (8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt, 1)
         case 1 => (16 + (id % 64).toInt, 16 + ((id / 64) % 64).toInt,
           Seq(1, 3, 4)(((id / 3) % 3).toInt)) // PNG third field = channels
-        case _ => (8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt, 1 + (id % 50).toInt)
+        case 2 => (8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt, 1 + (id % 50).toInt)
+        case _ => (12 + (id % 48).toInt, 12 + ((id / 48) % 48).toInt,
+          if ((id / 4) % 2 == 0) 1 else 3) // JPEG third field = components
       }
       assert((w, h, frames) === expected, s"doc $id")
     }
-    // all three mimes (hence all three REAL parser branches) occur
-    assert(out.keys.map(_ % 3).toSet === Set(0L, 1L, 2L))
+    // all four mimes (hence all four REAL parser branches) occur
+    assert(out.keys.map(_ % 4).toSet === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("JPEG decoder: SOF walk, gray and color, hostile segment lengths") {
+    import Multimodal.{MediaDecoder, MediaEncoder}
+    assert(MediaDecoder.decodeJpeg(MediaEncoder.jpeg(640, 480, 3)) === Some((640, 480, 3)))
+    assert(MediaDecoder.decodeJpeg(MediaEncoder.jpeg(17, 23, 1)) === Some((17, 23, 1)))
+    // not a JPEG
+    assert(MediaDecoder.decodeJpeg(Array[Byte](0, 1, 2, 3)) === None)
+    // truncated after SOI
+    assert(MediaDecoder.decodeJpeg(Array(0xff, 0xd8).map(_.toByte)) === None)
+    // hostile: APP0 length 0 would loop forever without the strict-advance guard
+    val zeroLen = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00, 0xff, 0xc0).map(_.toByte)
+    assert(MediaDecoder.decodeJpeg(zeroLen) === None)
+    // hostile: segment length pointing past the buffer
+    val overrun = Array(0xff, 0xd8, 0xff, 0xe0, 0x7f, 0xff).map(_.toByte)
+    assert(MediaDecoder.decodeJpeg(overrun) === None)
+    // DHT (C4) must be skipped, not treated as a frame header
+    val dhtFirst = {
+      val sof = MediaEncoder.jpeg(32, 16, 1).drop(2) // strip SOI, keep APP0+SOF
+      Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x00).map(_.toByte) ++ sof
+    }
+    assert(MediaDecoder.decodeJpeg(dhtFirst) === Some((32, 16, 1)))
   }
 
   test("multimodal_pack query joins 1:1 with embeddings") {
