@@ -116,6 +116,7 @@ object SparkEntry {
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
+    "dedup_containment" -> (Documents.dedupContainment _),
     "dedup_minhash" -> (Documents.dedupMinhash _),
     "dedup_keep_list" -> (Documents.dedupKeepList _),
     "dedup_simhash" -> (Documents.dedupSimhash _),
@@ -703,6 +704,17 @@ object SparkEntry {
         |SELECT d1, d2, round(common::DOUBLE / (n1.n + n2.n - common), 4) AS jaccard
         |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(common::DOUBLE / least(n1.n, n2.n), 4) AS containment
+        |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE round(common::DOUBLE / least(n1.n, n2.n), 4) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "dedup_keep_list" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -176,6 +176,40 @@ object Documents {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
+  /** ASYMMETRIC containment pairs: C(a,b) = |A∩B| / min(|A|,|B|) —
+    * the "one document contains the other" detector Jaccard misses
+    * (a paragraph quoted whole inside a long page has low Jaccard but
+    * containment ≈ 1; Broder's original resemblance/containment
+    * split). Same inverted-index single-shuffle shape as
+    * [[jaccardPairs]]; only the normalization differs, so the
+    * candidate volume — the scale-determining term — is identical. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val n = shingleArray(docs)
+      .select(col("doc_id"), size(col("sh")).as("n"))
+      .filter(col("n") > 0)
+    val pairs = sh.groupBy("s")
+      .agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
+      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("common").cast("double") /
+          least(col("n1.n"), col("n2.n")), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.load(spark, dir, "documents"), threshold = 0.8)
+
   /** INCREMENTAL near-dup: new-batch documents that near-duplicate any
     * EXISTING corpus document — the shape production pipelines actually
     * run (each ingest batch probes the standing corpus index; the

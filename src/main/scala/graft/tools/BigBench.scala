@@ -186,7 +186,8 @@ object BigBenchLlm {
       "dedup_incremental",
       "text_dup_passages", "dedup_substr_strip", "text_pmi", "text_boilerplate",
       "pipeline_curate", "corpus_upsample", "corpus_shuffle", "dedup_semantic",
-      "corpus_histogram", "doc_overlap_report", "corpus_quality_sample")
+      "corpus_histogram", "doc_overlap_report", "corpus_quality_sample",
+      "dedup_containment", "corpus_upsert")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

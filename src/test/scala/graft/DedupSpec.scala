@@ -282,6 +282,20 @@ class DedupSpec extends SparkSuite {
     assert(!out.contains(999L), s"exact dup not stripped: ${out.get(999L)}")
   }
 
+  test("containment flags a short doc quoted inside a long one; Jaccard misses it") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val short = (20 to 30).map(i => s"tok$i").mkString(" ") // fully contained
+    val docs = Seq((1L, long, "en"), (2L, short, "en"),
+      (3L, "totally different words entirely over here now today", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cont = Documents.containmentPairs(docs, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+    assert(cont.head._3 === 1.0, "a whole-quote containment scores exactly 1")
+    assert(Documents.jaccardPairs(docs, 0.6).collect().isEmpty,
+      "resemblance at 0.6 must miss the asymmetric case containment exists for")
+  }
+
   test("langId predicts constructed texts") {
     val samples = Seq(
       ("the cat and the dog of the house is with us", "en"),
