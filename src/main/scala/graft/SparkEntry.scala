@@ -102,6 +102,7 @@ object SparkEntry {
     "agg_corr" -> (Relational.aggCorr _),
     "events_retention" -> (Relational.eventsRetention _),
     "events_resample" -> (Relational.eventsResample _),
+    "events_markov" -> (Relational.eventsMarkov _),
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
@@ -137,6 +138,8 @@ object SparkEntry {
     "text_repetition" -> (Documents.textRepetition _),
     "text_tfidf" -> (Documents.textTfidf _),
     "text_surprisal" -> (Documents.textSurprisal _),
+    "text_bigram_surprisal" -> (Documents.textBigramSurprisal _),
+    "corpus_dsir" -> (Documents.corpusDsir _),
     "corpus_stats" -> (Documents.corpusStats _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
@@ -528,6 +531,15 @@ object SparkEntry {
         |       last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_sum
         |FROM j ORDER BY user_id, d""".stripMargin,
+    "events_markov" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type, count(*) AS n FROM t
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev AS prev_type, event_type AS next_type, n,
+        |       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "tpch_q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
@@ -605,6 +617,33 @@ object SparkEntry {
         |       round(avg(-ln(tf::DOUBLE / total)), 4) AS avg_surprisal
         |FROM toks JOIN u USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> {'w1': t[i], 'w2': t[i+1]})) AS z
+        |      FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM p),
+        |cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+        |cw AS (SELECT w1, sum(nb) AS nw FROM cb GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(nb::DOUBLE / nw)), 4) AS avg_surprisal
+        |FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bkt FROM toks),
+        |m AS (SELECT bkt, count(*) AS nr,
+        |        count(*) FILTER (WHERE lang = 'en') AS nt FROM b GROUP BY 1),
+        |tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM m),
+        |w AS (SELECT bkt, ln(((nt + 1)::DOUBLE / (tt + 1024)) /
+        |                     ((nr + 1)::DOUBLE / (tr + 1024))) AS lw
+        |      FROM m CROSS JOIN tot),
+        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |       round(sum(c * lw), 4) AS log_ratio
+        |FROM db JOIN w USING (bkt) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // ---- LLM-pipeline oracles (embed_ann_lsh / embed_ann_ivf are
     // rows-only: they depend on LSH/quantizer internals the oracle
     // can't reproduce; their quality bars live in the ScalaTest

@@ -1134,6 +1134,99 @@ object Documents {
   def textSurprisal(spark: SparkSession, dir: String): DataFrame =
     unigramSurprisal(Tables.load(spark, dir, "documents"))
 
+  /** Bigram conditional-LM surprisal — the next step up from
+    * [[unigramSurprisal]]: score each document by the mean
+    * `-ln P(w_i | w_{i-1})` under the corpus's own bigram MLE.
+    * Repetitive/templated text (predictable continuations) scores low,
+    * shuffled-word soup scores high even when its unigram mix is
+    * normal — which is exactly the gibberish the unigram score misses.
+    * MLE needs no smoothing here because the corpus scores itself:
+    * every bigram being scored is, by construction, in the model.
+    *
+    * Shape: bigram pairs form MAP-SIDE (`zip_with` over the token
+    * array with its own tail — never a window/shuffle to pair
+    * neighbors). Both count tables — bigram `(w1,w2)` and context
+    * `(w1·)` — aggregate off that one pair stream with map-side
+    * combine, and both ride Heaps' law (bigram vocab ~ O(n^0.8),
+    * still far under the corpus), joining back broadcast when they
+    * fit, shuffle when they don't ([[Ops.joinBroadcastIfFits]]).
+    * Pairs shuffle as two 8-byte hashes, not strings. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("z"))
+      .select(col("doc_id"),
+        xxhash64(col("z.w1")).as("h1"),
+        xxhash64(col("z.w1"), col("z.w2")).as("h12"))
+    val bigram = pairs.groupBy("h12").agg(count(lit(1)).as("nb"))
+    // context count c(w1·) = bigrams starting with w1 — derived from
+    // the same pair stream, so the two tables can never disagree on
+    // tokenization (and the oracle reproduces it as sum(nb) per w1)
+    val context = pairs.groupBy("h1").agg(count(lit(1)).as("nw"))
+    Ops.joinBroadcastIfFits(
+        Ops.joinBroadcastIfFits(pairs, bigram, "h12"), context, "h1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("nb").cast("double") / col("nw"))), 4)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(Tables.load(spark, dir, "documents"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of its hashed-unigram
+    * features under a target-domain bag-of-words model vs the raw
+    * corpus model. Downstream, `Gumbel top-k` on these weights
+    * resamples a target-like corpus; the weight computation is the
+    * expensive distributed part and is what's implemented here. The
+    * target domain is the corpus's own `lang = 'en'` slice (the
+    * Wikipedia-as-target stand-in for the synthetic table).
+    *
+    * Hashing into B=1024 buckets bounds both model tables at B rows
+    * regardless of vocabulary — the models broadcast at ANY corpus
+    * scale, unconditionally (unlike the surprisal vocab join which
+    * must degrade to shuffle past Heaps-law size). The hash is the
+    * engine-portable md5-prefix family (same as the minhash/simhash
+    * oracle rows), so DuckDB reproduces bucket assignment bit-for-bit.
+    *
+    * Shape: one map-side projection to (doc_id, bucket), ONE
+    * doc_id-keyed corpus shuffle into per-(doc, bucket) counts, then a
+    * broadcast join against the 1024-row weight table and a per-doc
+    * fold. The model tables aggregate map-side into ≤B rows per
+    * partition before their own (tiny) shuffle. Add-one smoothing on
+    * both models keeps empty-on-one-side buckets finite. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 1024): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (expr("conv(substring(md5(tok), 1, 15), 16, 10)").cast("long")
+          % buckets).as("bkt"))
+    val model = toks.groupBy("bkt").agg(
+      count(lit(1)).as("nr"),
+      count(when(col("lang") === targetLang, 1)).as("nt"))
+    val totals = model.agg(sum("nr").as("tr"), sum("nt").as("tt"))
+    val weights = model.crossJoin(broadcast(totals))
+      .select(col("bkt"), log(
+        ((col("nt") + 1).cast("double") / (col("tt") + buckets)) /
+        ((col("nr") + 1).cast("double") / (col("tr") + buckets))).as("lw"))
+    toks.groupBy("doc_id", "bkt").agg(count(lit(1)).as("c"))
+      .join(broadcast(weights), "bkt")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        round(sum(col("c") * col("lw")), 4).as("log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.load(spark, dir, "documents"))
+
   /** Stratified deterministic sampling — the domain-mixing step of
     * corpus assembly: each stratum (here: language) is downsampled at
     * its own target rate, so the output corpus hits a prescribed

@@ -1036,4 +1036,31 @@ object Relational {
         col("carry_sum"))
       .orderBy("user_id", "d")
   }
+
+  /** First-order Markov transition matrix over event types — the
+    * behavioral-model summary (what follows a `view`? how often does a
+    * `click` convert?) that product analytics derives from the same
+    * per-user ordered stream as sessionization.
+    *
+    * Scale shape: ONE user-keyed shuffle for the lag window (the same
+    * exchange sessionize pays — on a shared pipeline the two reuse one
+    * sort), then the (prev, next) pair stream collapses through a
+    * map-side-combined aggregate into at most |types|² rows. The
+    * row-probability normalization is a window over that tiny frame —
+    * never a second pass over events. Ordering ties on event_id so the
+    * sequence (and thus the oracle) is deterministic under same-µs
+    * timestamps. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(byPrev), 6))
+      .orderBy("prev_type", "next_type")
+  }
 }

@@ -84,6 +84,47 @@ class CorpusSpec extends SparkSuite {
     assert(math.abs(tiny(2L) - -math.log(1.0 / 3.0)) < 1e-3, tiny.toString)
   }
 
+  test("bigram surprisal matches a hand-computed MLE and flags shuffled text") {
+    // corpus: doc1 = "a a b", doc2 = "a b" → bigram counts (a,a)=1,
+    // (a,b)=2; context a· = 3. doc1 = avg(-ln(1/3), -ln(2/3)),
+    // doc2 = -ln(2/3) — pins the conditional-MLE formula exactly.
+    val tiny = Documents.bigramSurprisal(
+      Seq((1L, "a a b", "x"), (2L, "a b", "x")).toDF("doc_id", "text", "lang"))
+      .select("doc_id", "avg_surprisal").as[(Long, Double)].collect().toMap
+    val d1 = (-math.log(1.0 / 3.0) + -math.log(2.0 / 3.0)) / 2.0
+    assert(math.abs(tiny(1L) - d1) < 1e-3, tiny.toString)
+    assert(math.abs(tiny(2L) - -math.log(2.0 / 3.0)) < 1e-3, tiny.toString)
+    // ten copies of a fixed sentence make its continuations certain;
+    // one doc with the SAME unigrams in scrambled orders must score
+    // strictly higher — the signal unigram surprisal cannot see.
+    val fluent = (1L to 10L).map(i => (i, "the cat sat on the mat", "en"))
+    val scrambled = Seq((11L, "mat the on sat cat the", "en"))
+    val out = Documents.bigramSurprisal(
+      (fluent ++ scrambled).toDF("doc_id", "text", "lang"))
+      .select("doc_id", "avg_surprisal").as[(Long, Double)].collect().toMap
+    assert(out(11L) > out(1L),
+      s"scrambled ${out(11L)} must exceed fluent ${out(1L)}")
+  }
+
+  test("dsir weights favor target-language-like docs; counts conserved") {
+    val docs = (
+      (1L to 5L).map(i => (i, "alpha beta gamma alpha beta", "en")) ++
+      (6L to 10L).map(i => (i, "uno dos tres uno dos", "de")))
+      .toDF("doc_id", "text", "lang")
+    val w = Documents.dsirWeights(docs).cache()
+    try {
+      val byDoc = w.select("doc_id", "log_ratio").as[(Long, Double)].collect().toMap
+      // tokens exclusive to the en slice → positive log-ratio;
+      // tokens absent from it → negative (add-one keeps both finite)
+      assert(byDoc(1L) > 0, s"target doc scored ${byDoc(1L)}")
+      assert(byDoc(6L) < 0, s"off-target doc scored ${byDoc(6L)}")
+      assert(byDoc(1L) > byDoc(6L))
+      // every token instance is scored exactly once
+      val total = w.agg(sum("n_tokens")).as[Long].head()
+      assert(total === 50L)
+    } finally w.unpersist()
+  }
+
   test("decontaminate flags exactly the docs sharing a shingle with the eval set") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "en"),   // contaminated (shares 3-gram with eval)

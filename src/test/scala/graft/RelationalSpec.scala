@@ -216,4 +216,21 @@ class RelationalSpec extends SparkSuite {
         col("carry_sum") =!= col("sum_value")).count() === 0L)
     } finally rs.unpersist()
   }
+
+  test("events_markov: transitions conserve counts and rows are distributions") {
+    val mk = Relational.eventsMarkov(spark, dir).cache()
+    try {
+      // every event except each user's first contributes one transition
+      val events = Tables.load(spark, dir, "events")
+      val expected = events.count() -
+        events.select("user_id").distinct().count()
+      val total = mk.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+      assert(total === expected)
+      // each prev_type's outgoing probabilities sum to ~1
+      val bad = mk.groupBy("prev_type")
+        .agg(org.apache.spark.sql.functions.sum("p").as("sp"))
+        .filter(abs(col("sp") - 1.0) > 1e-4).count()
+      assert(bad === 0L, s"$bad rows of the transition matrix don't normalize")
+    } finally mk.unpersist()
+  }
 }
