@@ -140,6 +140,7 @@ object SparkEntry {
     "text_surprisal" -> (Documents.textSurprisal _),
     "text_bigram_surprisal" -> (Documents.textBigramSurprisal _),
     "corpus_dsir" -> (Documents.corpusDsir _),
+    "text_heavy_hitters" -> (Documents.textHeavyHitters _),
     "corpus_stats" -> (Documents.corpusStats _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
@@ -629,6 +630,15 @@ object SparkEntry {
         |       round(avg(-ln(nb::DOUBLE / nw)), 4) AS avg_surprisal
         |FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The sketch only generates candidates; the registered result is
+    // the EXACT heavy-hitter set (superset guarantee + exact re-count),
+    // so the oracle is the plain exact formulation.
+    "text_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS total FROM toks)
+        |SELECT tok, count(*) AS cnt FROM toks CROSS JOIN n
+        |GROUP BY tok, total HAVING count(*) * 100 > total
+        |ORDER BY tok""".stripMargin,
     "corpus_dsir" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),

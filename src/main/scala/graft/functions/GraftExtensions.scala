@@ -87,6 +87,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorExpressions.MinHashSigMd5(args.head, nPerms)
       }))
     ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(col, k) - k-counter Misra-Gries heavy-hitter sketch, as map<string,bigint>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"misra_gries expects 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"misra_gries k must be an integer literal, got $other")
+        }
+        MisraGries(args.head, k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("mode_count"),
       info("mode_count",
         "mode_count(arr) - multiplicity of the most frequent element of a string array"),

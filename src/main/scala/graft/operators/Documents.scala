@@ -1227,6 +1227,45 @@ object Documents {
   def corpusDsir(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.load(spark, dir, "documents"))
 
+  /** Heavy hitters — the tokens exceeding `1/thresholdInv` of the
+    * corpus token stream, found WITHOUT a full-vocabulary shuffle.
+    *
+    * Why not `groupBy(tok).count().filter(...)`? At 100 TB the
+    * vocabulary aggregate shuffles Heaps-law hundreds of millions of
+    * (token, count) rows to answer a question whose result is a
+    * handful of tokens. Instead: ONE pass through the token stream
+    * feeds a [[graft.functions.MisraGries]] sketch (k counters per
+    * partition, merged by Spark's partial aggregation — bounded memory
+    * everywhere, nothing vocabulary-sized anywhere), whose surviving
+    * keys are a guaranteed SUPERSET of every token above threshold
+    * (k > thresholdInv ⇒ the n/(k+1) error bound can't evict a true
+    * heavy hitter). A second pass re-counts ONLY the ≤k candidates
+    * (broadcast join — the shuffle carries ≤k groups after map-side
+    * combine) and applies the exact cut, so the output is exactly the
+    * true heavy-hitter set: merge order, sketch internals, and
+    * estimate noise never reach the result, which is why this is a
+    * hard oracle row and not a `no_oracle` sketch query. */
+  def heavyHitters(docs: DataFrame, thresholdInv: Int = 100,
+                   k: Int = 400): DataFrame = {
+    require(k > thresholdInv,
+      s"superset guarantee needs k > thresholdInv, got k=$k, 1/θ=$thresholdInv")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.agg(
+      ColumnBridge.column(graft.functions.MisraGries(
+        ColumnBridge.expression(col("tok")), k).toAggregateExpression()).as("mg"),
+      count(lit(1)).as("total"))
+    val cands = sketch.select(explode(map_keys(col("mg"))).as("tok"), col("total"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok", "total").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * thresholdInv > col("total"))
+      .select("tok", "cnt")
+      .orderBy("tok")
+  }
+
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.load(spark, dir, "documents"))
+
   /** Stratified deterministic sampling — the domain-mixing step of
     * corpus assembly: each stratum (here: language) is downsampled at
     * its own target rate, so the output corpus hits a prescribed

@@ -261,4 +261,35 @@ class FunctionsSpec extends SparkSuite {
       "expression must not fall back to interpreted:\n" + p)
     df.collect() // force execution through the codegen path
   }
+
+  test("misra_gries survives an adversarial stream and any partitioning") {
+    // 1 heavy item (12% of the stream) drowned in unique noise that
+    // constantly evicts counters — the case where naive top-k-by-count
+    // sampling fails. The sketch keys must still contain the heavy
+    // item under every partitioning (merge tree) tried.
+    val heavy = Seq.fill(1200)("heavy")
+    val noise = (0 until 8800).map(i => s"noise$i")
+    val stream = scala.util.Random.shuffle(heavy ++ noise) // fixed default seed not needed: guarantee is worst-case
+    for (parts <- Seq(1, 7, 32)) {
+      val keys = stream.toDF("tok").repartition(parts)
+        .selectExpr("misra_gries(tok, 20) AS mg")
+        .selectExpr("map_keys(mg) AS ks").as[Seq[String]].head()
+      assert(keys.size <= 20, s"sketch exceeded its k budget: ${keys.size}")
+      assert(keys.contains("heavy"),
+        s"parts=$parts evicted a 12% item (bound allows eviction only under n/(k+1)=4.8%)")
+    }
+  }
+
+  test("heavy hitters: exact result, equals the full-vocabulary aggregate") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val got = graft.operators.Documents.heavyHitters(docs, thresholdInv = 100, k = 400)
+      .as[(String, Long)].collect().toSeq
+    val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = exact.agg(sum("cnt")).as[Long].head()
+    val want = exact.filter(col("cnt") * 100 > total)
+      .orderBy("tok").as[(String, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "tiny synthetic corpus should have >1% tokens")
+  }
 }
