@@ -53,7 +53,8 @@ object Bench {
       "filter_null_safe", "scalar_string", "agg_string_minmax", "window_range_frame",
       "q1_join_avg", "q3_subquery_desc", "events_window", "events_json_props",
       "events_sessionize", "events_funnel", "events_resample",
-      "events_active_users", "events_markov", "corpus_dsir",
+      "events_active_users", "events_markov", "events_paths",
+      "corpus_dsir", "corpus_dsir_select",
     ).filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filter(n =>
         n.startsWith("dedup_") || n.startsWith("embed_") ||

@@ -141,6 +141,9 @@ object SparkEntry {
     "text_bigram_surprisal" -> (Documents.textBigramSurprisal _),
     "corpus_dsir" -> (Documents.corpusDsir _),
     "text_heavy_hitters" -> (Documents.textHeavyHitters _),
+    "corpus_dsir_select" -> (Documents.corpusDsirSelect _),
+    "doc_decontaminate_fuzzy" -> (Documents.docDecontaminateFuzzy _),
+    "events_paths" -> (Relational.eventsPaths _),
     "corpus_stats" -> (Documents.corpusStats _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
@@ -175,6 +178,25 @@ object SparkEntry {
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
     "multimodal_decode_real" -> (Multimodal.multimodalDecodeReal _),
   )
+
+  /** DSIR importance-weight oracle — shared verbatim between
+    * `corpus_dsir` and the CTE of `corpus_dsir_select` so the two can
+    * never drift. */
+  private val dsirSql: String =
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bkt FROM toks),
+      |m AS (SELECT bkt, count(*) AS nr,
+      |        count(*) FILTER (WHERE lang = 'en') AS nt FROM b GROUP BY 1),
+      |tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM m),
+      |w AS (SELECT bkt, ln(((nt + 1)::DOUBLE / (tt + 1024)) /
+      |                     ((nr + 1)::DOUBLE / (tr + 1024))) AS lw
+      |      FROM m CROSS JOIN tot),
+      |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2)
+      |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |       round(sum(c * lw), 4) AS log_ratio
+      |FROM db JOIN w USING (bkt) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle SQL per query (driver runs these on the same parquet
     * tables at sf=0.01 and hash-compares). */
@@ -532,6 +554,21 @@ object SparkEntry {
         |       last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_sum
         |FROM j ORDER BY user_id, d""".stripMargin,
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS gap FROM e),
+        |s AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM g),
+        |t AS (SELECT event_type,
+        |        lag(event_type, 2) OVER w2 AS t1, lag(event_type, 1) OVER w2 AS t2
+        |      FROM s WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+        |SELECT t1, t2, event_type AS t3, count(*) AS n
+        |FROM t WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     "events_markov" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -639,21 +676,17 @@ object SparkEntry {
         |SELECT tok, count(*) AS cnt FROM toks CROSS JOIN n
         |GROUP BY tok, total HAVING count(*) * 100 > total
         |ORDER BY tok""".stripMargin,
-    "corpus_dsir" ->
-      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |              FROM documents),
-        |b AS (SELECT doc_id, lang,
-        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bkt FROM toks),
-        |m AS (SELECT bkt, count(*) AS nr,
-        |        count(*) FILTER (WHERE lang = 'en') AS nt FROM b GROUP BY 1),
-        |tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM m),
-        |w AS (SELECT bkt, ln(((nt + 1)::DOUBLE / (tt + 1024)) /
-        |                     ((nr + 1)::DOUBLE / (tr + 1024))) AS lw
-        |      FROM m CROSS JOIN tot),
-        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2)
-        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-        |       round(sum(c * lw), 4) AS log_ratio
-        |FROM db JOIN w USING (bkt) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "corpus_dsir" -> dsirSql,
+    // Gumbel noise from md5(doc_id) — both engines derive the same
+    // 60-bit uniform, so the resample is a hard oracle row.
+    "corpus_dsir_select" ->
+      s"""WITH dsir AS ($dsirSql)
+         |SELECT doc_id,
+         |  round(log_ratio + round(-ln(-ln(
+         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+         |      / 1152921504606846976.0)), 4), 4) AS score
+         |FROM dsir
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     // ---- LLM-pipeline oracles (embed_ann_lsh / embed_ann_ivf are
     // rows-only: they depend on LSH/quantizer internals the oracle
     // can't reproduce; their quality bars live in the ScalaTest
@@ -696,6 +729,36 @@ object SparkEntry {
         |      FROM cands JOIN shl s1 ON d1 = s1.doc_id JOIN shl s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    // Same md5/Kirsch-Mitzenmacher replay as dedup_minhash, crossed
+    // between the corpus (doc_id % 100 != 0) and the held-out eval
+    // slice (doc_id % 100 == 0) at the fuzzy-decontamination bar.
+    "doc_decontaminate_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |hab AS (SELECT doc_id,
+        |          list_transform(list_transform(sh, s -> md5(s)),
+        |            m -> {'a': ('0x' || substr(m, 1, 15))::BIGINT % 2147483647,
+        |                  'b': ('0x' || substr(m, 17, 15))::BIGINT % 2147483647}) AS hs
+        |        FROM shl WHERE len(sh) > 0),
+        |sigs AS (SELECT doc_id,
+        |           list_transform(range(0, 16),
+        |             i -> list_min(list_transform(hs, h -> (h.a + i * h.b) % 2147483647))) AS sig
+        |         FROM hab),
+        |banded AS (SELECT doc_id, unnest(range(0, 8)) AS b, sig FROM sigs),
+        |bh AS (SELECT doc_id, b, sig[2*b + 1] AS h1, sig[2*b + 2] AS h2 FROM banded),
+        |cands AS (SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+        |          FROM bh c JOIN bh e
+        |            ON c.b = e.b AND c.h1 = e.h1 AND c.h2 = e.h2
+        |               AND c.doc_id % 100 <> 0 AND e.doc_id % 100 = 0),
+        |j AS (SELECT cands.doc_id AS doc_id, cands.eval_id AS eval_id,
+        |        round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+        |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        |      FROM cands JOIN shl s1 ON cands.doc_id = s1.doc_id
+        |                 JOIN shl s2 ON cands.eval_id = s2.doc_id)
+        |SELECT doc_id, eval_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_id, eval_id""".stripMargin,
     "dedup_simhash_wide" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |hab AS (SELECT doc_id,

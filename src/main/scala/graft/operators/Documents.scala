@@ -1227,6 +1227,83 @@ object Documents {
   def corpusDsir(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.load(spark, dir, "documents"))
 
+  /** The resampling half of DSIR: Gumbel top-k over the importance
+    * weights (log-weight + Gumbel noise ≡ sampling WITHOUT replacement
+    * proportionally to weight — Vieira 2014's Gumbel-max trick, the
+    * exact construction the DSIR paper prescribes). The noise is
+    * derived from md5(doc_id), not rand(): reproducible on any
+    * cluster, any partitioning, any retry — a resample that changes
+    * under speculative re-execution would poison training-data
+    * provenance. Selection is `ORDER BY score LIMIT k` — planned as
+    * TakeOrderedAndProject (per-partition top-k heaps, k rows to the
+    * driver), never a global sort. */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+                 k: Int = 100): DataFrame = {
+    val u = (expr("conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)")
+      .cast("double") + 0.5) / math.pow(2, 60).toLong
+    dsirWeights(docs, targetLang)
+      .select(col("doc_id"),
+        round(col("log_ratio") + round(-log(-log(u)), 4), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.load(spark, dir, "documents"))
+
+  /** Fuzzy decontamination — [[decontaminate]] catches verbatim
+    * shingle overlap; this catches the NEAR-duplicated eval leakage
+    * (reformatted, lightly edited benchmark text) that exact shingles
+    * miss. Same banded MinHash pipeline as [[minhashPairsPortable]],
+    * crossed between corpus and eval instead of self-joined: corpus
+    * signatures stream map-side into a band join against the eval
+    * side's banded signatures (broadcast when the measured size fits —
+    * an eval suite is thousands of docs against a corpus of billions —
+    * degrading to shuffle for corpus-vs-corpus contamination sweeps),
+    * then exact Jaccard verifies only the candidates. md5 hash family
+    * → the DuckDB oracle replays signatures, banding, candidates and
+    * verify value-for-value. */
+  def fuzzyDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                         simThreshold: Double = 0.5): DataFrame = {
+    val nPerms = 16
+    val bands = 8 // × 2 rows/band
+    def bandedSigs(d: DataFrame, name: String): DataFrame =
+      shingleArray(d).select(col("doc_id"), col("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id").as(name),
+          graft.functions.VectorExpressions.minhashSigMd5(col("sh"), nPerms).as("sig"))
+        .select(col(name), explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |          b -> struct(b AS band, sig[b * 2] AS h1, sig[b * 2 + 1] AS h2))""".stripMargin)).as("bv"))
+    val cands = graft.Caches.persist(
+      Ops.joinBroadcastIfFits(
+        bandedSigs(docs, "doc_id"), bandedSigs(evalDocs, "eval_id"), "bv")
+        .select(col("doc_id"), col("eval_id")).distinct())
+    def candSh(side: DataFrame, idCol: String, shCol: String): DataFrame =
+      shingleArray(side.join(
+        broadcast(cands.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi"))
+        .select(col("doc_id").as(idCol), col("sh").as(shCol))
+    cands
+      .join(broadcast(candSh(docs, "doc_id", "sh_c")), "doc_id")
+      .join(broadcast(candSh(evalDocs, "eval_id", "sh_e")), "eval_id")
+      .select(col("doc_id"), col("eval_id"),
+        round(size(array_intersect(col("sh_c"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_e"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= simThreshold)
+      .orderBy("doc_id", "eval_id")
+  }
+
+  /** Same held-out convention as [[docDecontaminate]] (doc_id % 100 ==
+    * 0 plays the eval suite), at a 0.5 bar — the near-dup tier above
+    * the exact-shingle screen. */
+  def docDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    fuzzyDecontaminate(
+      docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+  }
+
   /** Heavy hitters — the tokens exceeding `1/thresholdInv` of the
     * corpus token stream, found WITHOUT a full-vocabulary shuffle.
     *

@@ -1063,4 +1063,36 @@ object Relational {
       .withColumn("p", round(col("n").cast("double") / sum("n").over(byPrev), 6))
       .orderBy("prev_type", "next_type")
   }
+
+  /** Session path mining — the top 3-step event-type sequences WITHIN
+    * sessions (the "view → click → purchase vs view → click → error"
+    * report). Builds on the sessionize gap logic, then lags twice
+    * inside each session to form trigrams.
+    *
+    * Scale shape: the session window and both trigram lags cluster by
+    * user_id — HashPartitioning(user_id) satisfies the (user_id,
+    * session_id) window's clustering requirement (subset rule), so the
+    * whole chain runs on ONE events exchange with sorts layered on it.
+    * The trigram aggregate map-side-combines into ≤|types|³ rows, and
+    * the top-20 plans as TakeOrderedAndProject, never a global sort. */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", when(
+        col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t1", lag(col("event_type"), 2).over(bySession))
+      .withColumn("t2", lag(col("event_type"), 1).over(bySession))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(20)
+  }
 }

@@ -114,7 +114,8 @@ object BigBenchEvents {
 
     val allNames = Seq("events_window", "events_json_props", "events_sessionize",
       "events_funnel", "events_retention", "events_anomaly", "events_resample",
-      "events_active_users", "join_asof", "join_range")
+      "events_active_users", "events_markov", "events_paths",
+      "join_asof", "join_range")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
     val results = names.map { n =>
@@ -187,7 +188,9 @@ object BigBenchLlm {
       "text_dup_passages", "dedup_substr_strip", "text_pmi", "text_boilerplate",
       "pipeline_curate", "corpus_upsample", "corpus_shuffle", "dedup_semantic",
       "corpus_histogram", "doc_overlap_report", "corpus_quality_sample",
-      "dedup_containment", "corpus_upsert")
+      "dedup_containment", "corpus_upsert",
+      "text_bigram_surprisal", "corpus_dsir", "corpus_dsir_select",
+      "text_heavy_hitters", "doc_decontaminate_fuzzy")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

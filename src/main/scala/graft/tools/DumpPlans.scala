@@ -42,7 +42,10 @@ object DumpPlans {
       "doc_overlap_report" -> "ONE corpus pass: broadcast mark join + conditional count, single doc_id exchange",
       "corpus_quality_sample" -> "broadcast-vocabulary surprisal + map-side md5 sample; no exchange carries text",
       "events_active_users" -> "rolling distinct via 7-day explode of the slim (day,user) frame — never days × users",
-      "tpch_q18_big_orders" -> "lineitem aggregates once; survivors (not the fact table) join customer; top-100 is TakeOrderedAndProject")
+      "tpch_q18_big_orders" -> "lineitem aggregates once; survivors (not the fact table) join customer; top-100 is TakeOrderedAndProject",
+      "text_heavy_hitters" -> "ObjectHashAggregate folds the Misra-Gries sketch partial+final; exact re-count only on broadcast candidates — no vocabulary shuffle",
+      "corpus_dsir" -> "both bucket models bounded at 1024 rows → unconditional broadcast; ONE doc_id-keyed corpus shuffle",
+      "events_paths" -> "session + both trigram lags cluster by user_id — one events exchange, sorts layered; top-20 is TakeOrderedAndProject")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")

@@ -125,6 +125,17 @@ class CorpusSpec extends SparkSuite {
     } finally w.unpersist()
   }
 
+  test("dsir selection is deterministic and partitioning-invariant") {
+    val docs = Tables.load(spark, dir, "documents")
+    val a = Documents.dsirSelect(docs, k = 50).collect().toSeq
+    val b = Documents.dsirSelect(docs.repartition(13), k = 50).collect().toSeq
+    assert(a === b, "Gumbel top-k must not depend on partitioning")
+    assert(a.size === 50)
+    // the plan must be a top-k (TakeOrderedAndProject), not a global sort
+    val p = Documents.dsirSelect(docs, k = 50).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("decontaminate flags exactly the docs sharing a shingle with the eval set") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "en"),   // contaminated (shares 3-gram with eval)

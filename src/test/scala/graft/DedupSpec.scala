@@ -47,6 +47,21 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, found ${found.size} pairs")
   }
 
+  test("fuzzyDecontaminate finds planted near-dup eval leakage across corpora") {
+    // bases play the training corpus, their 2-token-edited twins play
+    // the eval suite — the reformatted-benchmark leakage exact-shingle
+    // decontamination can miss but the banded MinHash cross must catch
+    val corpus = planted.filter(col("doc_id") < 100)
+    val evalDocs = planted.filter(col("doc_id") >= 100 && col("doc_id") < 999)
+    val found = Documents.fuzzyDecontaminate(corpus, evalDocs, simThreshold = 0.5)
+    val pairs = found.select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    val truth = (0 until 40).map(i => (i.toLong, i + 100L)).toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall, found ${pairs.size} pairs")
+    // exact verify: every reported jaccard clears the bar
+    assert(found.filter(col("jaccard") < 0.5).count() === 0L)
+  }
+
   test("minhashPairsPortable recall >= 0.9 on planted near-dups and agrees with the codegen variant") {
     val portable = Documents.minhashPairsPortable(planted, simThreshold = 0.6)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
