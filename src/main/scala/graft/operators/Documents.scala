@@ -1152,6 +1152,17 @@ object Documents {
     * fit, shuffle when they don't ([[Ops.joinBroadcastIfFits]]).
     * Pairs shuffle as two 8-byte hashes, not strings. */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
+    // The pair stream is MAP-SIDE RECOMPUTED by each consumer — three
+    // explode+hash passes — because both "optimizations" measured
+    // SLOWER at 1M docs: per-(doc, bigram) pre-aggregation (21.5 s →
+    // 35.9 s: high-entropy text has ~1 instance per (doc, bigram), so
+    // the aggregate compressed nothing and added a 39M-row doc-keyed
+    // shuffle + persist), and deriving the context table from the
+    // bigram table (→ 29.9 s: the bigram subtree recomputes per
+    // consumer, while the direct h1 aggregate below collapses 40M →
+    // |vocab| rows in map-side combine — a near-free "extra" pass).
+    // An explode + two codegen hashes re-run map-side is cheaper than
+    // shuffling or caching its output.
     val pairs = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -1162,9 +1173,9 @@ object Documents {
         xxhash64(col("z.w1")).as("h1"),
         xxhash64(col("z.w1"), col("z.w2")).as("h12"))
     val bigram = pairs.groupBy("h12").agg(count(lit(1)).as("nb"))
-    // context count c(w1·) = bigrams starting with w1 — derived from
-    // the same pair stream, so the two tables can never disagree on
-    // tokenization (and the oracle reproduces it as sum(nb) per w1)
+    // context count c(w1·) = bigrams starting with w1 — from the same
+    // pair stream, so the two tables can never disagree on
+    // tokenization (the oracle reproduces it as sum(nb) per w1)
     val context = pairs.groupBy("h1").agg(count(lit(1)).as("nw"))
     Ops.joinBroadcastIfFits(
         Ops.joinBroadcastIfFits(pairs, bigram, "h12"), context, "h1")
@@ -1203,21 +1214,27 @@ object Documents {
     * both models keeps empty-on-one-side buckets finite. */
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
                   buckets: Int = 1024): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
+    // ONE corpus explode+md5 pass, folded straight into per-(doc,
+    // lang, bucket) multiplicities; both models derive from this frame
+    // (≤ n_docs × B rows — far under the token stream), so the md5 per
+    // token instance is paid once, not once per model. lang rides in
+    // the grouping key at zero cardinality cost (one lang per doc).
+    val db = graft.Caches.persist(docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
         (expr("conv(substring(md5(tok), 1, 15), 16, 10)").cast("long")
           % buckets).as("bkt"))
-    val model = toks.groupBy("bkt").agg(
-      count(lit(1)).as("nr"),
-      count(when(col("lang") === targetLang, 1)).as("nt"))
+      .groupBy("doc_id", "lang", "bkt").agg(count(lit(1)).as("c")))
+    val model = db.groupBy("bkt").agg(
+      sum("c").as("nr"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("nt"))
     val totals = model.agg(sum("nr").as("tr"), sum("nt").as("tt"))
     val weights = model.crossJoin(broadcast(totals))
       .select(col("bkt"), log(
         ((col("nt") + 1).cast("double") / (col("tt") + buckets)) /
         ((col("nr") + 1).cast("double") / (col("tr") + buckets))).as("lw"))
-    toks.groupBy("doc_id", "bkt").agg(count(lit(1)).as("c"))
-      .join(broadcast(weights), "bkt")
+    db.join(broadcast(weights), "bkt")
       .groupBy("doc_id")
       .agg(sum("c").cast("long").as("n_tokens"),
         round(sum(col("c") * col("lw")), 4).as("log_ratio"))
