@@ -1360,6 +1360,23 @@ object Documents {
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(Tables.load(spark, dir, "documents"))
 
+  /** The sketch half of [[heavyHitters]] as a batch/stream-agnostic
+    * plan — on a streaming frame this is a complete-mode aggregation
+    * whose state is the serialized Misra-Gries buffer itself (the
+    * same mergeable-summary property that makes the batch partial
+    * aggregation correct makes the micro-batch fold correct: batch
+    * slicing is just another merge tree). An ingest pipeline keeps
+    * this running beside the corpus ingest and re-counts candidates
+    * offline whenever it wants the exact current heavy-hitter set. */
+  def heavyHitterSketchStream(docs: DataFrame, k: Int = 400): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(
+        ColumnBridge.column(graft.functions.MisraGries(
+          ColumnBridge.expression(col("tok")), k).toAggregateExpression()).as("mg"),
+        count(lit(1)).as("total"))
+  }
+
   /** Stratified deterministic sampling — the domain-mixing step of
     * corpus assembly: each stratum (here: language) is downsampled at
     * its own target rate, so the output corpus hits a prescribed

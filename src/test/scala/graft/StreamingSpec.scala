@@ -103,6 +103,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries sketch keeps the heavy hitter across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // 300 copies of one token (~12.5% of 2400) drowned in unique noise,
+    // split so the noise floods arrive in different micro-batches than
+    // much of the heavy mass — the state-store fold must preserve the
+    // superset guarantee across the slicing (bound: survives > n/(k+1)
+    // = 4.8%).
+    val heavy = (1L to 300L).map(i => (i, "heavy heavy heavy heavy"))
+    val noise = (1L to 300L).map(i => (1000L + i,
+      (0 until 4).map(j => s"n${i}_$j").mkString(" ")))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Documents
+      .heavyHitterSketchStream(stream.toDF().toDF("doc_id", "text"), k = 20)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(heavy.take(30) ++ noise.take(200)); q.processAllAvailable()
+      stream.addData(noise.drop(200) ++ heavy.drop(30)); q.processAllAvailable()
+      val (keys, total) = spark.table("hh_test")
+        .selectExpr("map_keys(mg)", "total")
+        .as[(Seq[String], Long)].head()
+      assert(total === 2400L)
+      assert(keys.size <= 20, s"sketch exceeded its k budget: ${keys.size}")
+      assert(keys.contains("heavy"),
+        "a 12.5% token must survive the cross-micro-batch fold")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
