@@ -106,11 +106,15 @@ object SparkEntry {
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
+    "tpch_q10_returns" -> (Relational.tpchQ10Returns _),
     "agg_regression" -> (Relational.aggRegression _),
     "events_active_users" -> (Relational.eventsActiveUsers _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
     "layout_zorder" -> (graft.sources.Layout.layoutZorderQ _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
+    "events_attribution" -> (Relational.eventsAttribution _),
+    "events_dedup_window" -> (Relational.eventsDedupWindow _),
+    "group_percentile" -> (Relational.groupPercentile _),
     "filter_null_safe" -> (Relational.filterNullSafe _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     "scalar_string" -> (Relational.scalarString _),
@@ -134,6 +138,7 @@ object SparkEntry {
     "text_tokens" -> (Documents.textTokens _),
     "text_langid" -> (Documents.textLangId _),
     "text_quality" -> (Documents.textQuality _),
+    "text_gopher_rules" -> (Documents.textGopherRules _),
     "text_normalize" -> (Documents.textNormalize _),
     "text_repetition" -> (Documents.textRepetition _),
     "text_tfidf" -> (Documents.textTfidf _),
@@ -147,6 +152,8 @@ object SparkEntry {
     "corpus_stats" -> (Documents.corpusStats _),
     // LLM-pipeline: corpus assembly (sample / pack / decontaminate)
     "doc_sample_hash" -> (Documents.docSampleHash _),
+    "corpus_reservoir" -> (Documents.corpusReservoir _),
+    "corpus_topk_per_lang" -> (Documents.corpusTopkPerLang _),
     "corpus_mix" -> (Documents.corpusMix _),
     "corpus_trim" -> (Documents.corpusTrim _),
     "doc_split" -> (Documents.docSplit _),
@@ -165,6 +172,8 @@ object SparkEntry {
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_knn_filtered" -> (Embeddings.embedKnnFiltered _),
+    "embed_matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Embeddings.embedMatryoshka(s, d)),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
@@ -612,6 +621,40 @@ object SparkEntry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "tpch_q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "events_attribution" ->
+      """SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts,
+        |       round(c.value, 4) AS value
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "events_dedup_window" ->
+      """WITH b AS (SELECT event_id, user_id, event_type, ts,
+        |             time_bucket(INTERVAL '1 hour', ts) AS bucket FROM events),
+        |r AS (SELECT event_id, user_id, event_type, bucket,
+        |        row_number() OVER (PARTITION BY user_id, event_type, bucket
+        |                           ORDER BY ts ASC, event_id ASC) AS rn
+        |      FROM b)
+        |SELECT event_id, user_id, event_type, bucket
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "group_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50_value,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_value,
+        |       round(quantile_cont(value, 0.99), 4) AS p99_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_active_users" ->
       """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
@@ -1066,10 +1109,44 @@ object SparkEntry {
         |  round(alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
         |        + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(toks) AS n_words,
+        |  round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4) AS mean_word_len,
+        |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) AS alpha_word_frac,
+        |  round(len(list_filter(toks, x -> NOT regexp_matches(x, '[a-zA-Z0-9]')))::DOUBLE / len(toks), 4) AS symbol_word_frac,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_frac,
+        |  n_stopwords,
+        |  n_words BETWEEN 30 AND 100000 AS ok_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+        |  alpha_word_frac >= 0.8 AS ok_alpha,
+        |  symbol_word_frac <= 0.1 AS ok_symbol,
+        |  n_stopwords >= 2 AS ok_stopwords,
+        |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_word_frac >= 0.8 AND symbol_word_frac <= 0.1
+        |    AND n_stopwords >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "doc_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(text), 1, 2) < '1a'
         |ORDER BY doc_id""".stripMargin,
+    "corpus_reservoir" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY md5(text), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
+    "corpus_topk_per_lang" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        |           FROM documents)
+        |SELECT lang, rnk, doc_id, n_chars FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
     "window_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |             epoch(o_orderdate)::BIGINT AS us, o_totalprice
@@ -1177,6 +1254,21 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
         |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Same fold as embed_knn over the 16-dim Matryoshka prefix — the
+    // list slice is the only difference, so prefix-vs-full ranking
+    // divergence is attributable to the truncation alone.
+    "embed_matryoshka" ->
+      """WITH e AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |        round(list_sum(list_transform(range(1, len(q_emb) + 1),
+        |                i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+        |          / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |           * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+        |      FROM q, e WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
+        |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "embed_centroid" ->
       """WITH x AS (SELECT label,
         |             unnest(range(0, len(embedding))) AS pos,

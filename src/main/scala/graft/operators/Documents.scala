@@ -698,6 +698,47 @@ object Documents {
   def docSampleHash(spark: SparkSession, dir: String): DataFrame =
     sampleHash(Tables.load(spark, dir, "documents"))
 
+  /** Fixed-size deterministic per-stratum sample — the eval-set
+    * carve-out ([[sampleHash]] keeps a RATE; this keeps an exact N per
+    * stratum, which is what a held-out set needs). Order within a
+    * stratum is the content hash, so membership is a pure function of
+    * the corpus: partitioning-invariant, stable across reruns, and
+    * docs can't buy their way in by id position. ONE shuffle on lang
+    * for the per-stratum ranking; at lake scale the window's sort is
+    * per-stratum, not global, and the survivor set (n × #strata) is
+    * tiny by construction. */
+  def reservoirPerStratum(docs: DataFrame, n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  def corpusReservoir(spark: SparkSession, dir: String): DataFrame =
+    reservoirPerStratum(Tables.load(spark, dir, "documents"))
+
+  /** Grouped top-k: the k largest documents per language — the
+    * "best-N-per-dimension" report shape. Deliberately NOT a global
+    * TakeOrderedAndProject (that's `sort_topn`): the ranking is
+    * per-group, so it plans as one lang-shuffle + per-partition sort +
+    * rank-filter — each task keeps k rows per group it owns, nothing
+    * global ever materializes. Ties broken by doc_id so both engines
+    * cut identically. */
+  def topkPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rnk")
+  }
+
+  def corpusTopkPerLang(spark: SparkSession, dir: String): DataFrame =
+    topkPerLang(Tables.load(spark, dir, "documents"))
+
   /** Composite quality score — the rank a cleaning pass sorts on.
     * Components, each in [0,1]: alphabetic-character fraction (symbol
     * soup scores low), distinct-token ratio (boilerplate repetition
@@ -722,6 +763,41 @@ object Documents {
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Gopher-style HARD quality rules (Rae et al. 2021, App. A) — the
+    * other half of quality filtering: [[qualityScore]] ranks, this
+    * GATES. Each rule is a named boolean so a curation run can report
+    * per-rule kill counts, not just a survivor total; thresholds are
+    * scaled to this corpus's 10–99-word documents (word-count floor 30
+    * vs Gopher's 50; same mean-word-length 3–10, ≥80% alphabetic
+    * words, ≤10% symbol-only words, ≥2 stopword hits). One projection
+    * over the scan — no shuffle, no UDF; the token-level rules are
+    * codegen'd higher-order functions over the split array. */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).as("n_words"),
+        round((length(col("text")) - (size(col("t")) - 1)).cast("double")
+          / size(col("t")), 4).as("mean_word_len"),
+        round(expr("size(filter(t, x -> x rlike '[a-zA-Z]'))").cast("double")
+          / size(col("t")), 4).as("alpha_word_frac"),
+        round(expr("size(filter(t, x -> NOT x rlike '[a-zA-Z0-9]'))").cast("double")
+          / size(col("t")), 4).as("symbol_word_frac"),
+        expr("size(filter(t, x -> x IN ('the','a','of','and','in')))")
+          .as("n_stopwords"))
+      .withColumn("ok_word_count", col("n_words").between(30, 100000))
+      .withColumn("ok_mean_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("ok_alpha", col("alpha_word_frac") >= 0.8)
+      .withColumn("ok_symbol", col("symbol_word_frac") <= 0.1)
+      .withColumn("ok_stopwords", col("n_stopwords") >= 2)
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_alpha") &&
+          col("ok_symbol") && col("ok_stopwords"))
+      .orderBy("doc_id")
+
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.load(spark, dir, "documents"))
 
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the batch-assembly step before training (examples are concatenated

@@ -865,6 +865,97 @@ object Relational {
       .limit(100)
   }
 
+  /** Windowed event dedup — the BATCH TWIN of the streaming
+    * `dropDuplicatesWithinWatermark` guard
+    * ([[graft.streaming.EventStream.dedupStream]]): keep the first
+    * event per (user, type) within each 1-hour tumbling bucket. This
+    * is the replayable backfill semantics for a lake that ingests
+    * at-least-once: re-running it over raw history reproduces what the
+    * streaming guard admitted, bucket-for-bucket. ONE shuffle on the
+    * composite key; at 100 TB the bucket column rides the shuffle key
+    * so state per task is one bucket's events, mirroring how the
+    * streaming twin's state is bounded by the watermark. */
+  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    val w = Window.partitionBy("user_id", "event_type", "bucket")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("bucket"))
+      .orderBy("event_id")
+  }
+
+  /** Per-group continuous percentiles — the p50/p90/p99-by-dimension
+    * observability staple. Spark's `percentile` is the exact
+    * linear-interpolation quantile (same contract as DuckDB
+    * `quantile_cont`), computed with a per-group sorted-merge inside
+    * ONE hash aggregate: 5 groups here, but the shape holds at a
+    * million groups because state is per-group, not global. For
+    * unbounded-cardinality groups at lake scale the approx twin
+    * (`agg_approx_percentile`'s sketch contract) swaps in per-group. */
+  def groupPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_value"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99_value"))
+      .orderBy("event_type")
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * returns per customer over one quarter — the "who should sales
+    * call" composite. The quarter filter pushes into the orders scan
+    * and the `l_returnflag = 'R'` filter into the lineitem scan, so
+    * both fact inputs shrink before their one shuffle each; nation
+    * broadcasts. Group keys carry the descriptive customer columns
+    * (standard Q10 trick: they're functionally dependent on c_custkey,
+    * so keying on all of them adds no groups, just avoids a second
+    * join). Top-20 plans TakeOrderedAndProject — at scale the full
+    * per-customer aggregate never global-sorts. */
+  def tpchQ10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-10-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-01-01 00:00:00"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val nation = Tables.load(spark, dir, "nation")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Last-touch-window attribution, batch form: each click paired with
+    * every view by the same user in the preceding hour. This is
+    * the BATCH TWIN of the streaming stream-stream interval join
+    * ([[graft.streaming.EventStream.attributeClicks]]) — identical
+    * predicate, so StreamingSpec can differential-test the stream
+    * against this oracle-checked frame. Plans as an equi join on
+    * user_id with the time bounds as residual: per-user candidate
+    * pairs only, never a time-cross-product; at scale the range bound
+    * is what lets the streaming twin expire its join state. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 hour"))
+      .select(col("user_id"), col("click_ts"), col("view_ts"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id", "click_ts", "view_ts")
+  }
+
   /** Null-safe comparison semantics — SQL's three-valued logic made
     * explicit: a LEFT join manufactures NULLs, then the projection
     * contrasts `=` (NULL-poisoned), `<=>` (null-safe, NULL = NULL is

@@ -46,6 +46,36 @@ class CorpusSpec extends SparkSuite {
       s"diverse ${scored(1L)} must outrank spammy ${scored(2L)}")
   }
 
+  test("gopher rules: each named rule kills exactly its constructed violator") {
+    val pass = ("the quick brown fox jumps over a lazy dog near " * 3).trim
+    val short = "the cat and the dog ran fast here now then"
+    val longWords = (Seq.fill(28)("extraordinarily") ++ Seq("the", "and")).mkString(" ")
+    val symbols = (Seq.fill(12)("the word") ++ Seq.fill(6)("@#$%")).mkString(" ")
+    val noStops = ("quick brown fox jumps over lazy dog near old mill " * 3).trim
+    val probe = Seq(
+      (1L, pass), (2L, short), (3L, longWords), (4L, symbols), (5L, noStops))
+      .toDF("doc_id", "text")
+    val r = Documents.gopherRules(probe)
+      .select("doc_id", "ok_word_count", "ok_mean_word_len", "ok_alpha",
+        "ok_symbol", "ok_stopwords", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._7, "clean prose passes every rule")
+    assert(!r(2L)._2 && r(2L)._3 && r(2L)._5 && r(2L)._6 && !r(2L)._7,
+      "10-word fragment fails ONLY the word-count rule")
+    assert(r(3L)._2 && !r(3L)._3 && !r(3L)._7,
+      "15-char-word soup fails the mean-word-length rule")
+    assert(!r(4L)._5 && !r(4L)._7, "20% symbol words fail the symbol rule")
+    assert(r(5L)._2 && r(5L)._3 && r(5L)._4 && !r(5L)._6 && !r(5L)._7,
+      "stopword-free text fails ONLY the stopword rule")
+    // the real corpus: every rule column is non-null and pass is their AND
+    val real = Documents.textGopherRules(spark, dir)
+    val broken = real.filter(col("pass") =!= (col("ok_word_count") &&
+      col("ok_mean_word_len") && col("ok_alpha") && col("ok_symbol") &&
+      col("ok_stopwords"))).count()
+    assert(broken === 0)
+  }
+
   test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
     val got = Documents.docPackSequences(spark, dir)

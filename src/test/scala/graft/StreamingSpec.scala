@@ -251,6 +251,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution equals the oracle-checked batch twin on the real events table") {
+    val stream = EventStream.readEvents(spark, SparkSpec.sfTiny)
+    val q = EventStream.attributeClicks(stream, window = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attr_real")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_real")
+        .select(col("user_id"), col("click_ts"), col("view_ts"),
+          org.apache.spark.sql.functions.round(col("value"), 4).as("value"))
+        .as[(Long, Timestamp, Timestamp, Double)].collect().toSet
+      val batch = graft.operators.Relational.eventsAttribution(spark, SparkSpec.sfTiny)
+        .as[(Long, Timestamp, Timestamp, Double)].collect().toSet
+      assert(batch.nonEmpty, "fixture must produce at least one attributed pair")
+      assert(streamed === batch,
+        "inner stream-stream interval join must emit exactly the batch join's pairs")
+    } finally q.stop()
+  }
+
   test("sessionCloseAlerts emits exactly one summary per session, only after the gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
