@@ -216,7 +216,10 @@ class PlanSpec extends SparkSuite {
     // full-sort regression.
     val rankShapes = Seq(
       "window_rank" -> Relational.windowRank(spark, SparkSpec.sfTiny),
-      "text_tokens" -> graft.operators.Documents.textTokens(spark, SparkSpec.sfTiny))
+      "text_tokens" -> graft.operators.Documents.textTokens(spark, SparkSpec.sfTiny),
+      "corpus_topk_per_lang" -> graft.operators.Documents.corpusTopkPerLang(spark, SparkSpec.sfTiny),
+      "corpus_reservoir" -> graft.operators.Documents.corpusReservoir(spark, SparkSpec.sfTiny),
+      "events_dedup_window" -> Relational.eventsDedupWindow(spark, SparkSpec.sfTiny))
     rankShapes.foreach { case (name, df) =>
       val p = plan(df)
       assert(p.contains("WindowGroupLimit"),
@@ -238,6 +241,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
       "segment filter must reach the customer scan:\n" + p.take(3000))
+  }
+
+  test("tpch_q10 pushes the returnflag filter and plans top-20 as TakeOrderedAndProject") {
+    val p = plan(Relational.tpchQ10Returns(spark, SparkSpec.sfTiny))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must reach the lineitem scan:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must never global-sort:\n" + p.take(2000))
+  }
+
+  test("attribution interval join is keyed on user_id — never a cartesian/nested-loop") {
+    // The time-range predicate must ride as residual on a user_id equi
+    // join; a planner that only sees the range bounds would go
+    // nested-loop, which is quadratic in events at lake scale.
+    val p = plan(Relational.eventsAttribution(spark, SparkSpec.sfTiny))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must stay residual on the user_id equi join:\n" + p.take(2000))
+  }
+
+  test("matryoshka cascade never shuffles the corpus — queries and survivors broadcast") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val p = plan(graft.operators.Embeddings.matryoshkaCascade(emb, queries, 32, 50, 10))
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "corpus must never shuffle on vec_id — survivors broadcast back:\n" + p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "stage-1 queries and stage-2 survivors both broadcast:\n" + p.take(3000))
   }
 
   test("tpch_q5 broadcasts the nation and region dims") {
