@@ -115,6 +115,7 @@ object BigBenchEvents {
     val allNames = Seq("events_window", "events_json_props", "events_sessionize",
       "events_funnel", "events_retention", "events_anomaly", "events_resample",
       "events_active_users", "events_markov", "events_paths",
+      "events_attribution", "events_dedup_window", "group_percentile",
       "join_asof", "join_range")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
@@ -190,7 +191,9 @@ object BigBenchLlm {
       "corpus_histogram", "doc_overlap_report", "corpus_quality_sample",
       "dedup_containment", "corpus_upsert",
       "text_bigram_surprisal", "corpus_dsir", "corpus_dsir_select",
-      "text_heavy_hitters", "doc_decontaminate_fuzzy")
+      "text_heavy_hitters", "doc_decontaminate_fuzzy",
+      "text_gopher_rules", "corpus_reservoir", "corpus_topk_per_lang",
+      "embed_matryoshka")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
