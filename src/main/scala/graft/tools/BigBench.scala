@@ -116,6 +116,7 @@ object BigBenchEvents {
       "events_funnel", "events_retention", "events_anomaly", "events_resample",
       "events_active_users", "events_markov", "events_paths",
       "events_attribution", "events_dedup_window", "group_percentile",
+      "events_ewma", "group_approx_distinct",
       "join_asof", "join_range")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
@@ -193,7 +194,7 @@ object BigBenchLlm {
       "text_bigram_surprisal", "corpus_dsir", "corpus_dsir_select",
       "text_heavy_hitters", "doc_decontaminate_fuzzy",
       "text_gopher_rules", "corpus_reservoir", "corpus_topk_per_lang",
-      "embed_matryoshka")
+      "embed_matryoshka", "text_langid_confusion")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

@@ -322,4 +322,16 @@ class DedupSpec extends SparkSuite {
       .filter(col("pred") === col("expected"))
     assert(out.count() === samples.count())
   }
+
+  test("langId confusion matrix partitions the corpus and agrees with per-doc langId") {
+    val dir = SparkSpec.sfTiny
+    val m = Documents.textLangIdConfusion(spark, dir)
+      .as[(String, String, Long)].collect()
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(m.map(_._3).sum === total, "cells must partition the corpus")
+    // diagonal mass equals the per-doc query's agreement count
+    val agree = Documents.textLangId(spark, dir)
+      .filter(col("lang") === col("lang_pred")).count()
+    assert(m.filter(c => c._1 == c._2).map(_._3).sum === agree)
+  }
 }

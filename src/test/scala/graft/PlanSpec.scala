@@ -273,6 +273,14 @@ class PlanSpec extends SparkSuite {
       "stage-1 queries and stage-2 survivors both broadcast:\n" + p.take(3000))
   }
 
+  test("ewma's anchor window and decay-sum window share ONE user_id exchange") {
+    val p = plan(Relational.eventsEwma(spark, SparkSpec.sfTiny))
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userShuffles == 1,
+      s"both windows must ride a single user_id repartition, saw $userShuffles:\n" +
+        p.take(3000))
+  }
+
   test("tpch_q5 broadcasts the nation and region dims") {
     val p = plan(Relational.tpchQ5Local(spark, SparkSpec.sfTiny))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,

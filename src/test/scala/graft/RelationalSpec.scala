@@ -217,6 +217,30 @@ class RelationalSpec extends SparkSuite {
     } finally rs.unpersist()
   }
 
+  test("events_ewma matches an exact driver-side replay of the decay formula") {
+    val out = Relational.eventsEwma(spark, dir)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    val raw = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("double"), col("value"))
+      .as[(Long, Long, Double, Double)].collect()
+    val byUser = raw.groupBy(_._2)
+    raw.sortBy(_._1).take(200).foreach { case (id, u, s, _) =>
+      val expected = byUser(u)
+        .filter { case (_, _, si, _) => si >= s - 7 * 86400 && si <= s }
+        .map { case (_, _, si, v) => v * math.exp((si - s) / 86400.0) }
+        .sum
+      assert(math.abs(out(id) - expected) < 1e-3,
+        s"event $id: got ${out(id)}, replay $expected")
+    }
+    // decay sanity: every score at least the event's own value (weight 1
+    // at Δt=0, all other terms non-negative)
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), round(col("value"), 4).as("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.forall { case (id, d) => d >= events(id) - 1e-3 })
+  }
+
   test("events_markov: transitions conserve counts and rows are distributions") {
     val mk = Relational.eventsMarkov(spark, dir).cache()
     try {
