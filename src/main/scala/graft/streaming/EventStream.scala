@@ -162,6 +162,54 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  case class DecayScore(event_id: Long, user_id: Long, decayed: Double)
+
+  /** [[decayedScores]] state: the user's events inside the decay
+    * horizon, (epoch-ms, value) pairs. Bounded by events-per-horizon,
+    * not stream lifetime — the property that makes per-event decay
+    * scoring feasible on an unbounded stream. */
+  case class DecayBuffer(events: List[(Long, Double)])
+
+  /** STREAMING TWIN of [[graft.operators.Relational.eventsEwma]]: at
+    * each event, the user's Σ value·e^(-Δt/τ) over the trailing
+    * `horizonDays`. The batch form is a closed-form window; streaming
+    * needs real state because the score is per-EVENT, not per-window:
+    * a per-user buffer of in-horizon events, pruned against the
+    * newest timestamp seen, scored by direct summation (|buffer| is
+    * events-per-horizon — ~16 here — so O(|buffer|) per event beats
+    * maintaining an incremental sum that a late event would force to
+    * rescale anyway). Within a micro-batch events are processed in
+    * event-time order; a cross-batch late event inside the horizon is
+    * inserted and scored exactly (the buffer still holds its
+    * neighborhood); one older than the horizon scores from what
+    * remains — the same degrade-not-diverge posture as
+    * [[sessionCloseAlerts]]'s orphan handling. */
+  def decayedScores(events: Dataset[Event], tauDays: Double = 1.0,
+                    horizonDays: Int = 7): Dataset[DecayScore] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonDays * 86400000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[DecayBuffer]) =>
+          var buf = state.getOption.map(_.events).getOrElse(Nil)
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val t = e.ts.getTime
+            buf = (t, e.value) :: buf
+            val tMax = buf.iterator.map(_._1).max
+            buf = buf.filter(_._1 >= tMax - horizonMs)
+            val score = buf.iterator
+              .filter { case (ti, _) => ti <= t && ti >= t - horizonMs }
+              .map { case (ti, v) => v * math.exp((ti - t) / 86400000.0 / tauDays) }
+              .sum
+            DecayScore(e.event_id, user,
+              BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          state.update(DecayBuffer(buf))
+          out.iterator
+      }
+  }
+
   /** Stream-stream attribution join: each click joins the views by
     * the same user in the preceding `window` — the canonical
     * event-correlation shape (ad attribution, cause→effect pairing).

@@ -271,6 +271,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decayed scores equal the batch EWMA on the real events table, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.load(spark, SparkSpec.sfTiny, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val (first, second) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[Event]
+    val q = EventStream.decayedScores(stream.toDS())
+      .writeStream.format("memory").queryName("decay_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(first.toSeq); q.processAllAvailable()
+      stream.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("decay_test")
+        .as[EventStream.DecayScore].collect()
+        .map(d => d.event_id -> d.decayed).toMap
+      val batch = graft.operators.Relational.eventsEwma(spark, SparkSpec.sfTiny)
+        .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+      assert(streamed.size === batch.size)
+      val diverged = batch.collect {
+        case (id, b) if math.abs(streamed(id) - b) > 1e-3 => id
+      }
+      // ms-vs-us timestamp precision keeps scores within rounding; the
+      // cross-batch split lands mid-horizon, so batch-2 scores exercise
+      // the carried state, not a fresh buffer
+      assert(diverged.isEmpty,
+        s"${diverged.size} events diverge, e.g. ${diverged.take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionCloseAlerts emits exactly one summary per session, only after the gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
