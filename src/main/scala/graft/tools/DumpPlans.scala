@@ -45,7 +45,12 @@ object DumpPlans {
       "tpch_q18_big_orders" -> "lineitem aggregates once; survivors (not the fact table) join customer; top-100 is TakeOrderedAndProject",
       "text_heavy_hitters" -> "ObjectHashAggregate folds the Misra-Gries sketch partial+final; exact re-count only on broadcast candidates — no vocabulary shuffle",
       "corpus_dsir" -> "both bucket models bounded at 1024 rows → unconditional broadcast; ONE doc_id-keyed corpus shuffle",
-      "events_paths" -> "session + both trigram lags cluster by user_id — one events exchange, sorts layered; top-20 is TakeOrderedAndProject")
+      "events_paths" -> "session + both trigram lags cluster by user_id — one events exchange, sorts layered; top-20 is TakeOrderedAndProject",
+      "tpch_q10_returns" -> "returnflag + quarter filters pushed to both fact scans; nation broadcast; top-20 is TakeOrderedAndProject",
+      "events_attribution" -> "user_id equi join with the time range as residual — per-user candidates, never a time cross-product",
+      "events_ewma" -> "anchor window and 7-day RANGE decay sum share ONE user_id exchange",
+      "corpus_topk_per_lang" -> "WindowGroupLimit: each map task keeps k rows per group before the exchange",
+      "embed_matryoshka" -> "prefix-sliced vectors; query set broadcast; corpus scanned once, never shuffled")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
