@@ -217,8 +217,16 @@ object EventStream {
     * time range, so Spark can expire join state as the watermark
     * advances — without the range bound, stream-stream join state
     * grows forever. Shuffles on user_id; state is per-key. */
+  /** `joinType = "left_outer"` turns this into the UNATTRIBUTED-click
+    * detector: a click with no in-window view emits once — with a null
+    * view_ts — after the watermark passes its join window (the engine
+    * can only then prove no matching view is still coming). Inner
+    * emits eagerly on match; outer adds the watermark-gated
+    * null-completion, which is the semantics monitoring actually
+    * needs ("how many clicks have no preceding view?"). */
   def attributeClicks(events: DataFrame, window: String = "10 minutes",
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -228,7 +236,8 @@ object EventStream {
     clicks.join(views,
       col("user_id") === col("v_user") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window"))
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window"),
+      joinType)
       .select("user_id", "click_ts", "view_ts", "value")
   }
 

@@ -271,6 +271,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unattributed clicks with null view_ts after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.attributeClicks(stream.toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // matched
+        Event(3, ts("2024-01-01 10:30:00"), 2, "click", 2.0))) // no view: unattributed
+      q.processAllAvailable()
+      // matched row emits eagerly; the null-completion row must NOT
+      // exist yet — a view for user 2 could still arrive
+      val eager = spark.table("attr_outer_test")
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(eager === Set((1L, 1.0)), s"got $eager")
+      // watermark far past 10:30 + window → the engine can prove no
+      // match is coming and completes the outer row. BOTH sides need
+      // late events: the query's global watermark is the MIN across
+      // the view-side and click-side watermark nodes, so advancing
+      // only the views would pin the click watermark at the stale
+      // 10:30 click and its state would never evict.
+      stream.addData(Seq(
+        Event(4, ts("2024-01-01 15:00:00"), 9, "view", 0.0),
+        Event(5, ts("2024-01-01 15:00:30"), 9, "click", 0.5)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        Event(6, ts("2024-01-01 15:01:00"), 9, "view", 0.0),
+        Event(7, ts("2024-01-01 15:01:30"), 9, "click", 0.7)))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_test")
+        .select(col("user_id"), col("value"), col("view_ts").isNull.as("unattributed"))
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(rows.contains((2L, 2.0, true)),
+        s"unattributed click must complete with null view_ts, got $rows")
+      assert(rows.contains((1L, 1.0, false)))
+    } finally q.stop()
+  }
+
   test("streaming decayed scores equal the batch EWMA on the real events table, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val all = Tables.load(spark, SparkSpec.sfTiny, "events")
