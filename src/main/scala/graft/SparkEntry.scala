@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
     "dedup_containment" -> (Documents.dedupContainment _),
+    "dedup_containment_capped" -> (Documents.dedupContainmentCapped _),
     "dedup_minhash" -> (Documents.dedupMinhash _),
     "dedup_keep_list" -> (Documents.dedupKeepList _),
     "dedup_simhash" -> (Documents.dedupSimhash _),
@@ -885,6 +886,21 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(common::DOUBLE / least(n1.n, n2.n), 4) AS containment
+        |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE round(common::DOUBLE / least(n1.n, n2.n), 4) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    // Same pipeline with the df <= 10 stop-shingle cap: hot shingles
+    // leave BOTH the pair counts and the per-doc sizes.
+    "dedup_containment_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |sh AS (SELECT doc_id, s FROM sh0
+        |       WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 10)),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)

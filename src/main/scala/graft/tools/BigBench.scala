@@ -190,7 +190,7 @@ object BigBenchLlm {
       "text_dup_passages", "dedup_substr_strip", "text_pmi", "text_boilerplate",
       "pipeline_curate", "corpus_upsample", "corpus_shuffle", "dedup_semantic",
       "corpus_histogram", "doc_overlap_report", "corpus_quality_sample",
-      "dedup_containment", "corpus_upsert",
+      "dedup_containment", "dedup_containment_capped", "corpus_upsert",
       "text_bigram_surprisal", "corpus_dsir", "corpus_dsir_select",
       "text_heavy_hitters", "doc_decontaminate_fuzzy",
       "text_gopher_rules", "corpus_reservoir", "corpus_topk_per_lang",

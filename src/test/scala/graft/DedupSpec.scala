@@ -311,6 +311,25 @@ class DedupSpec extends SparkSuite {
       "resemblance at 0.6 must miss the asymmetric case containment exists for")
   }
 
+  test("containment cap preserves the genuinely contained pair while dropping hot buckets") {
+    // 20 docs share one boilerplate 3-gram; doc 21 is a prefix of doc 1
+    // (true containment 1.0). With cap=10 the boilerplate bucket (df=21)
+    // leaves the shingle universe entirely; the planted pair must
+    // survive untouched because none of ITS shingles are hot.
+    val filler = (i: Int) => (0 until 12).map(j => s"u${i}w$j").mkString(" ")
+    val docs = ((1 to 20).map(i => (i.toLong, s"alpha beta gamma ${filler(i)}")) :+
+      (21L, "alpha beta gamma u1w0 u1w1 u1w2 u1w3 u1w4"))
+      .toDF("doc_id", "text")
+    val uncapped = Documents.containmentPairs(docs, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Documents.containmentPairs(docs, 0.8, maxDocFreq = Some(10))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.exists(p => p._1 == 1L && p._2 == 21L && p._3 >= 0.99),
+      s"planted containment must survive the cap: $capped")
+    assert(capped.map(p => (p._1, p._2)) === uncapped.map(p => (p._1, p._2)),
+      "threshold-clearing pair set is cap-invariant on this fixture")
+  }
+
   test("langId predicts constructed texts") {
     val samples = Seq(
       ("the cat and the dog of the house is with us", "en"),
