@@ -178,6 +178,8 @@ object SparkEntry {
     "embed_knn_filtered" -> (Embeddings.embedKnnFiltered _),
     "embed_matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Embeddings.embedMatryoshka(s, d)),
+    "embed_pca" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Embeddings.embedPca(s, d)),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_centroid" -> (Embeddings.embedCentroid _),

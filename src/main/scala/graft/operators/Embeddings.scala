@@ -786,6 +786,167 @@ object Embeddings {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- PCA-reduced retrieval ----
+
+  /** Session-scoped memo of fitted PCA bases (same lifecycle rules as
+    * the IVF quantizer and PQ codebook memos): the sufficient-stats
+    * aggregate is one corpus pass — paid once per (corpus, d), probed
+    * many times. */
+  private val pcaBases = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, Int), (Array[Double], Array[Array[Double]])]()
+
+  /** Cyclic Jacobi eigensolver for a small symmetric matrix (the
+    * covariance here is dim×dim = 64×64 — microseconds on the driver;
+    * the DISTRIBUTED work is the one-pass [[graft.functions.GramMatrix]]
+    * aggregate that produced it). Returns (eigenvalues, V) with
+    * eigenvectors in V's COLUMNS. Deterministic: fixed sweep order,
+    * convergence on the off-diagonal Frobenius mass. */
+  private def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offMass: Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offMass > 1e-20) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Fit a d-component PCA basis from ONE distributed pass: the
+    * [[graft.functions.GramMatrix]] native aggregate reduces the corpus
+    * to (n, Σx, Σxxᵀ) in a fixed 4161-double buffer — the covariance,
+    * eigensolve, and component selection are then driver-side small
+    * math, exactly like the k-means/PQ model fits. Components are
+    * sorted by eigenvalue descending and sign-canonicalized (largest-
+    * magnitude coordinate positive) so the basis — and every plan
+    * built from it — is deterministic. */
+  def fitPca(emb: DataFrame, d: Int, dim: Int = 64)
+      : (Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val flat = emb.agg(ColumnBridge.column(
+        graft.functions.GramMatrix(
+          ColumnBridge.expression(col("embedding")), dim).toAggregateExpression())
+        .as("g"))
+      .head().getSeq[Double](0).toArray
+    val n = flat(0)
+    require(n > 0, "fitPca: empty corpus")
+    val mean = Array.tabulate(dim)(i => flat(1 + i) / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      flat(1 + dim + i * dim + j) / n - mean(i) * mean(j))
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy(-_._1)
+    val basis = order.take(d).map { case (_, k) =>
+      val comp = Array.tabulate(dim)(i => vecs(i)(k))
+      val pivot = comp.indices.maxBy(i => math.abs(comp(i)))
+      if (comp(pivot) < 0) comp.map(x => -x) else comp
+    }
+    pcaSpectra.put(
+      (emb.sparkSession, emb.queryExecution.analyzed.semanticHash()),
+      order.map(_._1).toArray)
+    (mean, basis.toArray)
+  }
+
+  /** Sorted-descending eigen-spectrum of the last [[fitPca]] per
+    * corpus — lets the specs pin "top-d variance captured" without a
+    * second corpus pass. */
+  private val pcaSpectra = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int), Array[Double]]()
+
+  /** Fraction of total variance the top-d components capture
+    * (Σ top-d eigenvalues / trace). Fits through the memo if needed. */
+  def pcaVarianceCaptured(emb: DataFrame, d: Int, dim: Int = 64): Double = {
+    memoFit(emb, d, dim)
+    val spectrum = pcaSpectra.get(
+      (emb.sparkSession, emb.queryExecution.analyzed.semanticHash()))
+    spectrum.take(d).sum / spectrum.sum
+  }
+
+  private def memoFit(emb: DataFrame, d: Int, dim: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    graft.Caches.sweepStopped(pcaBases)(_._1)
+    graft.Caches.sweepStopped(pcaSpectra)(_._1)
+    pcaBases.computeIfAbsent(
+      (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), d),
+      _ => fitPca(emb, d, dim))
+  }
+
+  /** Project each embedding onto the top-d PCA components:
+    * proj_k = ⟨x, e_k⟩ − ⟨mean, e_k⟩, the mean-dot a driver-side
+    * constant folded into the literal — per row it's d codegen'd
+    * [[graft.functions.VectorExpressions.VecDot]] loops, map-side,
+    * no shuffle. */
+  def pcaProject(emb: DataFrame, mean: Array[Double],
+                 basis: Array[Array[Double]]): DataFrame = {
+    val comps = basis.map { b =>
+      val meanDot = b.zip(mean).map { case (bi, mi) => bi * mi }.sum
+      (VectorExpressions.vecDot(col("embedding"),
+        typedlit(b.toSeq)) - lit(meanDot)).cast("float")
+    }
+    emb.withColumn("embedding", array(comps.toIndexedSeq: _*))
+  }
+
+  /** Registered query: exact top-10 cosine kNN in the 16-dim PCA
+    * subspace — the trained counterpart of [[embedMatryoshka]]'s raw
+    * prefix (PCA puts the variance up front when the encoder didn't).
+    * The eigensolve isn't SQL-replayable, so this row is spec-gated
+    * (recall floor vs full-dim + basis orthonormality) rather than
+    * DuckDB-oracled, like the other learned-model paths (IVF, PQ,
+    * SemDeDup). */
+  def embedPca(spark: SparkSession, dir: String, d: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (mean, basis) = memoFit(emb, d, 64)
+    val proj = pcaProject(emb, mean, basis)
+    val queries = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    knnBrute(proj, queries, k = 10)
+  }
+
   /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
     * top-k frames). Driver-side collect — a measurement utility for
     * the quality specs and `tools.PqProbe`, shared so the bar-setting

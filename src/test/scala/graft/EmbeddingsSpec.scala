@@ -80,6 +80,62 @@ class EmbeddingsSpec extends SparkSuite {
     cascade.values.foreach(s => assert(s.size === 10))
   }
 
+  test("PCA basis is orthonormal; planted low-rank structure is found where prefixes can't see it") {
+    // 1000 vectors = M·f + ε: three hidden factors mixed across ALL 64
+    // coordinates (fixed seeded mixing), tiny isotropic noise. The
+    // variance lives in a 3-dim subspace that is axis-UNALIGNED, so a
+    // raw prefix slice is blind to it while PCA must recover it.
+    val rng = new scala.util.Random(7)
+    val mixing = Array.fill(3)(Array.fill(64)(rng.nextGaussian()))
+    val rows = (0 until 1000).map { i =>
+      val f = Array.fill(3)(rng.nextGaussian() * 10.0)
+      val v = Array.tabulate(64) { j =>
+        (f(0) * mixing(0)(j) + f(1) * mixing(1)(j) + f(2) * mixing(2)(j) +
+          rng.nextGaussian() * 0.1).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val (mean, basis) = Embeddings.fitPca(emb, d = 4)
+    // orthonormality of the eigenbasis — validates the Jacobi solve
+    for (i <- basis.indices; j <- i until basis.length) {
+      val dot = basis(i).zip(basis(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8, s"b${i}.b${j} = $dot")
+    }
+    assert(Embeddings.pcaVarianceCaptured(emb, 4) > 0.95,
+      "top-4 components must capture the planted 3-factor variance")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+    val proj = Embeddings.pcaProject(emb, mean, basis)
+    val pcaKnn = Embeddings.knnBrute(proj,
+      proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), k = 10)
+    val prefix = emb.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding"))
+    val prefixKnn = Embeddings.knnBrute(prefix,
+      prefix.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), k = 10)
+    val pcaRecall = Embeddings.recallAt(exact, pcaKnn)
+    val prefixRecall = Embeddings.recallAt(exact, prefixKnn)
+    assert(pcaRecall >= 0.9, s"PCA-4 must recover the planted subspace: $pcaRecall")
+    assert(pcaRecall > prefixRecall + 0.1,
+      s"trained basis must beat the blind prefix: pca=$pcaRecall prefix=$prefixRecall")
+  }
+
+  test("embed_pca beats the raw prefix on the driver corpus at d=16 (measured bars)") {
+    // Near-isotropic corpus — PCA's gain is modest but real (probe:
+    // pca 0.21/0.47 vs prefix 0.18/0.36 at d=16/32, varCaptured 0.38
+    // at 16). Pin the ordering and a recall floor.
+    val exact = Embeddings.embedKnn(spark, SparkSpec.sfSmall)
+    val pca = Embeddings.embedPca(spark, SparkSpec.sfSmall, d = 16)
+    val prefix = Embeddings.embedMatryoshka(spark, SparkSpec.sfSmall, d = 16)
+    val pcaRecall = Embeddings.recallAt(exact, pca)
+    assert(pcaRecall >= Embeddings.recallAt(exact, prefix),
+      "the trained subspace can't lose to a blind slice of the same width")
+    assert(pcaRecall >= 0.15, s"measured 0.21; wide regression floor: $pcaRecall")
+  }
+
   test("annIvf recall@10 >= 0.9 on genuinely clustered vectors (3/10 probes)") {
     var seed = 7L
     def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33).toInt % 2000) / 1000.0 - 1.0 }
