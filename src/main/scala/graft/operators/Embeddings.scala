@@ -400,14 +400,25 @@ object Embeddings {
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c"))
       .as[Seq[Double]].collect().toSeq
     for (_ <- 1 to iters) {
-      val updated = train
-        .select(element_at(nearestCids(cents, 1), 1).as("cid"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("v"))
-        .groupBy("cid").agg(
-          expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("centroid"))
-        .as[(Int, Seq[Double])].collect().toMap
-      cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
+      // persist() is a PLAN BARRIER, not a reuse cache: selecting the
+      // centroid id in the same projection as posexplode lets
+      // CollapseProject inline the O(k·d) distance loop into the
+      // generator output — recomputed once per exploded ELEMENT, a
+      // d-fold amplification that measured 66 s/iteration vs ~2 s for
+      // the barriered form at k=976, d=64, 200k training rows (the
+      // langid re-tokenization bug's bigger sibling).
+      val assigned = train
+        .select(element_at(nearestCids(cents, 1), 1).as("cid"), col("embedding"))
+        .persist()
+      try {
+        val updated = assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("v"))
+          .groupBy("cid").agg(
+            expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("centroid"))
+          .as[(Int, Seq[Double])].collect().toMap
+        cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
+      } finally assigned.unpersist()
     }
     cents
   }
@@ -693,18 +704,23 @@ object Embeddings {
     val cents = quantizers.computeIfAbsent(
       (vecs.sparkSession, planKey, k, iters),
       _ => fitKmeans(vecs, k, iters))
+    // norm computed ONCE per vector, not twice per pair: each vector
+    // participates in ~cell-size pairs, so folding the norm into the
+    // cached frame removes 2·|pairs|·dim multiply-adds from the
+    // quadratic stage (the dominant FLOP term) for |corpus|·dim extra
     val assigned = graft.Caches.persist(vecs
       .select(col("vec_id"), col("embedding"),
-        element_at(nearestCids(cents, 1), 1).as("cid"))
+        element_at(nearestCids(cents, 1), 1).as("cid"),
+        normCol("embedding").as("nrm"))
       .repartition(col("cid")))
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"))
+      col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
-      col("embedding").as("eb"))
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dotCol("ea", "eb") / (normCol("ea") * normCol("eb")), 6).as("sim"))
+        round(dotCol("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= simThreshold)
       .orderBy("id_a", "id_b")
   }
