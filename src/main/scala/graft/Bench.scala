@@ -49,7 +49,8 @@ object Bench {
       "window_first_last", "window_percent_rank", "agg_corr", "events_retention",
       "tpch_q3_shipping", "tpch_q5_local", "tpch_q18_big_orders",
       "tpch_q10_returns", "events_attribution", "events_dedup_window",
-      "events_ewma", "group_percentile", "group_approx_distinct",
+      "events_ewma", "events_window_sliding",
+      "group_percentile", "group_approx_distinct",
       "corpus_reservoir", "corpus_topk_per_lang",
       "events_anomaly", "corpus_trim", "corpus_histogram",
       "corpus_quality_sample", "corpus_upsert",

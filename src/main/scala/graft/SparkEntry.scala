@@ -115,6 +115,7 @@ object SparkEntry {
     "events_attribution" -> (Relational.eventsAttribution _),
     "events_dedup_window" -> (Relational.eventsDedupWindow _),
     "events_ewma" -> (Relational.eventsEwma _),
+    "events_window_sliding" -> (Relational.eventsWindowSliding _),
     "group_percentile" -> (Relational.groupPercentile _),
     "group_approx_distinct" -> (Relational.groupApproxDistinct _),
     "filter_null_safe" -> (Relational.filterNullSafe _),
@@ -655,6 +656,17 @@ object SparkEntry {
         |      FROM b)
         |SELECT event_id, user_id, event_type, bucket
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Each event lands in exactly len/slide = 4 hopping windows whose
+    // starts are its 15-min bucket minus 0..3 slides — no containment
+    // WHERE needed (see the b <= ts < b+15m algebra in the scaladoc).
+    "events_window_sliding" ->
+      """WITH x AS (SELECT event_type, value,
+        |             time_bucket(INTERVAL '15 minutes', ts) AS b FROM events),
+        |w AS (SELECT b - i * INTERVAL '15 minutes' AS w_start, event_type, value
+        |      FROM x, unnest(range(0, 4)) AS t(i))
+        |SELECT w_start, event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_ewma" ->
       """WITH e AS (SELECT event_id, user_id, epoch(ts) AS s, value FROM events),
         |a AS (SELECT event_id, user_id, s, value,

@@ -903,6 +903,21 @@ object Relational {
         round(expr("percentile(value, 0.99)"), 4).as("p99_value"))
       .orderBy("event_type")
 
+  /** HOPPING (sliding) windows — 1-hour windows every 15 minutes:
+    * the smoothed-dashboard twin of the tumbling `events_window`.
+    * Spark's `window(ts, len, slide)` replicates each event into
+    * len/slide = 4 windows MAP-SIDE before one hash aggregate — the
+    * correct scale shape (state ∝ open windows × groups, stream ∝
+    * 4×events); the naive self-join-per-offset formulation would
+    * scan the events table four times. */
+  def eventsWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
   /** Per-event exponentially-decayed activity score (EWMA family,
     * τ = 1 day, 7-day horizon): at each event, Σ over the user's
     * events in the preceding week of value·e^(-Δt/τ) — the "how hot is

@@ -116,7 +116,7 @@ object BigBenchEvents {
       "events_funnel", "events_retention", "events_anomaly", "events_resample",
       "events_active_users", "events_markov", "events_paths",
       "events_attribution", "events_dedup_window", "group_percentile",
-      "events_ewma", "group_approx_distinct",
+      "events_ewma", "group_approx_distinct", "events_window_sliding",
       "join_asof", "join_range")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
