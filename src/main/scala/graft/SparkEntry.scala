@@ -193,6 +193,8 @@ object SparkEntry {
     "multimodal_pack" -> (Multimodal.multimodalPack _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
     "multimodal_decode_real" -> (Multimodal.multimodalDecodeReal _),
+    "multimodal_thumbnail" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalThumbnail(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -1388,6 +1390,22 @@ object SparkEntry {
         |                  WHEN 2 THEN 1 + doc_id % 50
         |                  ELSE CASE (doc_id // 4) % 2 WHEN 0 THEN 1 ELSE 3 END END AS n_frames
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of decode -> nearest-neighbor resize ->
+    // re-encode: thumbnail pixel (i,j) samples gradient pixel
+    // (i*w//8, j*h//8), whose B/G/R bytes are arithmetic in
+    // (doc_id, x, y). Spark sums the ACTUAL re-encoded thumbnail's
+    // bytes; a padding / row-order / channel bug breaks the compare.
+    "multimodal_thumbnail" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id // 32) % 32 AS h
+        |           FROM documents WHERE doc_id < 500),
+        |g AS (SELECT doc_id,
+        |        (ti.i * w) // 8 AS sx, (tj.j * h) // 8 AS sy
+        |      FROM d, range(0, 8) AS ti(i), range(0, 8) AS tj(j))
+        |SELECT doc_id, 8 AS out_w, 8 AS out_h,
+        |  sum((7 * sx + 13 * sy + doc_id) % 256 + (3 * sx + 5 * sy) % 256
+        |      + (sx + sy) % 256)::BIGINT AS pix_sum,
+        |  246 AS thumb_bytes
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embed_cosine_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
         |           FROM embeddings WHERE vec_id < 1000)

@@ -285,6 +285,132 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-level BMP transforms — the resize stage of the media
+    * pipeline, pure JVM (24-bit uncompressed BMP needs no codec). The
+    * generator writes a deterministic per-id gradient so every
+    * transformed pixel has a CLOSED FORM in (doc_id, x, y): the
+    * registered thumbnail query's pixel sums are replayed by the
+    * DuckDB oracle arithmetically, which means any byte-plumbing bug —
+    * the 4-byte row padding, the bottom-up row order, the BGR channel
+    * layout — breaks the hash compare. */
+  object MediaTransform {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** 24-bit BMP whose pixel at image coordinates (x, y measured from
+      * the TOP) is B=(7x+13y+id)%256, G=(3x+5y)%256, R=(x+y)%256 —
+      * asymmetric in y so a row-order mistake can't cancel out. */
+    def bmpGradient(w: Int, h: Int, id: Long): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val b = ByteBuffer.allocate(54 + rowSize * h).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.position(54)
+      var fileRow = 0
+      while (fileRow < h) { // BMP stores rows bottom-up
+        val y = h - 1 - fileRow
+        val base = 54 + fileRow * rowSize
+        var x = 0
+        while (x < w) {
+          b.put(base + x * 3, ((7 * x + 13 * y + id) % 256).toByte)
+          b.put(base + x * 3 + 1, ((3 * x + 5 * y) % 256).toByte)
+          b.put(base + x * 3 + 2, ((x + y) % 256).toByte)
+          x += 1
+        }
+        fileRow += 1
+      }
+      b.array()
+    }
+
+    /** Parse a 24-bit BMP into top-down unpadded BGR triples. Media
+      * bytes are untrusted: dims must be sane and the buffer must
+      * actually HOLD the pixel rows the header promises (a truncated
+      * file passes the header-only [[MediaDecoder.decodeBmp]] check
+      * but must reject here, not throw). */
+    def bmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      MediaDecoder.decodeBmp(bytes).flatMap { case (w, h, _) =>
+        val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+        if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
+            54L + rowSize * h > bytes.length) None
+        else {
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val fileRow = h - 1 - y
+            System.arraycopy(bytes, 54 + fileRow * rowSize.toInt, px, y * w * 3, w * 3)
+            y += 1
+          }
+          Some((w, h, px))
+        }
+      }
+
+    /** Nearest-neighbor resample of top-down BGR triples:
+      * src(x,y) = (⌊x·w/ow⌋, ⌊y·h/oh⌋) — the same index math the
+      * oracle replays. */
+    def resizeNearest(px: Array[Byte], w: Int, h: Int,
+                      ow: Int, oh: Int): Array[Byte] = {
+      val out = new Array[Byte](ow * oh * 3)
+      var y = 0
+      while (y < oh) {
+        val sy = y * h / oh
+        var x = 0
+        while (x < ow) {
+          val sx = x * w / ow
+          System.arraycopy(px, (sy * w + sx) * 3, out, (y * ow + x) * 3, 3)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Re-encode top-down BGR triples as a 24-bit BMP (bottom-up,
+      * padded — the inverse of [[bmpPixels]]). */
+    def encodeBmp(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val b = ByteBuffer.allocate(54 + rowSize * h).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      var y = 0
+      while (y < h) {
+        val fileRow = h - 1 - y
+        System.arraycopy(px, y * w * 3, b.array(), 54 + fileRow * rowSize, w * 3)
+        y += 1
+      }
+      b.array()
+    }
+  }
+
+  /** Registered query (HARD oracle): generate gradient BMPs → decode
+    * pixels → nearest-neighbor resize to 8×8 → re-encode → decode the
+    * thumbnail AGAIN and sum its channel bytes. The sum is computed
+    * from the final encoded thumbnail's actual bytes — the whole
+    * decode/resize/encode chain is on the verified path — while the
+    * oracle computes the same sum from the closed-form gradient +
+    * index arithmetic. Per-row byte work runs partition-batched like
+    * [[decodeStub]] (the `mapInPandas` seam). */
+  def multimodalThumbnail(spark: SparkSession, dir: String,
+                          limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val full = MediaTransform.bmpGradient(w, h, id)
+          val (dw, dh, px) = MediaTransform.bmpPixels(full).get
+          val thumb = MediaTransform.encodeBmp(
+            MediaTransform.resizeNearest(px, dw, dh, 8, 8), 8, 8)
+          val (_, _, tpx) = MediaTransform.bmpPixels(thumb).get
+          val pixSum = tpx.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+          (id, 8, 8, pixSum, thumb.length)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "pix_sum", "thumb_bytes")
+      .orderBy("doc_id")
+  }
+
   /** Registered query (oracle-checked): the multimodal join with
     * scalar projections — binary payload flows through the plan; the
     * output keeps byte-length/dim/label so DuckDB can reproduce it. */

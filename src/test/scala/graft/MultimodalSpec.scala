@@ -156,6 +156,35 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaDecoder.decodeJpeg(dhtFirst) === Some((32, 16, 1)))
   }
 
+  test("BMP pixel round-trip: decode(encode(px)) is identity across padded and unpadded widths") {
+    // w=9 forces 1-byte row padding, w=8 none — both must survive
+    for (w <- Seq(8, 9, 10, 11); h <- Seq(3, 5)) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val bytes = Multimodal.MediaTransform.encodeBmp(px, w, h)
+      val Some((dw, dh, out)) = Multimodal.MediaTransform.bmpPixels(bytes)
+      assert((dw, dh) === ((w, h)))
+      assert(out.toSeq === px.toSeq, s"round-trip at ${w}x$h")
+    }
+  }
+
+  test("nearest-neighbor resize: identity at same size, exact corner sampling when shrinking") {
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h * 3)(i => (i % 256).toByte)
+    assert(Multimodal.MediaTransform.resizeNearest(px, w, h, w, h).toSeq === px.toSeq)
+    val small = Multimodal.MediaTransform.resizeNearest(px, w, h, 4, 2)
+    // output (x,y) samples source (x*16/4, y*8/2) = (4x, 4y)
+    for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      assert(small((y * 4 + x) * 3 + c) === px(((4 * y) * w + 4 * x) * 3 + c))
+  }
+
+  test("gradient BMP: corrupt/truncated inputs reject instead of throwing") {
+    val good = Multimodal.MediaTransform.bmpGradient(10, 6, 42L)
+    assert(Multimodal.MediaTransform.bmpPixels(good).isDefined)
+    assert(Multimodal.MediaTransform.bmpPixels(good.take(30)).isEmpty)
+    val notBmp = good.clone(); notBmp(0) = 'X'.toByte
+    assert(Multimodal.MediaTransform.bmpPixels(notBmp).isEmpty)
+  }
+
   test("multimodal_pack query joins 1:1 with embeddings") {
     val out = Multimodal.multimodalPack(spark, SparkSpec.sfTiny)
     val nDocs = Tables.load(spark, SparkSpec.sfTiny, "documents").count()
