@@ -195,6 +195,8 @@ object SparkEntry {
     "multimodal_decode_real" -> (Multimodal.multimodalDecodeReal _),
     "multimodal_thumbnail" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalThumbnail(s, d)),
+    "multimodal_audio_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalAudioSample(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -1406,6 +1408,22 @@ object SparkEntry {
         |      + (sx + sy) % 256)::BIGINT AS pix_sum,
         |  246 AS thumb_bytes
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Ramp-WAV decimation replay: kept frames are range(0, nF, 4);
+    // each kept sample is ((31f + 17c + id) mod 65536) - 32768.
+    "multimodal_audio_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |             8000 + (doc_id % 8) * 1000 AS rate,
+        |             1 + doc_id % 2 AS channels,
+        |             100 + doc_id % 100 AS nf
+        |           FROM documents WHERE doc_id < 500),
+        |f AS (SELECT doc_id, rate, channels, nf,
+        |        unnest(range(0, nf, 4)) AS fr FROM d),
+        |s AS (SELECT doc_id, rate, channels, nf, fr,
+        |        unnest(range(0, channels)) AS c FROM f)
+        |SELECT doc_id, (rate // 4)::INT AS out_rate, channels::INT AS channels,
+        |  ((nf + 3) // 4)::INT AS n_frames_out,
+        |  sum((31 * fr + 17 * c + doc_id) % 65536 - 32768)::BIGINT AS sample_sum
+        |FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "dedup_embed_cosine_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
         |           FROM embeddings WHERE vec_id < 1000)

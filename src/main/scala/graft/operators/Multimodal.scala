@@ -378,6 +378,93 @@ object Multimodal {
       }
       b.array()
     }
+
+    /** 16-bit PCM WAV with a deterministic ramp — sample at (frame f,
+      * channel c) = ((31f + 17c + id) mod 65536) − 32768 — so every
+      * decimated sample has a closed form in (doc_id, f, c). */
+    def wavRamp(rate: Int, channels: Int, nFrames: Int, id: Long): Array[Byte] = {
+      val bytes = MediaEncoder.wav(rate, channels, nFrames)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          bb.putShort(44 + (f * channels + c) * 2,
+            (((31L * f + 17L * c + id) % 65536) - 32768).toShort)
+          c += 1
+        }
+        f += 1
+      }
+      bytes
+    }
+
+    /** Extract the PCM int16 samples (interleaved) of a WAV whose
+      * header [[MediaDecoder.decodeWav]] accepts — bounds-checked
+      * against the actual buffer, since the data-chunk length is
+      * untrusted. */
+    def wavSamples(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Short])] =
+      MediaDecoder.decodeWav(bytes).flatMap { case (rate, channels, frames) =>
+        val n = frames * channels
+        if (channels <= 0 || frames < 0 || 44L + n.toLong * 2 > bytes.length) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort(44 + i * 2); i += 1 }
+          Some((rate, channels, frames, out))
+        }
+      }
+
+    /** Keep every `k`-th frame of an interleaved PCM stream — the
+      * audio analogue of the image thumbnail (decimation without
+      * filtering; a real pipeline low-passes first, but the Spark-side
+      * plumbing — frame indexing across interleaved channels — is
+      * what's exercised and oracled here). */
+    def frameSample(samples: Array[Short], channels: Int, k: Int): Array[Short] = {
+      val frames = samples.length / channels
+      val kept = (frames + k - 1) / k
+      val out = new Array[Short](kept * channels)
+      var i = 0
+      while (i < kept) {
+        System.arraycopy(samples, i * k * channels, out, i * channels, channels)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Registered query (HARD oracle): the audio twin of the thumbnail —
+    * generate ramp WAVs → parse PCM → keep every 4th frame →
+    * re-encode → re-parse and sum the surviving samples. Sums come
+    * from the final re-encoded bytes; the oracle replays them from
+    * the ramp's closed form over `range(0, n, 4)`. */
+  def multimodalAudioSample(spark: SparkSession, dir: String,
+                            limit: Long = 500L, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val channels = 1 + (id % 2).toInt
+          val nFrames = 100 + (id % 100).toInt
+          val full = MediaTransform.wavRamp(rate, channels, nFrames, id)
+          val (r0, c0, _, samples) = MediaTransform.wavSamples(full).get
+          val dec = MediaTransform.frameSample(samples, c0, k)
+          val out = MediaEncoder.wav(r0 / k, c0, dec.length / c0)
+          val bb = java.nio.ByteBuffer.wrap(out)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          dec.indices.foreach(i => bb.putShort(44 + i * 2, dec(i)))
+          val (r1, c1, f1, reread) = MediaTransform.wavSamples(out).get
+          val sum = reread.foldLeft(0L)((acc, s) => acc + s)
+          (id, r1, c1, f1, sum)
+        }
+      }
+      .toDF("doc_id", "out_rate", "channels", "n_frames_out", "sample_sum")
+      .orderBy("doc_id")
   }
 
   /** Registered query (HARD oracle): generate gradient BMPs → decode

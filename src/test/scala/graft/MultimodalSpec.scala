@@ -185,6 +185,21 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.MediaTransform.bmpPixels(notBmp).isEmpty)
   }
 
+  test("WAV frame-sample keeps interleaved channel pairs intact; truncated data rejects") {
+    // stereo, 6 frames: samples (f*10 + c) — decimate k=2 keeps frames 0,2,4
+    val samples = Array.tabulate(12)(i => ((i / 2) * 10 + i % 2).toShort)
+    val dec = Multimodal.MediaTransform.frameSample(samples, channels = 2, k = 2)
+    assert(dec.toSeq === Seq[Short](0, 1, 20, 21, 40, 41),
+      "kept frames must carry BOTH channels of frames 0,2,4")
+    // ramp round-trip: generated samples parse back exactly
+    val wav = Multimodal.MediaTransform.wavRamp(8000, 2, 6, 5L)
+    val Some((r, c, f, px)) = Multimodal.MediaTransform.wavSamples(wav)
+    assert((r, c, f) === ((8000, 2, 6)))
+    assert(px(3) === (((31 * 1 + 17 * 1 + 5) % 65536) - 32768).toShort)
+    // header promises more data than the buffer holds → reject, not throw
+    assert(Multimodal.MediaTransform.wavSamples(wav.take(50)).isEmpty)
+  }
+
   test("multimodal_pack query joins 1:1 with embeddings") {
     val out = Multimodal.multimodalPack(spark, SparkSpec.sfTiny)
     val nDocs = Tables.load(spark, SparkSpec.sfTiny, "documents").count()
