@@ -48,7 +48,8 @@ object Bench {
       "corpus_stats", "corpus_mix", "group_having", "select_distinct", "filter_in_subquery",
       "window_first_last", "window_percent_rank", "agg_corr", "events_retention",
       "tpch_q3_shipping", "tpch_q5_local", "tpch_q18_big_orders",
-      "tpch_q10_returns", "events_attribution", "events_dedup_window",
+      "tpch_q10_returns", "tpch_q7_volume",
+      "events_attribution", "events_dedup_window",
       "events_ewma", "events_window_sliding",
       "group_percentile", "group_approx_distinct",
       "corpus_reservoir", "corpus_topk_per_lang",

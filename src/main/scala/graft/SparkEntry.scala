@@ -107,6 +107,7 @@ object SparkEntry {
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
     "tpch_q10_returns" -> (Relational.tpchQ10Returns _),
+    "tpch_q7_volume" -> (Relational.tpchQ7Volume _),
     "agg_regression" -> (Relational.aggRegression _),
     "events_active_users" -> (Relational.eventsActiveUsers _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
@@ -644,6 +645,21 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l.l_shipdate)::INT AS l_year,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "events_attribution" ->
       """SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts,
         |       round(c.value, 4) AS value

@@ -1022,6 +1022,39 @@ object Relational {
       .orderBy("user_id", "click_ts", "view_ts")
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations, either direction, by year — the OR-of-conjunctions
+    * dimension predicate that defeats naive single-dim pushdown. The
+    * nation dim joins TWICE (supplier side and customer side), both
+    * broadcast; the OR filter runs over the two broadcast-joined name
+    * columns, so the fact tables still shuffle only on their join
+    * keys and the date filter still pushes into the lineitem scan. */
+  def tpchQ7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(n1), supplier("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), customer("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Null-safe comparison semantics — SQL's three-valued logic made
     * explicit: a LEFT join manufactures NULLs, then the projection
     * contrasts `=` (NULL-poisoned), `<=>` (null-safe, NULL = NULL is

@@ -22,11 +22,15 @@ object EventStream {
 
   /** Hourly per-type counts/sums with a watermark — late events beyond
     * the watermark are dropped, which bounds state size on an unbounded
-    * stream (the thing a batch engine never has to think about). */
-  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    * stream (the thing a batch engine never has to think about).
+    * `slide` < window length turns it HOPPING (the streaming twin of
+    * `events_window_sliding`): each event feeds len/slide windows and
+    * state is per OPEN window × group, still watermark-bounded. */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours",
+                     slide: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour", slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))

@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming HOPPING windows match the batch sliding plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.windowedCounts(stream.toDF(), slide = "15 minutes")
+      .writeStream.format("memory").queryName("hop_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("hop_test")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      val batch = EventStream.windowedCounts((batch1 ++ batch2).toDF(),
+          slide = "15 minutes")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+      // every event lands in exactly 4 windows
+      assert(streamed.map(_._3).sum === 4L * (batch1.size + batch2.size))
+    } finally q.stop()
+  }
+
   test("streaming corpus scrub equals the batch scrub on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
