@@ -180,4 +180,51 @@ class PropertySpec extends SparkSuite {
       sh._1 == sh._2 && mh._1 == mh._2
     }, n = 8)
   }
+
+  test("per-stratum reservoir: exact-n, deterministic, partition-invariant") {
+    val doc = Gen.zip(Gen.chooseNum(0L, 500L), Gen.oneOf("en", "de", "zh"),
+      Gen.listOfN(4, Gen.alphaStr.map(_.take(4))).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.nonEmptyListOf(doc).map(_.take(60).distinctBy(_._1))) { xs =>
+      val df = xs.toDF("doc_id", "lang", "text")
+      val a = graft.operators.Documents.reservoirPerStratum(df, n = 5)
+        .as[(Long, String, Int)].collect().toSeq
+      val b = graft.operators.Documents.reservoirPerStratum(df.repartition(7), n = 5)
+        .as[(Long, String, Int)].collect().toSeq
+      val strata = xs.groupBy(_._2).view.mapValues(_.size).toMap
+      a == b && strata.forall { case (lang, sz) =>
+        a.count(_._2 == lang) == math.min(5, sz)
+      }
+    }, n = 8)
+  }
+
+  test("ewma: spark RANGE-frame decay equals a local replay, incl. duplicate timestamps") {
+    // duplicate (user, ts) rows exercise the RANGE peer semantics: ALL
+    // same-timestamp rows are in each other's frame, both engines' rule
+    val ev = Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 10L),
+      Gen.chooseNum(0.0, 50.0))
+    check(Prop.forAll(Gen.nonEmptyListOf(ev).map(_.take(40))) { xs0 =>
+      val xs = xs0.zipWithIndex.map { case ((u, day, v), i) => (i.toLong, u, day, v) }
+      val df = xs.map { case (id, u, day, v) =>
+        (id, u, new java.sql.Timestamp(86400000L * (19000 + day)), v)
+      }.toDF("event_id", "user_id", "ts", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("s"))
+        .rangeBetween(-7 * 86400, 0)
+      val out = df.select(col("event_id"), col("user_id"),
+          col("ts").cast("double").as("s"), col("value"))
+        .withColumn("anchor_d", max(col("s")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")) / 86400.0)
+        .withColumn("decayed",
+          exp(col("anchor_d") - col("s") / 86400.0) *
+            sum(col("value") * exp(col("s") / 86400.0 - col("anchor_d"))).over(w))
+        .select("event_id", "decayed").as[(Long, Double)].collect().toMap
+      xs.forall { case (id, u, day, _) =>
+        val expected = xs.collect {
+          case (_, u2, d2, v2) if u2 == u && d2 <= day && d2 >= day - 7 =>
+            v2 * math.exp((d2 - day).toDouble)
+        }.sum
+        math.abs(out(id) - expected) < 1e-6
+      }
+    }, n = 8)
+  }
 }
