@@ -94,4 +94,49 @@ class TablesSpec extends SparkSuite {
     assert(minMicros > 631152000000000L && minMicros < 4102444800000000L,
       s"events.ts min $minMicros µs is outside 1990..2100 — wrong unit interpretation?")
   }
+
+  test("canary: every catalog table loads with the LOGICAL schema the queries assume") {
+    // The round-6 incident was a PHYSICAL type drifting under one
+    // column; this pins the whole surface. Logical expectations only —
+    // the loader is allowed to normalize physical encodings (that's
+    // its job), but a missing/renamed/retyped column must fail HERE
+    // with the table named, not as 20 query errors downstream.
+    import org.apache.spark.sql.types._
+    // raw tables keep whatever timestamp flavor the file declares (the
+    // driver has shipped both NTZ and LTZ); only events goes through
+    // normalizeTs and must land on session-TZ TimestampType exactly
+    def anyTs(t: DataType): Boolean = t == TimestampType || t == TimestampNTZType
+    val expected: Map[String, Map[String, DataType]] = Map(
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType),
+      "part" -> Map("p_partkey" -> LongType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+        "l_returnflag" -> StringType, "l_shipdate" -> TimestampType),
+      "events" -> Map("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    val drifted = expected.toSeq.flatMap { case (table, cols) =>
+      val schema = Tables.load(spark, sfTiny, table).schema
+      cols.toSeq.collect {
+        case (c, t) if !schema.exists(f => f.name == c &&
+            (f.dataType == t ||
+              (t == TimestampType && table != "events" && anyTs(f.dataType)))) =>
+          val actual = schema.find(_.name == c).map(_.dataType).getOrElse("ABSENT")
+          s"$table.$c: expected $t, got $actual"
+      }
+    }
+    assert(drifted.isEmpty, "schema drift:\n" + drifted.mkString("\n"))
+  }
 }
