@@ -141,6 +141,7 @@ object SparkEntry {
     "doc_fingerprint" -> (Documents.docFingerprint _),
     "text_stats" -> (Documents.textStats _),
     "text_tokens" -> (Documents.textTokens _),
+    "text_token_count" -> (Documents.textTokenCount _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -1322,6 +1323,15 @@ object SparkEntry {
         |r AS (SELECT lang, tok, n,
         |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk FROM g)
         |SELECT lang, tok, n, rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "text_token_count" ->
+      """WITH c AS (SELECT doc_id,
+        |             len(string_split(text, ' ')) AS n_ws_tokens,
+        |             len(regexp_extract_all(text,
+        |               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe_tokens
+        |           FROM documents)
+        |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+        |       round(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS bpe_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),

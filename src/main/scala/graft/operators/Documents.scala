@@ -663,6 +663,27 @@ object Documents {
       .orderBy("lang", "rnk")
   }
 
+  /** Per-doc token counts under BOTH tokenizers a data pipeline
+    * actually budgets with: whitespace split (the corpus-stats
+    * convention) and a GPT-2-style pre-tokenizer regex (runs of
+    * letters / digits / other, each with an optional leading space —
+    * the split BPE applies BEFORE merges, so its count upper-bounds
+    * real BPE tokens). Pure projection, regex evaluated once per row;
+    * `bpe_ratio` is the fertility proxy (≈1.0 on clean prose, >1 on
+    * punctuation-soup that BPE fragments). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        regexp_count(col("text"),
+          lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+")).as("n_bpe_tokens"))
+      .withColumn("bpe_ratio",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+      .orderBy("doc_id")
+
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.load(spark, dir, "documents"))
+
   /** Language-ID by stopword-profile scoring: count hits against a
     * tiny per-language marker lexicon, predict the argmax (ties break
     * alphabetically, 'unk' when nothing matches). A real pipeline

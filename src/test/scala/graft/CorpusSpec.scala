@@ -76,6 +76,19 @@ class CorpusSpec extends SparkSuite {
     assert(broken === 0)
   }
 
+  test("token counts: BPE-ish regex fragments what the whitespace split can't see") {
+    val probe = Seq(
+      (1L, "hello world"),        // clean prose: both tokenizers agree
+      (2L, "wait... what?!"),     // punctuation runs fragment: 2 ws vs 4 bpe
+      (3L, "a1b2 c3"))            // letter/digit alternation: 2 ws vs 6 bpe
+      .toDF("doc_id", "text")
+    val r = Documents.tokenCounts(probe)
+      .as[(Long, Int, Int, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 === 2 && r(1L)._3 === 2 && r(1L)._4 === 1.0)
+    assert(r(2L)._2 === 2 && r(2L)._3 === 4)
+    assert(r(3L)._2 === 2 && r(3L)._3 === 6 && r(3L)._4 === 3.0)
+  }
+
   test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
     val got = Documents.docPackSequences(spark, dir)
