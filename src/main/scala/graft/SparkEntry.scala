@@ -541,10 +541,13 @@ object SparkEntry {
         |  ORDER BY o_orderdate ASC, o_orderkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // floor(x*1e6 + 0.5)/1e6 on BOTH sides: rank ratios hit exact
+    // half-ties systematically, where the engines' round() algorithms
+    // disagree; identical IEEE ops on the identical double cannot.
     "window_percent_rank" ->
       """SELECT c_nationkey, c_custkey,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal ASC, c_custkey ASC)
@@ -1025,8 +1028,8 @@ object SparkEntry {
         |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
         |  FROM d),
         |q AS (SELECT doc_id, lang, source, text, n_tokens,
-        |  round(alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
-        |        + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality FROM s)
+        |  floor((alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
+        |        + least(stop_ratio * 5, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality FROM s)
         |SELECT doc_id, lang, source, n_tokens, quality
         |FROM q WHERE quality >= 0.55 AND n_tokens >= 8 AND substr(md5(text), 1, 2) < 'd0'
         |ORDER BY doc_id""".stripMargin,
@@ -1200,8 +1203,8 @@ object SparkEntry {
         |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
         |  FROM t)
         |SELECT doc_id, lang, alpha_frac, distinct_frac, len_frac, stop_ratio,
-        |  round(alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
-        |        + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality
+        |  floor((alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
+        |        + least(stop_ratio * 5, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

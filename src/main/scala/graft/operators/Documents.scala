@@ -827,9 +827,16 @@ object Documents {
         round(least(size(col("t")).cast("double") / 64.0, lit(1.0)), 4).as("len_frac"),
         round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
           .cast("double") / size(col("t")), 4).as("stop_ratio"))
-      .withColumn("quality", round(
-        col("alpha_frac") * 0.3 + col("distinct_frac") * 0.3 +
-          col("len_frac") * 0.2 + least(col("stop_ratio") * 5, lit(1.0)) * 0.2, 4))
+      // floor(x·1e4 + 0.5)/1e4, NOT round(): the weighted sum of
+      // 4-decimal components is a discrete rational that lands on
+      // exact half-ties systematically, where Spark's decimal-exact
+      // round and DuckDB's fp round disagree (found at sf0.1); the
+      // floor formula is plain IEEE ops on the identical double both
+      // engines compute, so it cannot diverge.
+      .withColumn("quality", floor(
+        (col("alpha_frac") * 0.3 + col("distinct_frac") * 0.3 +
+          col("len_frac") * 0.2 + least(col("stop_ratio") * 5, lit(1.0)) * 0.2)
+          * 1e4 + lit(0.5)) / 1e4)
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
@@ -1713,9 +1720,16 @@ object Documents {
       .withColumn("stop_ratio",
         round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
           .cast("double") / size(col("t")), 4))
-      .withColumn("quality", round(
-        col("alpha_frac") * 0.3 + col("distinct_frac") * 0.3 +
-          col("len_frac") * 0.2 + least(col("stop_ratio") * 5, lit(1.0)) * 0.2, 4))
+      // floor(x·1e4 + 0.5)/1e4, NOT round(): the weighted sum of
+      // 4-decimal components is a discrete rational that lands on
+      // exact half-ties systematically, where Spark's decimal-exact
+      // round and DuckDB's fp round disagree (found at sf0.1); the
+      // floor formula is plain IEEE ops on the identical double both
+      // engines compute, so it cannot diverge.
+      .withColumn("quality", floor(
+        (col("alpha_frac") * 0.3 + col("distinct_frac") * 0.3 +
+          col("len_frac") * 0.2 + least(col("stop_ratio") * 5, lit(1.0)) * 0.2)
+          * 1e4 + lit(0.5)) / 1e4)
     scored
       .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
       .filter(substring(md5(col("text").cast("binary")), 1, 2) < keepBelow)

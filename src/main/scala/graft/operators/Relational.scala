@@ -769,10 +769,19 @@ object Relational {
   def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    // rank ratios are DISCRETE rationals (k/n), so landing exactly on a
+    // half-tie at the rounded digit is systematic, not measure-zero —
+    // at sf0.1 round() diverged between engines on such a tie (Spark
+    // rounds the exact decimal of the double, DuckDB rounds in fp).
+    // Both engines compute the IDENTICAL k/n double, so the fix is the
+    // same IEEE formula on both sides: floor(x·1e6 + 0.5)/1e6 — every
+    // op is deterministic fp on identical inputs, no library rounding
+    // involved.
+    def r6(c: Column): Column = floor(c * 1e6 + lit(0.5)) / 1e6
     Tables.load(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_custkey"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume"))
       .orderBy("c_nationkey", "c_custkey")
   }
 
