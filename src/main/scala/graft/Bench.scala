@@ -47,7 +47,7 @@ object Bench {
       "window_lag", "group_grouping_sets", "window_ntile", "join_full_outer", "scalar_datetime",
       "corpus_stats", "corpus_mix", "group_having", "select_distinct", "filter_in_subquery",
       "window_first_last", "window_percent_rank", "agg_corr", "events_retention",
-      "tpch_q3_shipping", "tpch_q5_local", "tpch_q18_big_orders",
+      "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local", "tpch_q18_big_orders",
       "tpch_q10_returns", "tpch_q7_volume",
       "events_attribution", "events_dedup_window",
       "events_ewma", "events_window_sliding",
@@ -60,11 +60,14 @@ object Bench {
       "events_sessionize", "events_funnel", "events_resample",
       "events_active_users", "events_markov", "events_paths",
       "corpus_dsir", "corpus_dsir_select",
-    ).filter(SparkEntry.queries.contains) ++
-      SparkEntry.queries.keys.filter(n =>
-        n.startsWith("dedup_") || n.startsWith("embed_") ||
-        n.startsWith("text_") || n.startsWith("multimodal_") ||
-        n.startsWith("doc_")).toSeq.sorted
+    ).filter(SparkEntry.queries.contains)
+    // EVERY registered query gets a bench row — the curated order
+    // above runs first (stable cross-round comparison), then the rest
+    // sorted. Round 7 shipped 19 registered-but-unbenched queries and
+    // their regressions were invisible; deriving the tail from the
+    // registry itself makes that gap structurally impossible.
+    val headlineAll = headline ++
+      (SparkEntry.queries.keys.toSet -- headline).toSeq.sorted
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -75,7 +78,7 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     var cold = List.empty[(String, Double)]
-    val results = headline.flatMap { name =>
+    val results = headlineAll.flatMap { name =>
       try {
         val coldT = runOnce(name) // warm-up; JIT + plan cost
         val times = Seq.fill(3)(runOnce(name)).sorted

@@ -103,6 +103,7 @@ object SparkEntry {
     "events_retention" -> (Relational.eventsRetention _),
     "events_resample" -> (Relational.eventsResample _),
     "events_markov" -> (Relational.eventsMarkov _),
+    "tpch_q1_pricing" -> (Relational.tpchQ1Pricing _),
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
@@ -603,6 +604,20 @@ object SparkEntry {
         |SELECT prev AS prev_type, event_type AS next_type, n,
         |       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 6) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
@@ -670,7 +685,7 @@ object SparkEntry {
         |FROM events c JOIN events v ON v.user_id = c.user_id
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
-        |ORDER BY 1, 2, 3""".stripMargin,
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "events_dedup_window" ->
       """WITH b AS (SELECT event_id, user_id, event_type, ts,
         |             time_bucket(INTERVAL '1 hour', ts) AS bucket FROM events),
@@ -1210,9 +1225,9 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id,
         |  len(toks) AS n_words,
-        |  round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4) AS mean_word_len,
-        |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) AS alpha_word_frac,
-        |  round(len(list_filter(toks, x -> NOT regexp_matches(x, '[a-zA-Z0-9]')))::DOUBLE / len(toks), 4) AS symbol_word_frac,
+        |  floor((length(text) - (len(toks) - 1))::DOUBLE / len(toks) * 10000 + 0.5) / 10000 AS mean_word_len,
+        |  floor(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks) * 10000 + 0.5) / 10000 AS alpha_word_frac,
+        |  floor(len(list_filter(toks, x -> NOT regexp_matches(x, '[a-zA-Z0-9]')))::DOUBLE / len(toks) * 10000 + 0.5) / 10000 AS symbol_word_frac,
         |  len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stopwords
         |  FROM t)
         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_frac,
@@ -1333,7 +1348,7 @@ object SparkEntry {
         |               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe_tokens
         |           FROM documents)
         |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
-        |       round(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS bpe_ratio
+        |       floor(n_bpe_tokens::DOUBLE / n_ws_tokens * 10000 + 0.5) / 10000 AS bpe_ratio
         |FROM c ORDER BY doc_id""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1347,6 +1362,92 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
         |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // Full replay of the sign-sketch ANN pipeline: the ±1 hyperplane
+    // matrix is md5-derived (sign(p,d) = +1 iff first hex digit of
+    // md5('sign:p:d') is odd — same recipe as dedup_minhash), dots are
+    // left-fold list_reduce to mirror SignSketch's sequential j-loop
+    // (sign extraction is exact-sensitive; identical IEEE op order ⇒
+    // identical doubles), so signatures, Hamming prefilter, top-C and
+    // exact rerank all reproduce value-for-value.
+    "embed_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |mat AS (SELECT p.p AS p,
+        |          list(CASE WHEN substr(md5('sign:' || p.p || ':' || d.d), 1, 1)
+        |                    IN ('1','3','5','7','9','b','d','f')
+        |               THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS srow
+        |        FROM range(0, 256) p(p), range(0, 64) d(d) GROUP BY p.p),
+        |bits AS (SELECT vec_id,
+        |           list(CASE WHEN list_reduce(list_transform(range(1, 65),
+        |                  i -> embedding[i]::DOUBLE * srow[i]), (a, b) -> a + b) > 0
+        |                THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |         FROM e, mat GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, bits AS q_bits FROM bits WHERE vec_id < 10),
+        |ham AS (SELECT q_id, b.vec_id,
+        |          list_sum(list_transform(range(1, 257),
+        |            i -> CASE WHEN q_bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS ham
+        |        FROM q, bits b WHERE b.vec_id != q_id),
+        |topc AS (SELECT q_id, vec_id FROM
+        |           (SELECT q_id, vec_id,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY ham ASC, vec_id ASC) AS hrnk
+        |            FROM ham WHERE ham <= 128)
+        |         WHERE hrnk <= 150),
+        |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT t.q_id, t.vec_id,
+        |        round(list_sum(list_transform(range(1, len(q_emb) + 1),
+        |                i -> q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |          / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |           * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+        |      FROM topc t JOIN e ON e.vec_id = t.vec_id JOIN qe ON qe.q_id = t.q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
+        |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // Same md5 matrix replaying the banded near-dup path: b derived
+    // from count(*) by integer ceil-log2 (bin-string length — matches
+    // autoCosineBandBits's numberOfLeadingZeros exactly, no libm),
+    // bands are bit-list slices at the packed word offsets, the
+    // full-signature Hamming gate and exact cosine verify follow.
+    // nBits ∈ {64,128} for b ∈ [16,32]; bits computes 128 and the gate
+    // reads the first nbits — extra bits are dead weight, not skew.
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |params AS (SELECT b, 64 // b AS perword,
+        |             ((4 + (64 // b) - 1) // (64 // b)) * 64 AS nbits
+        |           FROM (SELECT least(32, greatest(16,
+        |                   length(ltrim(bin((SELECT count(*) FROM e) - 1), '0')) + 6)) AS b)),
+        |params2 AS (SELECT b, perword, nbits,
+        |              ceil(nbits * (acos(0.95) / pi())
+        |                + 3 * sqrt(nbits * (acos(0.95) / pi())
+        |                           * (1 - acos(0.95) / pi())))::INT AS maxham
+        |            FROM params),
+        |mat AS (SELECT p.p AS p,
+        |          list(CASE WHEN substr(md5('sign:' || p.p || ':' || d.d), 1, 1)
+        |                    IN ('1','3','5','7','9','b','d','f')
+        |               THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS srow
+        |        FROM range(0, 128) p(p), range(0, 64) d(d) GROUP BY p.p),
+        |bits AS (SELECT vec_id,
+        |           list(CASE WHEN list_reduce(list_transform(range(1, 65),
+        |                  i -> embedding[i]::DOUBLE * srow[i]), (a, b) -> a + b) > 0
+        |                THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |         FROM e, mat GROUP BY vec_id),
+        |banded AS (SELECT vec_id, bits, i.i AS band,
+        |             list_slice(bits,
+        |               (i.i // perword) * 64 + (i.i % perword) * b + 1,
+        |               (i.i // perword) * 64 + (i.i % perword) * b + b) AS bv
+        |           FROM bits, range(0, 4) i(i), params2),
+        |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+        |         FROM banded a, banded c, params2 p
+        |         WHERE a.band = c.band AND a.bv = c.bv AND a.vec_id < c.vec_id
+        |           AND list_sum(list_transform(range(1, p.nbits + 1),
+        |                 i -> CASE WHEN a.bits[i] != c.bits[i] THEN 1 ELSE 0 END))
+        |               <= p.maxham),
+        |v AS (SELECT d1, d2,
+        |        round(list_sum(list_transform(range(1, len(e1.embedding) + 1),
+        |                i -> e1.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE))
+        |          / (sqrt(list_sum(list_transform(e1.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |           * sqrt(list_sum(list_transform(e2.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+        |      FROM cand JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2)
+        |SELECT d1, d2, cos_sim FROM v WHERE cos_sim >= 0.95 ORDER BY d1, d2""".stripMargin,
     "embed_knn_filtered" ->
       """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -152,11 +152,16 @@ object Documents {
           |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
-    // n is 1 row × 16 bytes per doc — broadcast both sides so the
-    // (potentially large) pair stream never shuffles for the sizes
+    // n is one 16-byte row per DOCUMENT — small vs the pair stream at
+    // test scale, but it grows with the corpus, so the broadcast is a
+    // MEASURED decision (Ops.broadcastIfFits), not a hard hint: at
+    // 10⁹ docs an unconditional broadcast is tens of GB and kills the
+    // job at the broadcast limit; past the budget this degrades to a
+    // shuffle join on the pair stream. Measured once, joined twice.
+    val nSized = Ops.broadcastIfFits(n)
     graft.Caches.persist(pairs
-      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
-      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+      .join(nSized.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(nSized.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") /
           (col("n1.n") + col("n2.n") - col("common")), 4).as("jaccard"))
@@ -228,9 +233,12 @@ object Documents {
           |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
+    // measured broadcast, same rationale as [[jaccardPairs]]: per-doc
+    // sizes scale with the corpus, so the hint must be earned by size
+    val nSized = Ops.broadcastIfFits(n)
     pairs
-      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
-      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+      .join(nSized.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(nSized.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") /
           least(col("n1.n"), col("n2.n")), 4).as("containment"))
@@ -677,8 +685,8 @@ object Documents {
         size(split(col("text"), " ")).as("n_ws_tokens"),
         regexp_count(col("text"),
           lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+")).as("n_bpe_tokens"))
-      .withColumn("bpe_ratio",
-        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+      .withColumn("bpe_ratio", // Ops.r4: k/n half-tie class, see gopherRules
+        Ops.r4(col("n_bpe_tokens").cast("double") / col("n_ws_tokens")))
       .orderBy("doc_id")
 
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -855,12 +863,14 @@ object Documents {
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
         size(col("t")).as("n_words"),
-        round((length(col("text")) - (size(col("t")) - 1)).cast("double")
-          / size(col("t")), 4).as("mean_word_len"),
-        round(expr("size(filter(t, x -> x rlike '[a-zA-Z]'))").cast("double")
-          / size(col("t")), 4).as("alpha_word_frac"),
-        round(expr("size(filter(t, x -> NOT x rlike '[a-zA-Z0-9]'))").cast("double")
-          / size(col("t")), 4).as("symbol_word_frac"),
+        // Ops.r4, not round(,4): these are discrete rationals k/n — the
+        // exact half-tie class where Spark/DuckDB round() diverge.
+        Ops.r4((length(col("text")) - (size(col("t")) - 1)).cast("double")
+          / size(col("t"))).as("mean_word_len"),
+        Ops.r4(expr("size(filter(t, x -> x rlike '[a-zA-Z]'))").cast("double")
+          / size(col("t"))).as("alpha_word_frac"),
+        Ops.r4(expr("size(filter(t, x -> NOT x rlike '[a-zA-Z0-9]'))").cast("double")
+          / size(col("t"))).as("symbol_word_frac"),
         expr("size(filter(t, x -> x IN ('the','a','of','and','in')))")
           .as("n_stopwords"))
       .withColumn("ok_word_count", col("n_words").between(30, 100000))

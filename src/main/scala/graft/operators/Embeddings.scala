@@ -151,12 +151,27 @@ object Embeddings {
       .orderBy("q_id", "rnk")
   }
 
-  /** Fixed ±1 projection matrix (nBits × 64) — seeded, so signatures
-    * are deterministic across runs and plans canonicalize identically.
-    * Supports dims ≤ 64. */
+  /** Fixed ±1 projection matrix (nBits × 64) — md5-derived, so it is
+    * deterministic across runs AND rebuildable value-for-value by a
+    * SQL oracle: sign(p,d) = +1 iff the first hex digit of
+    * md5("sign:p:d") is odd (= bit 4 of digest byte 0 — the high
+    * nibble's low bit). The same Kirsch–Mitzenmacher-style md5
+    * portability trick that converted dedup_minhash/dedup_simhash to
+    * hard oracle rows: both engines take the same "random" choices,
+    * so the whole LSH pipeline — signatures, bands, candidates,
+    * verify — replays in DuckDB and the probabilistic queries become
+    * rows+schema+hash rows. Matrix is built once on the driver
+    * (nBits×64 doubles) and ships as a codegen constant; the per-row
+    * plan is unchanged. Supports dims ≤ 64. */
   private def signsSeq(nBits: Int): Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(nBits)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nBits) { p =>
+      Seq.tabulate(64) { d =>
+        val digest = md.digest(
+          s"sign:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((digest(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
   }
 
   /** nBits-bit sign-random-projection signature (SimHash for vectors)
@@ -252,9 +267,14 @@ object Embeddings {
     * Recall is preserved by growing the SIGNATURE, never by shrinking
     * the band count: [[embedCosinePairs]] always gets 4 bands, packed
     * from however many 64-bit sketch words the width needs. */
-  def autoCosineBandBits(n: Long): Int =
-    math.min(32, math.max(16,
-      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt + 6))
+  def autoCosineBandBits(n: Long): Int = {
+    // integer ceil-log2 (not ceil(ln n/ln 2)): the float formula sits a
+    // ulp from an integer at powers of two, where Java and the oracle
+    // engine's libm could round the ceil differently — b must be the
+    // same number in both engines for the replayed pipeline to match
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2) - 1)
+    math.min(32, math.max(16, ceilLog2 + 6))
+  }
 
   def embedCosinePairs(corpus: DataFrame, simThreshold: Double,
                        bandBits: Int = 0, corpusSizeHint: Option[Long] = None): DataFrame = {

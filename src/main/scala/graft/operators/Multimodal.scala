@@ -405,9 +405,15 @@ object Multimodal {
       * untrusted. */
     def wavSamples(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Short])] =
       MediaDecoder.decodeWav(bytes).flatMap { case (rate, channels, frames) =>
-        val n = frames * channels
-        if (channels <= 0 || frames < 0 || 44L + n.toLong * 2 > bytes.length) None
+        // frames·channels in Long: a crafted header (channels=65535 on a
+        // small buffer) overflows Int to negative, sneaking past the
+        // byte-length guard into a NegativeArraySizeException — the
+        // untrusted-media contract is reject (None), never throw.
+        val nL = frames.toLong * channels
+        if (channels <= 0 || frames < 0 || nL > Int.MaxValue ||
+            44L + nL * 2 > bytes.length) None
         else {
+          val n = nL.toInt
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val out = new Array[Short](n)

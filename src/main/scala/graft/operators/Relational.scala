@@ -690,11 +690,20 @@ object Relational {
     * formulation), then summarize each session. The log-analytics
     * primitive for training-data pipelines; both windows partition by
     * user, so the whole query is one shuffle on user_id. */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeFrame(Tables.load(spark, dir, "events"))
+
+  /** The sessionize window over an arbitrary events frame — split out
+    * so the physical-layout path can run it over a user_id-bucketed
+    * table: the bucketed scan's HashPartitioning(user_id) satisfies
+    * the Window's required distribution, so the plan carries NO
+    * Exchange — at 100M+ events the shuffle is the dominant cost of
+    * the parquet path (SessionizeBucketBench measures the delta). */
+  def sessionizeFrame(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     // gap/duration math on unix_micros (exact integers) — second-level
     // casts round differently across engines.
-    Tables.load(spark, dir, "events")
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
         unix_micros(col("ts")).as("us"))
       .withColumn("gap", when(
@@ -797,6 +806,32 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qty_disc"),
         round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qty_disc"),
         round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+
+  /** TPC-H Q1 (pricing summary report): the canonical scan-aggregate —
+    * one fact scan, a 2-key group with 6 distinct groups, 8 aggregates
+    * (4 sums incl. two product expressions, 3 avgs, a count). The
+    * shipdate cutoff pushes into the parquet scan; everything after is
+    * one partial/final hash aggregate with 6 output rows, so the query
+    * is scan-bound at any scale — the shape that made Q1 the standard
+    * "how fast can you read and fold" benchmark. Cutoff adapted to
+    * this corpus's 1995–2001 shipdate range (TPC-H's 1998-12-01 − 90d
+    * would keep ~everything here). */
+  def tpchQ1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3 shape (shipping priority): two fact joins, a grouped
     * revenue aggregate, top-10 by revenue — the canonical "join then
@@ -1028,7 +1063,10 @@ object Relational {
           col("view_ts") >= col("click_ts") - expr("INTERVAL 1 hour"))
       .select(col("user_id"), col("click_ts"), col("view_ts"),
         round(col("value"), 4).as("value"))
-      .orderBy("user_id", "click_ts", "view_ts")
+      // value in the sort key: (user_id, click_ts, view_ts) is not
+      // unique when one user clicks twice at the same instant, and an
+      // order-sensitive oracle compare must not depend on partitioning
+      .orderBy("user_id", "click_ts", "view_ts", "value")
   }
 
   /** TPC-H Q7 shape (volume shipping): bilateral trade between two

@@ -197,17 +197,31 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, batch: Iterator[Event], state: GroupState[DecayBuffer]) =>
           var buf = state.getOption.map(_.events).getOrElse(Nil)
-          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            val t = e.ts.getTime
-            buf = (t, e.value) :: buf
+          // Same-timestamp events insert as a GROUP before any of them
+          // scores: the batch twin's RANGE frame includes every same-ts
+          // peer in every peer's score, so scoring one tie before
+          // inserting the other would diverge from it. (Ties split
+          // across micro-batches still diverge — append mode can't
+          // rescore an emitted row; the twin contract covers ties that
+          // arrive together, which event-time-ordered replay does.)
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val tsGroups = sorted.foldRight(List.empty[List[Event]]) {
+            case (e, h :: t) if h.head.ts.getTime == e.ts.getTime => (e :: h) :: t
+            case (e, acc) => List(e) :: acc
+          }
+          val out = tsGroups.flatMap { g =>
+            val t = g.head.ts.getTime
+            g.foreach(e => buf = (t, e.value) :: buf)
             val tMax = buf.iterator.map(_._1).max
             buf = buf.filter(_._1 >= tMax - horizonMs)
-            val score = buf.iterator
-              .filter { case (ti, _) => ti <= t && ti >= t - horizonMs }
-              .map { case (ti, v) => v * math.exp((ti - t) / 86400000.0 / tauDays) }
-              .sum
-            DecayScore(e.event_id, user,
-              BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            g.map { e =>
+              val score = buf.iterator
+                .filter { case (ti, _) => ti <= t && ti >= t - horizonMs }
+                .map { case (ti, v) => v * math.exp((ti - t) / 86400000.0 / tauDays) }
+                .sum
+              DecayScore(e.event_id, user,
+                BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
           }
           state.update(DecayBuffer(buf))
           out.iterator

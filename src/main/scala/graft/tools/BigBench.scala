@@ -226,6 +226,72 @@ object BigBenchLlm {
   *
   * Emits one JSON line; results are recorded in BIGBENCH.md.
   */
+/** Physical-layout proof for the one data-linear events query:
+  * `events_sessionize` at 100M rows is sort-bound — the full-table
+  * Exchange on user_id before the Window is the scale cost. Writing
+  * the events bucketed by user_id pays that shuffle ONCE at layout
+  * time; every subsequent sessionize (and funnel, paths, ewma — any
+  * user_id-windowed query) plans with NO Exchange, because the
+  * bucketed scan's HashPartitioning(user_id) already satisfies the
+  * Window's required distribution. This main synthesizes the same
+  * events as BigBenchEvents (shared dir — reuses its parquet),
+  * measures sessionize over (a) plain parquet and (b) the bucketed
+  * table, asserts the bucketed executed plan is Exchange-free, and
+  * emits one JSON line for BIGBENCH.md. */
+object SessionizeBucketBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val dir = s"target/bigbench/events_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) {
+      val users = math.max(rows / 67, 1L)
+      val baseUs = 1704067200000000L
+      val spanUs = 30L * 86400 * 1000000
+      spark.range(0, rows, 1, 32).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(baseUs) + pmod(xxhash64(col("id")), lit(spanUs))).as("ts"),
+        pmod(xxhash64(col("id"), lit(1)), lit(users)).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
+          (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / lit(100.0)).as("value"),
+        concat(lit("{\"k\": "),
+          pmod(xxhash64(col("id"), lit(4)), lit(100)).cast("string"),
+          lit("}")).as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val table = s"events_bucketed_$rows"
+    val tLayout = timeIt(
+      graft.sources.Layout.writeBucketed(events, table, "user_id", 32))
+
+    val plain = graft.operators.Relational.sessionizeFrame(events)
+    val bucketed = graft.operators.Relational.sessionizeFrame(spark.table(table))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // warm-up once each (JIT), then median of 3
+    def median3(df: => org.apache.spark.sql.DataFrame): Double = {
+      timeIt(noop(df)); Seq.fill(3)(timeIt(noop(df))).sorted.apply(1)
+    }
+    val tPlain = median3(plain)
+    val tBucketed = median3(bucketed)
+    val (xP, xB) = (exchanges(plain), exchanges(bucketed))
+    assert(xB == 0, s"bucketed sessionize still has $xB Exchange(s)")
+    println(s"""{"rows":$rows,"layout_write_s":${f"$tLayout%.3f"},"sessionize_plain_s":${f"$tPlain%.3f"},"sessionize_bucketed_s":${f"$tBucketed%.3f"},"exchanges_plain":$xP,"exchanges_bucketed":$xB}""")
+    spark.stop()
+  }
+}
+
 object ZOrderBench {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
