@@ -343,7 +343,9 @@ object Embeddings {
     * the whole assignment is a single projection over the broadcast
     * literal array (no corpus×k inflation, no window: the round-3
     * version shuffled and sorted corpus×k rows for this argmax). */
-  private def nearestCids(cents: Seq[Seq[Double]], n: Int): Column = {
+  // private[graft]: the IVF recall/scan probes (graft.tools) replay the
+  // assignment to measure scanned-fraction without duplicating the math
+  private[graft] def nearestCids(cents: Seq[Seq[Double]], n: Int): Column = {
     val unit = cents.map { c =>
       val nrm = math.sqrt(c.map(x => x * x).sum)
       if (nrm == 0) c else c.map(_ / nrm)

@@ -56,10 +56,16 @@ object Ops {
   def broadcastIfFits(small: DataFrame,
                       budgetBytes: Long = DefaultBroadcastBudget): DataFrame = {
     val cached = graft.Caches.persist(small)
-    cached.count() // materialize so the stats below are measured, not estimated
-    // fresh Dataset over the same plan → its optimizer pass resolves the
-    // now-populated cache, so stats are the InMemoryRelation's real size
-    val bytes = cached.select("*").queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < budgetBytes) broadcast(cached) else cached
+    // decision memoized per (plan, budget) for the life of the persist
+    // registry: rebuilding the same query must not re-pay the count()
+    // job; Caches.release clears both, so fresh pipelines re-measure
+    val fits = graft.Caches.decideOnce(cached.sparkSession,
+      cached.queryExecution.analyzed.semanticHash(), budgetBytes) {
+      cached.count() // materialize so the stats below are measured, not estimated
+      // fresh Dataset over the same plan → its optimizer pass resolves the
+      // now-populated cache, so stats are the InMemoryRelation's real size
+      cached.select("*").queryExecution.optimizedPlan.stats.sizeInBytes < budgetBytes
+    }
+    if (fits) broadcast(cached) else cached
   }
 }

@@ -226,6 +226,55 @@ object BigBenchLlm {
   *
   * Emits one JSON line; results are recorded in BIGBENCH.md.
   */
+/** TPC-H Q1 at reference scale: synthesizes a 10M-row lineitem-shaped
+  * table (hash-derived, deterministic — same technique as the other
+  * BigBench tiers) and times the registered `tpch_q1_pricing` query
+  * END-TO-END from parquet and warm (median of 3). Q1 is the
+  * scan-aggregate yardstick: one pushed date filter, a 6-group hash
+  * aggregate with 8 aggregates — scan-bound by construction, so the
+  * number is effectively "how fast does the engine read and fold
+  * 10M × 7 columns". Emits one JSON line for BIGBENCH.md. */
+object TpchQ1Bench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val dir = s"target/bigbench/tpch_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
+      val baseUs = 788918400000000L // 1995-01-01 UTC
+      val spanUs = 6L * 365 * 86400 * 1000000 // ~6 years, like the testdata
+      spark.range(0, rows, 1, 32).select(
+        col("id").as("l_orderkey"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(xxhash64(col("id")), lit(3)) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")),
+          (pmod(xxhash64(col("id"), lit(1)), lit(2)) + 1).cast("int")).as("l_linestatus"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(50)) + 1).cast("double").as("l_quantity"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000000)) / lit(100.0)).as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(4)), lit(11)) / lit(100.0)).as("l_discount"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(9)) / lit(100.0)).as("l_tax"),
+        timestamp_micros(lit(baseUs) + pmod(xxhash64(col("id"), lit(6)), lit(spanUs)))
+          .as("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def q(): org.apache.spark.sql.DataFrame =
+      graft.SparkEntry.queries("tpch_q1_pricing")(spark, dir)
+
+    val e2e = timeIt(noop(q()))
+    val warm = { timeIt(noop(q())); Seq.fill(3)(timeIt(noop(q()))).sorted.apply(1) }
+    println(s"""{"rows":$rows,"tpch_q1_end_to_end_s":${f"$e2e%.3f"},"tpch_q1_warm_s":${f"$warm%.3f"}}""")
+    spark.stop()
+  }
+}
+
 /** Physical-layout proof for the one data-linear events query:
   * `events_sessionize` at 100M rows is sort-bound — the full-table
   * Exchange on user_id before the Window is the scale cost. Writing
@@ -277,8 +326,13 @@ object SessionizeBucketBench {
 
     val plain = graft.operators.Relational.sessionizeFrame(events)
     val bucketed = graft.operators.Relational.sessionizeFrame(spark.table(table))
+    // count HASH exchanges only: the final orderBy's rangepartitioning
+    // exchange (tiny — post-aggregate rows) is present in both plans;
+    // the full-table hashpartitioning(user_id) shuffle before the
+    // Window is the one bucketing deletes
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
     // warm-up once each (JIT), then median of 3
     def median3(df: => org.apache.spark.sql.DataFrame): Double = {
       timeIt(noop(df)); Seq.fill(3)(timeIt(noop(df))).sorted.apply(1)

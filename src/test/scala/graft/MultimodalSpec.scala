@@ -200,6 +200,24 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.MediaTransform.wavSamples(wav.take(50)).isEmpty)
   }
 
+  test("wavSamples rejects a frames×channels Int overflow instead of throwing") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // channels=65535, blockAlign=1, 40kB data chunk: frames = 40960,
+    // frames*channels = 2.68e9 overflows Int to negative — the old
+    // 44 + n.toLong*2 guard then passed and Array allocation threw
+    // NegativeArraySizeException; the contract is reject (None)
+    val dataLen = 40960
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(-1 /* 65535 */)
+    b.putInt(44100).putInt(44100).putShort(1 /* blockAlign */).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    val wav = b.array()
+    assert(Multimodal.MediaDecoder.decodeWav(wav) === Some((44100, 65535, dataLen)),
+      "header itself parses — the overflow is in the sample extraction")
+    assert(Multimodal.MediaTransform.wavSamples(wav).isEmpty)
+  }
+
   test("multimodal_pack query joins 1:1 with embeddings") {
     val out = Multimodal.multimodalPack(spark, SparkSpec.sfTiny)
     val nDocs = Tables.load(spark, SparkSpec.sfTiny, "documents").count()

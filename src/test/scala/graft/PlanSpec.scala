@@ -48,6 +48,39 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pair-family sizes join: measured broadcast, degrading to shuffle past the budget") {
+    // jaccardPairs/containmentPairs join the candidate-pair stream to a
+    // one-row-per-DOCUMENT sizes frame. That frame grows with the
+    // corpus, so the broadcast must be a measured decision
+    // (Ops.broadcastIfFits), never a hard hint: within budget → the
+    // pair stream never shuffles for the sizes; past it → a plain
+    // shuffle join instead of an executor-killing broadcast build.
+    import org.apache.spark.sql.functions.{col, length}
+    // auto-broadcast OFF so the plans below prove the HINT's decision,
+    // not Catalyst's own small-table threshold
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      val p = plan(graft.operators.Documents.jaccardPairs(docs, 0.6))
+      assert(p.contains("BroadcastHashJoin"),
+        "sizes frame fits at test scale — expected a broadcast join:\n" + p.take(3000))
+      // same join shape with a 1-byte budget: the decision must flip
+      val sizes = docs.select(col("doc_id"), length(col("text")).as("n"))
+      val pairs = docs.select(col("doc_id").as("d1"))
+      val degraded = pairs.join(
+        graft.operators.Ops.broadcastIfFits(sizes, budgetBytes = 1L).as("n1"),
+        col("d1") === col("n1.doc_id"))
+      val dp = plan(degraded)
+      assert(!dp.contains("BroadcastHashJoin"),
+        "past the budget the sizes join must degrade to a shuffle join:\n" + dp.take(3000))
+    } finally {
+      spark.conf.set(key, prev)
+      graft.Caches.release(spark)
+    }
+  }
+
   test("sort_topn plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.sortTopN(spark, SparkSpec.sfTiny))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -366,6 +366,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decayed scores include all same-timestamp peers (batch RANGE-frame ties)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStream.decayedScores(stream.toDS())
+      .writeStream.format("memory").queryName("decay_tie_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two events at the SAME (user, ts): the batch twin's RANGE frame
+      // scores BOTH with the pair's sum — the streaming buffer must
+      // insert the tie group before scoring either, or the earlier
+      // event_id misses its peer
+      stream.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:00:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 10:30:00"), 1, "click", 3.0)))
+      q.processAllAvailable()
+      val scores = spark.table("decay_tie_test")
+        .as[EventStream.DecayScore].collect()
+        .map(d => d.event_id -> d.decayed).toMap
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val w = math.exp(-1800000.0 / 86400000.0) // 30 min at tau = 1 day
+      assert(scores(1L) === r4(3.0), "earlier tie must see the later same-ts peer")
+      assert(scores(2L) === r4(3.0))
+      assert(scores(3L) === r4(3.0 * w + 3.0))
+    } finally q.stop()
+  }
+
   test("sessionCloseAlerts emits exactly one summary per session, only after the gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

@@ -2,12 +2,21 @@
 """Round-over-round bench regression diff.
 
 Usage: python3 tools/bench_diff.py <old_bench.json> <new_bench.json> [pct]
+       python3 tools/bench_diff.py --warm <old_warm.jsonl> <new_warm.jsonl> [ratio]
 
-Compares the per-query medians of two graft.Bench JSON artifacts
-(BENCH_r{N}.json with a `parsed` object, or a raw bench line such as
-target/bench_latest.json) and prints queries whose time moved more than
-`pct` percent (default 30) plus anything added, removed, or errored.
-Exit code 1 if any regression exceeds the threshold, so CI can gate.
+Default mode compares the per-query medians of two graft.Bench JSON
+artifacts (BENCH_r{N}.json with a `parsed` object, or a raw bench line
+such as target/bench_latest.json) and prints queries whose time moved
+more than `pct` percent (default 30) plus anything added, removed, or
+errored. Exit code 1 if any regression exceeds the threshold, so CI can
+gate.
+
+--warm mode diffs whole-tier warm-sweep records (BIGBENCH_WARM_r{N}
+.json: one JSON line per sweep, each with a "rows" count and a
+"<tier>_end_to_end" object — the BigBenchLlm / BigBenchEvents output).
+Lines are matched by (tier, rows); a query regresses when new > ratio ×
+old (default 1.5) and the delta clears a 0.5 s jitter floor. Exit 1 on
+any regression.
 """
 import json
 import sys
@@ -58,7 +67,62 @@ def main(old_path, new_path, pct):
     return 0
 
 
+def load_warm(path):
+    """JSONL of sweep lines → {(tier, rows): {query: seconds}}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    out[(k, d.get("rows"))] = v
+    return out
+
+
+def main_warm(old_path, new_path, ratio):
+    old, new = load_warm(old_path), load_warm(new_path)
+    regressions = []
+    for key in sorted(set(old) | set(new), key=str):
+        tier, rows = key
+        if key not in new:
+            print(f"-- {tier} rows={rows}: GONE from new sweep")
+            continue
+        if key not in old:
+            print(f"-- {tier} rows={rows}: NEW sweep "
+                  f"({len(new[key])} queries, no baseline)")
+            continue
+        oq, nq = old[key], new[key]
+        print(f"-- {tier} rows={rows} ({len(nq)} queries)")
+        for name in sorted(set(oq) | set(nq)):
+            if name not in nq:
+                print(f"   {name:32} {oq[name]:8.2f} {'GONE':>8}")
+            elif name not in oq:
+                print(f"   {name:32} {'NEW':>8} {nq[name]:8.2f}")
+            else:
+                a, b = oq[name], nq[name]
+                # ratio gate + absolute jitter floor: a 0.1→0.2 s move
+                # is JIT/page-cache noise, not a plan regression
+                if b > ratio * a and b - a > 0.5:
+                    print(f"   {name:32} {a:8.2f} {b:8.2f} {b/a:6.2f}x  REGRESSION")
+                    regressions.append((key, name, a, b))
+                elif a > ratio * b and a - b > 0.5:
+                    print(f"   {name:32} {a:8.2f} {b:8.2f} {b/a:6.2f}x  improved")
+    if regressions:
+        print(f"\n{len(regressions)} warm-sweep regression(s) over {ratio}x")
+        return 1
+    print("\nno warm-sweep regressions over threshold")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--warm":
+        if len(sys.argv) < 4:
+            sys.exit(__doc__)
+        sys.exit(main_warm(sys.argv[2], sys.argv[3],
+                           float(sys.argv[4]) if len(sys.argv) > 4 else 1.5))
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     sys.exit(main(sys.argv[1], sys.argv[2],
