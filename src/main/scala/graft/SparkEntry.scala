@@ -105,6 +105,10 @@ object SparkEntry {
     "events_markov" -> (Relational.eventsMarkov _),
     "tpch_q1_pricing" -> (Relational.tpchQ1Pricing _),
     "tpch_q3_shipping" -> (Relational.tpchQ3Shipping _),
+    "tpch_q4_priority" -> (Relational.tpchQ4Priority _),
+    "tpch_q6_forecast" -> (Relational.tpchQ6Forecast _),
+    "tpch_q14_promo" -> (Relational.tpchQ14Promo _),
+    "tpch_q19_brand" -> (Relational.tpchQ19Brand _),
     "tpch_q5_local" -> (Relational.tpchQ5Local _),
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
     "tpch_q10_returns" -> (Relational.tpchQ10Returns _),
@@ -618,6 +622,39 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q14_promo" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |           THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "tpch_q19_brand" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "tpch_q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

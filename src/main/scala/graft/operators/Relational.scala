@@ -833,6 +833,78 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q6 (forecasting revenue change): the purest filter-aggregate
+    * — three pushed predicates (date range, discount band, quantity
+    * cap), one ungrouped product-sum. Every predicate reaches the
+    * parquet scan (`PushedFilters`), so at lake scale this reads only
+    * row groups whose min/max stats overlap the bands. */
+  def tpchQ6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q4 shape (order-priority checking): EXISTS-correlated semi
+    * join — count orders in a quarter having at least one lineitem
+    * shipped after the order date, by priority. Plans as a LEFT SEMI
+    * join on the order key with the date comparison as its residual:
+    * each order contributes once no matter how many lineitems match,
+    * and the fact table never duplicates rows into the aggregate
+    * (the classic EXISTS-vs-JOIN de-dup trap). Predicate adapted to
+    * this schema (no commit/receipt dates): shipped-after-order. */
+  def tpchQ4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-04-01 00:00:00"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey") &&
+          lineitem("l_shipdate") > orders("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14 (promotion effect): single dim join + a conditional
+    * ratio — promo revenue share of a month's total. The CASE rides
+    * the same hash-aggregate pass as the denominator (one scan, two
+    * running sums); the part dim joins broadcast. */
+  def tpchQ14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-10-01 00:00:00"))
+    val part = Tables.load(spark, dir, "part").select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): the OR-of-conjunctions
+    * join predicate — three (brand, size-band, quantity-band)
+    * branches OR'd together, each mixing columns from BOTH sides.
+    * Catalyst extracts the common single-side conjuncts it can prove
+    * (brand/size disjunction pushes to the part scan) and evaluates
+    * the cross-side residual on the joined rows — the shape that
+    * defeats engines which only push whole conjunctions. Brands/sizes
+    * adapted to this corpus's Brand#1–25, size 1–50 domain. */
+  def tpchQ19Brand(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 15, 1, 21) ||
+        branch("Brand#23", 20, 10, 30) || branch("Brand#24", 25, 20, 40))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   /** TPC-H Q3 shape (shipping priority): two fact joins, a grouped
     * revenue aggregate, top-10 by revenue — the canonical "join then
     * rank" OLAP composite. The date filters push into all three scans;

@@ -50,7 +50,11 @@ object DumpPlans {
       "events_attribution" -> "user_id equi join with the time range as residual — per-user candidates, never a time cross-product",
       "events_ewma" -> "anchor window and 7-day RANGE decay sum share ONE user_id exchange",
       "corpus_topk_per_lang" -> "WindowGroupLimit: each map task keeps k rows per group before the exchange",
-      "embed_matryoshka" -> "prefix-sliced vectors; query set broadcast; corpus scanned once, never shuffled")
+      "embed_matryoshka" -> "prefix-sliced vectors; query set broadcast; corpus scanned once, never shuffled",
+      "tpch_q1_pricing" -> "pushed shipdate cutoff; 6-group partial+final hash aggregate with 8 aggregates — scan-bound",
+      "tpch_q6_forecast" -> "date + discount + quantity bands all inside PushedFilters; ungrouped product-sum",
+      "tpch_q4_priority" -> "EXISTS plans as a LEFT SEMI join on o_orderkey with the shipped-after-order residual — one row per order, no de-dup aggregate",
+      "tpch_q19_brand" -> "OR-of-conjunctions join predicate: per-side implications extracted to the scans, cross-side residual evaluated post-join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")

@@ -20,6 +20,25 @@ class CachesSpec extends SparkSuite {
     assert(Caches.registered(spark) === 0)
   }
 
+  test("decideOnce memoizes per (plan, budget) and release clears the memo") {
+    Caches.release(spark)
+    var measured = 0
+    def decide() = Caches.decideOnce(spark, planKey = 42, budget = 100L) {
+      measured += 1; true
+    }
+    assert(decide() === true)
+    assert(decide() === true)
+    assert(measured === 1, "second call must reuse the memoized decision")
+    // a different budget is a different question — re-measure
+    Caches.decideOnce(spark, planKey = 42, budget = 7L) { measured += 1; false }
+    assert(measured === 2)
+    // release drops the memo with the persists: a fresh pipeline must
+    // re-measure against the data as it is then (growing corpora)
+    Caches.release(spark)
+    assert(decide() === true)
+    assert(measured === 3, "release must clear the decision memo")
+  }
+
   test("release is scoped: caller-owned caches survive") {
     val owned = Tables.load(spark, SparkSpec.sfTiny, "nation").cache()
     owned.count()

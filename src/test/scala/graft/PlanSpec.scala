@@ -81,6 +81,40 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  // the compact executedPlan string truncates scan metadata (incl.
+  // PushedFilters) at 100 chars; multi-predicate assertions need the
+  // formatted explain, which prints the full pushed list
+  private def fplan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("tpch_q6 pushes all three predicate bands into the lineitem scan") {
+    val p = fplan(Relational.tpchQ6Forecast(spark, SparkSpec.sfTiny))
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)"), p.take(3000))
+    assert(p.contains("LessThan(l_quantity,24.0)"), p.take(3000))
+  }
+
+  test("tpch_q4's EXISTS plans as a left semi join — no row duplication") {
+    val p = plan(Relational.tpchQ4Priority(spark, SparkSpec.sfTiny))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("tpch_q19's OR-of-conjunctions pushes per-side implications to BOTH scans") {
+    // the disjunction mixes columns from both sides; Catalyst must
+    // extract each side's implied disjunction into its scan and keep
+    // the cross-side residual on the join — the shape that turns Q19
+    // from a full-fact-scan into a stats-pruned read at lake scale
+    val p = fplan(Relational.tpchQ19Brand(spark, SparkSpec.sfTiny))
+    assert(p.contains("And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,21.0))"),
+      "lineitem scan must carry the quantity-band disjunction:\n" + p.take(3000))
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      "part scan must carry the brand/size disjunction:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("sort_topn plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.sortTopN(spark, SparkSpec.sfTiny))
     assert(p.contains("TakeOrderedAndProject"), p)
