@@ -168,6 +168,7 @@ object SparkEntry {
     "corpus_topk_per_lang" -> (Documents.corpusTopkPerLang _),
     "corpus_mix" -> (Documents.corpusMix _),
     "corpus_trim" -> (Documents.corpusTrim _),
+    "corpus_temperature_sample" -> (Documents.corpusTemperatureSample _),
     "doc_split" -> (Documents.docSplit _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
@@ -1351,6 +1352,22 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM d CROSS JOIN b
         |WHERE n_tokens >= lo AND n_tokens <= hi
         |ORDER BY doc_id""".stripMargin,
+    // quotas via sqrt (IEEE-correctly-rounded in both engines, unlike
+    // pow) and the floor(x+0.5) portable rounding; within-lang order is
+    // the content-keyed (md5(text), doc_id) rank, as in corpus_reservoir
+    "corpus_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |t AS (SELECT sum(sqrt(c)) AS z, sum(c) AS n FROM c),
+        |q AS (SELECT lang, floor(floor(n * 0.2 + 0.5) * sqrt(c) / z + 0.5)::BIGINT AS quota
+        |      FROM c, t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk
+        |FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rk <= q.quota
+        |ORDER BY r.lang, r.rk""".stripMargin,
     "corpus_mix" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(text), 1, 2) <

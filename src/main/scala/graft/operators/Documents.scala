@@ -1564,6 +1564,51 @@ object Documents {
   def corpusMix(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.load(spark, dir, "documents"), mixCutoffs)
 
+  /** Temperature-balanced language sampling — the multilingual
+    * pretraining mix (mBERT/XLM-R/mT5): language l gets a quota
+    * ∝ c_l^α with α = 0.5, so low-resource languages are upweighted
+    * relative to their raw share (α = 1 is proportional, α = 0 is
+    * uniform). quota_l = ⌊N·√c_l ⁄ Σ√c + 0.5⌋ with N = ⌊frac·n + 0.5⌋;
+    * within a language, documents rank by (md5(text), doc_id) — the
+    * same content-keyed deterministic order as [[reservoirPerStratum]],
+    * so the cut is partition- and cluster-invariant and the oracle
+    * replays it. √ (not pow) because IEEE requires sqrt to be
+    * correctly rounded — both engines compute the identical double,
+    * while pow is only faithfully rounded and may differ by an ulp.
+    * Cost: two tiny aggregates (|langs| rows) broadcast back; the
+    * corpus pays one lang-shuffle for the rank window, and
+    * WindowGroupLimit caps exchanged rows at quota·|langs| once the
+    * rank filter is pushable. */
+  def temperatureSample(docs: DataFrame, frac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(sqrt(col("c"))).as("z"), sum("c").as("n"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(floor(col("n") * frac + lit(0.5)) * sqrt(col("c")) / col("z")
+          + lit(0.5)).cast("long").as("quota"))
+    // the LITERAL max-quota cap is what lets WindowGroupLimit prune
+    // map-side (a rank-vs-joined-column filter can't): each task keeps
+    // ≤ maxQuota rows per language BEFORE the lang exchange, so the
+    // shuffle carries quota-bounded rows, not the corpus. The quotas
+    // frame is |langs| rows — driver-collecting it is the same bounded
+    // materialization as k-means centroids; the exact per-lang cut then
+    // applies over the already-pruned stream.
+    val cached = graft.Caches.persist(quotas)
+    val maxQuota = cached.agg(max("quota")).head().getLong(0)
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(maxQuota))
+      .join(broadcast(cached), "lang")
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "lang", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  def corpusTemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    temperatureSample(Tables.load(spark, dir, "documents"))
+
   /** Percentile-based length trimming — the tail cut every curation
     * pass applies (fragments below the low percentile and outliers
     * above the high one are both training poison). The percentile pair

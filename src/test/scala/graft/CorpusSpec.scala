@@ -27,6 +27,31 @@ class CorpusSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("temperature sampling upweights low-resource languages vs proportional") {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sampled = Documents.temperatureSample(docs, frac = 0.2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    val total = sampled.values.sum.toDouble
+    // total lands near frac·n (quota rounding only)
+    assert(math.abs(total - 0.2 * n) <= counts.size,
+      s"total $total vs ${0.2 * n}")
+    // α = 0.5: every language's SAMPLED share must sit between its raw
+    // share and the uniform share — the defining property of
+    // temperature flattening (smallest lang gains, largest gives up)
+    val uniform = 1.0 / counts.size
+    counts.foreach { case (lang, c) =>
+      val raw = c / n
+      val got = sampled.getOrElse(lang, 0L) / total
+      val (lo, hi) = (math.min(raw, uniform), math.max(raw, uniform))
+      assert(got >= lo - 0.02 && got <= hi + 0.02,
+        s"$lang: sampled share $got outside [$lo, $hi] (raw $raw, uniform $uniform)")
+    }
+    Caches.release(spark)
+  }
+
   test("quality components stay in [0,1] and repetition lowers the score") {
     val out = Documents.textQuality(spark, dir)
     val bad = out.filter(

@@ -88,6 +88,15 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("temperature sample rank-prunes map-side via WindowGroupLimit") {
+    // the literal max-quota cap must engage WindowGroupLimit so each
+    // task keeps ≤ maxQuota rows per language BEFORE the lang exchange
+    // — without it, the whole corpus shuffles into |langs| partitions
+    val p = plan(graft.operators.Documents.corpusTemperatureSample(spark, SparkSpec.sfTiny))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    graft.Caches.release(spark)
+  }
+
   test("tpch_q6 pushes all three predicate bands into the lineitem scan") {
     val p = fplan(Relational.tpchQ6Forecast(spark, SparkSpec.sfTiny))
     assert(p.contains("PushedFilters"), p.take(2000))
