@@ -607,7 +607,7 @@ object SparkEntry {
         |c AS (SELECT prev, event_type, count(*) AS n FROM t
         |      WHERE prev IS NOT NULL GROUP BY 1, 2)
         |SELECT prev AS prev_type, event_type AS next_type, n,
-        |       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 6) AS p
+        |       floor(n::DOUBLE / sum(n) OVER (PARTITION BY prev) * 1000000 + 0.5) / 1000000 AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -880,8 +880,8 @@ object SparkEntry {
         |            ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2
         |               AND a.doc_id < b.doc_id),
         |j AS (SELECT d1, d2,
-        |        round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
-        |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        |        floor(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+        |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 10000 + 0.5) / 10000 AS jaccard
         |      FROM cands JOIN shl s1 ON d1 = s1.doc_id JOIN shl s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6
         |ORDER BY d1, d2""".stripMargin,
@@ -909,8 +909,8 @@ object SparkEntry {
         |            ON c.b = e.b AND c.h1 = e.h1 AND c.h2 = e.h2
         |               AND c.doc_id % 100 <> 0 AND e.doc_id % 100 = 0),
         |j AS (SELECT cands.doc_id AS doc_id, cands.eval_id AS eval_id,
-        |        round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
-        |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+        |        floor(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+        |          (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 10000 + 0.5) / 10000 AS jaccard
         |      FROM cands JOIN shl s1 ON cands.doc_id = s1.doc_id
         |                 JOIN shl s2 ON cands.eval_id = s2.doc_id)
         |SELECT doc_id, eval_id, jaccard FROM j WHERE jaccard >= 0.5
@@ -969,9 +969,9 @@ object SparkEntry {
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT d1, d2, round(common::DOUBLE / (n1.n + n2.n - common), 4) AS jaccard
+        |SELECT d1, d2, floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
         |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
+        |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
         |ORDER BY d1, d2""".stripMargin,
     "dedup_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -980,9 +980,9 @@ object SparkEntry {
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT d1, d2, round(common::DOUBLE / least(n1.n, n2.n), 4) AS containment
+        |SELECT d1, d2, floor((common::DOUBLE / least(n1.n, n2.n)) * 10000 + 0.5) / 10000 AS containment
         |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |WHERE round(common::DOUBLE / least(n1.n, n2.n), 4) >= 0.8
+        |WHERE floor((common::DOUBLE / least(n1.n, n2.n)) * 10000 + 0.5) / 10000 >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     // Same pipeline with the df <= 10 stop-shingle cap: hot shingles
     // leave BOTH the pair counts and the per-doc sizes.
@@ -995,9 +995,9 @@ object SparkEntry {
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT d1, d2, round(common::DOUBLE / least(n1.n, n2.n), 4) AS containment
+        |SELECT d1, d2, floor((common::DOUBLE / least(n1.n, n2.n)) * 10000 + 0.5) / 10000 AS containment
         |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |WHERE round(common::DOUBLE / least(n1.n, n2.n), 4) >= 0.8
+        |WHERE floor((common::DOUBLE / least(n1.n, n2.n)) * 10000 + 0.5) / 10000 >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "dedup_keep_list" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1008,7 +1008,7 @@ object SparkEntry {
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |drops AS (SELECT DISTINCT d2 FROM pairs
         |          JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |          WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6)
+        |          WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d2 FROM drops)
         |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
@@ -1019,7 +1019,7 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |      WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6),
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
         |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
         |reach AS (SELECT u, v FROM edges
         |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
@@ -1037,9 +1037,9 @@ object SparkEntry {
         |      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
         |      GROUP BY 1, 2)
         |SELECT new_id, corpus_id,
-        |       round(common::DOUBLE / (n1.n + n2.n - common), 4) AS jaccard
+        |       floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
         |FROM p JOIN n n1 ON new_id = n1.doc_id JOIN n n2 ON corpus_id = n2.doc_id
-        |WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6
+        |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
         |ORDER BY new_id, corpus_id""".stripMargin,
     "text_dup_passages" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1051,7 +1051,7 @@ object SparkEntry {
         |      WHERE c.c > 1 GROUP BY 1)
         |SELECT tt.doc_id, len(tt.t) - 7 AS n_grams,
         |       coalesce(d.dup_grams, 0) AS dup_grams,
-        |       round(coalesce(d.dup_grams, 0)::DOUBLE / (len(tt.t) - 7), 4) AS dup_frac
+        |       floor((coalesce(d.dup_grams, 0)::DOUBLE / (len(tt.t) - 7)) * 10000 + 0.5) / 10000 AS dup_frac
         |FROM tt LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_substr_strip" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1075,10 +1075,10 @@ object SparkEntry {
         |d AS (SELECT d.doc_id, d.lang, d.source, d.text, string_split(d.text, ' ') AS t
         |      FROM documents d JOIN w USING (doc_id)),
         |s AS (SELECT doc_id, lang, source, text, len(t)::BIGINT AS n_tokens,
-        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_frac,
-        |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_frac,
-        |  round(least(len(t)::DOUBLE / 64.0, 1.0), 4) AS len_frac,
-        |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
+        |  floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)) * 10000 + 0.5) / 10000 AS alpha_frac,
+        |  floor((len(list_distinct(t))::DOUBLE / len(t)) * 10000 + 0.5) / 10000 AS distinct_frac,
+        |  floor((least(len(t)::DOUBLE / 64.0, 1.0)) * 10000 + 0.5) / 10000 AS len_frac,
+        |  floor((len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t)) * 10000 + 0.5) / 10000 AS stop_ratio
         |  FROM d),
         |q AS (SELECT doc_id, lang, source, text, n_tokens,
         |  floor((alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
@@ -1124,7 +1124,7 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |      WHERE round(common::DOUBLE / (n1.n + n2.n - common), 4) >= 0.6),
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
         |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
         |reach AS (SELECT u, v FROM edges
         |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
@@ -1150,12 +1150,12 @@ object SparkEntry {
         |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
         |top AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1),
         |tri AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 3 THEN round(1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
-        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))::DOUBLE / (len(t) - 2), 4)
+        |  CASE WHEN len(t) >= 3 THEN floor((1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))::DOUBLE / (len(t) - 2)) * 10000 + 0.5) / 10000
         |  ELSE 0.0 END AS dup_trigram_frac FROM t)
         |SELECT tri.doc_id,
         |  coalesce(top.n_bigrams, 0)::BIGINT AS n_bigrams,
-        |  coalesce(round(top.top_c::DOUBLE / top.n_bigrams, 4), 0.0) AS top_bigram_frac,
+        |  coalesce(floor((top.top_c::DOUBLE / top.n_bigrams) * 10000 + 0.5) / 10000, 0.0) AS top_bigram_frac,
         |  tri.dup_trigram_frac
         |FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
         |ORDER BY tri.doc_id""".stripMargin,
@@ -1203,8 +1203,8 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |  len(t) AS n_tokens_ws,
         |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS n_tokens_re,
-        |  round(length(replace(text, ' ', ''))::DOUBLE / len(t), 4) AS avg_tok_len,
-        |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
+        |  floor((length(replace(text, ' ', ''))::DOUBLE / len(t)) * 10000 + 0.5) / 10000 AS avg_tok_len,
+        |  floor((len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t)) * 10000 + 0.5) / 10000 AS stop_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang,
@@ -1250,10 +1250,10 @@ object SparkEntry {
     "text_quality" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, lang,
-        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_frac,
-        |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_frac,
-        |  round(least(len(t)::DOUBLE / 64.0, 1.0), 4) AS len_frac,
-        |  round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t), 4) AS stop_ratio
+        |  floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)) * 10000 + 0.5) / 10000 AS alpha_frac,
+        |  floor((len(list_distinct(t))::DOUBLE / len(t)) * 10000 + 0.5) / 10000 AS distinct_frac,
+        |  floor((least(len(t)::DOUBLE / 64.0, 1.0)) * 10000 + 0.5) / 10000 AS len_frac,
+        |  floor((len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))::DOUBLE / len(t)) * 10000 + 0.5) / 10000 AS stop_ratio
         |  FROM t)
         |SELECT doc_id, lang, alpha_frac, distinct_frac, len_frac, stop_ratio,
         |  floor((alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
@@ -1646,7 +1646,7 @@ object SparkEntry {
       """WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
         |t AS (SELECT count(*) AS n_total FROM d)
         |SELECT (n_tokens // 10) * 10 AS bucket_lo, count(*) AS n_docs,
-        |       round(count(*)::DOUBLE / n_total * 100, 4) AS pct
+        |       floor((count(*)::DOUBLE / n_total * 100) * 10000 + 0.5) / 10000 AS pct
         |FROM d CROSS JOIN t GROUP BY 1, n_total ORDER BY 1""".stripMargin,
     "doc_overlap_report" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1658,7 +1658,7 @@ object SparkEntry {
         |hit AS (SELECT c.doc_id, count(*) AS n_overlap FROM sh c JOIN ev USING (s)
         |        WHERE c.doc_id % 100 <> 0 GROUP BY 1)
         |SELECT t.doc_id, t.n_shingles, h.n_overlap,
-        |       round(h.n_overlap::DOUBLE / t.n_shingles, 4) AS overlap_frac
+        |       floor((h.n_overlap::DOUBLE / t.n_shingles) * 10000 + 0.5) / 10000 AS overlap_frac
         |FROM tot t JOIN hit h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
     "embed_outliers" ->
       """WITH x AS (SELECT vec_id, label,

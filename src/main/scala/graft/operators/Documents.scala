@@ -163,8 +163,8 @@ object Documents {
       .join(nSized.as("n1"), col("d1") === col("n1.doc_id"))
       .join(nSized.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("common").cast("double") /
-          (col("n1.n") + col("n2.n") - col("common")), 4).as("jaccard"))
+        Ops.r4(col("common").cast("double") /
+          (col("n1.n") + col("n2.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("d1", "d2"))
     // persisted (registry-scoped, deduplicated by semantic hash): the
@@ -240,8 +240,8 @@ object Documents {
       .join(nSized.as("n1"), col("d1") === col("n1.doc_id"))
       .join(nSized.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("common").cast("double") /
-          least(col("n1.n"), col("n2.n")), 4).as("containment"))
+        Ops.r4(col("common").cast("double") /
+          least(col("n1.n"), col("n2.n"))).as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy("d1", "d2")
   }
@@ -286,8 +286,8 @@ object Documents {
       sizes(corpus, "corpus_id", "nc"), "corpus_id")
     scored
       .select(col("new_id"), col("corpus_id"),
-        round(col("common").cast("double") /
-          (col("nn") + col("nc") - col("common")), 4).as("jaccard"))
+        Ops.r4(col("common").cast("double") /
+          (col("nn") + col("nc") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("new_id", "corpus_id")
   }
@@ -583,8 +583,8 @@ object Documents {
       .join(broadcast(candSh("d1")), "d1")
       .join(broadcast(candSh("d2")), "d2")
       .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("sh_d1"), col("sh_d2"))).cast("double") /
-          size(array_union(col("sh_d1"), col("sh_d2"))), 4).as("jaccard"))
+        Ops.r4(size(array_intersect(col("sh_d1"), col("sh_d2"))).cast("double") /
+          size(array_union(col("sh_d1"), col("sh_d2")))).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
       .orderBy("d1", "d2")
   }
@@ -648,10 +648,10 @@ object Documents {
         col("doc_id"), col("lang"),
         size(col("t")).as("n_tokens_ws"),
         expr("size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))").as("n_tokens_re"),
-        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("t")), 4)
+        Ops.r4(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("t")))
           .as("avg_tok_len"),
-        round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))").cast("double")
-          / size(col("t")), 4).as("stop_ratio"))
+        Ops.r4(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))").cast("double")
+          / size(col("t"))).as("stop_ratio"))
       .orderBy("doc_id")
 
   /** Top-5 tokens per language by frequency — the vocabulary profile
@@ -828,13 +828,13 @@ object Documents {
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("lang"),
-        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-          / length(col("text")), 4).as("alpha_frac"),
-        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+        Ops.r4(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text"))).as("alpha_frac"),
+        Ops.r4(size(array_distinct(col("t"))).cast("double") / size(col("t")))
           .as("distinct_frac"),
-        round(least(size(col("t")).cast("double") / 64.0, lit(1.0)), 4).as("len_frac"),
-        round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
-          .cast("double") / size(col("t")), 4).as("stop_ratio"))
+        Ops.r4(least(size(col("t")).cast("double") / 64.0, lit(1.0))).as("len_frac"),
+        Ops.r4(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("double") / size(col("t"))).as("stop_ratio"))
       // floor(x·1e4 + 0.5)/1e4, NOT round(): the weighted sum of
       // 4-decimal components is a discrete rational that lands on
       // exact half-ties systematically, where Spark's decimal-exact
@@ -1171,10 +1171,10 @@ object Documents {
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
         when(size(col("bg")) > 0,
-          round(col("top_c").cast("double") / size(col("bg")), 4))
+          Ops.r4(col("top_c").cast("double") / size(col("bg"))))
           .otherwise(lit(0.0)).as("top_bigram_frac"),
         when(size(col("tg")) > 0,
-          round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")), 4))
+          Ops.r4(lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg"))))
           .otherwise(lit(0.0)).as("dup_trigram_frac"))
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -1468,8 +1468,8 @@ object Documents {
       .join(broadcast(candSh(docs, "doc_id", "sh_c")), "doc_id")
       .join(broadcast(candSh(evalDocs, "eval_id", "sh_e")), "eval_id")
       .select(col("doc_id"), col("eval_id"),
-        round(size(array_intersect(col("sh_c"), col("sh_e"))).cast("double") /
-          size(array_union(col("sh_c"), col("sh_e"))), 4).as("jaccard"))
+        Ops.r4(size(array_intersect(col("sh_c"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_e")))).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
       .orderBy("doc_id", "eval_id")
   }
@@ -1696,7 +1696,7 @@ object Documents {
       .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
       .withColumn("dup_frac",
-        round(col("dup_grams").cast("double") / col("n_grams"), 4))
+        Ops.r4(col("dup_grams").cast("double") / col("n_grams")))
       .orderBy("doc_id")
   }
 
@@ -1766,15 +1766,15 @@ object Documents {
       .withColumn("t", split(col("text"), " "))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("alpha_frac",
-        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-          / length(col("text")), 4))
+        Ops.r4(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text"))))
       .withColumn("distinct_frac",
-        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4))
+        Ops.r4(size(array_distinct(col("t"))).cast("double") / size(col("t"))))
       .withColumn("len_frac",
-        round(least(size(col("t")).cast("double") / 64.0, lit(1.0)), 4))
+        Ops.r4(least(size(col("t")).cast("double") / 64.0, lit(1.0))))
       .withColumn("stop_ratio",
-        round(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
-          .cast("double") / size(col("t")), 4))
+        Ops.r4(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("double") / size(col("t"))))
       // floor(x·1e4 + 0.5)/1e4, NOT round(): the weighted sum of
       // 4-decimal components is a discrete rational that lands on
       // exact half-ties systematically, where Spark's decimal-exact
@@ -1915,7 +1915,7 @@ object Documents {
       .agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(total))
       .select(col("bucket_lo"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_total") * 100, 4).as("pct"))
+        Ops.r4(col("n_docs").cast("double") / col("n_total") * 100).as("pct"))
       .orderBy("bucket_lo")
   }
 
@@ -1960,7 +1960,7 @@ object Documents {
       // is about the contaminated tail, not the whole corpus
       .filter(col("n_overlap") > 0)
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+        Ops.r4(col("n_overlap").cast("double") / col("n_shingles"))
           .as("overlap_frac"))
       .orderBy("doc_id")
   }

@@ -1369,7 +1369,11 @@ object Relational {
       .agg(count(lit(1)).as("n"))
     val byPrev = Window.partitionBy("prev_type")
     pairs
-      .withColumn("p", round(col("n").cast("double") / sum("n").over(byPrev), 6))
+      // k/n discrete rational — the half-tie class where round()
+      // diverges between engines; same floor(x·1e6+0.5)/1e6 contract
+      // as windowPercentRank, mirrored in the oracle SQL
+      .withColumn("p",
+        floor(col("n").cast("double") / sum("n").over(byPrev) * 1e6 + lit(0.5)) / 1e6)
       .orderBy("prev_type", "next_type")
   }
 
