@@ -15,8 +15,12 @@ gate.
 .json: one JSON line per sweep, each with a "rows" count and a
 "<tier>_end_to_end" object — the BigBenchLlm / BigBenchEvents output).
 Lines are matched by (tier, rows); a query regresses when new > ratio ×
-old (default 1.5) and the delta clears a 0.5 s jitter floor. Exit 1 on
-any regression.
+old (default 1.5) and the delta clears a 2 s jitter floor — these are
+SINGLE-RUN whole-tier sweeps, and measured run-to-run spread on this
+host is ±0.5–1.5 s on light rows (page cache / JIT / GC state), so a
+sub-2 s move is noise, not a plan change. Re-run a flagged query
+isolated (`runMain graft.tools.BigBenchLlm 1000000 <query>`) before
+believing it. Exit 1 on any regression.
 """
 import json
 import sys
@@ -103,12 +107,13 @@ def main_warm(old_path, new_path, ratio):
                 print(f"   {name:32} {'NEW':>8} {nq[name]:8.2f}")
             else:
                 a, b = oq[name], nq[name]
-                # ratio gate + absolute jitter floor: a 0.1→0.2 s move
-                # is JIT/page-cache noise, not a plan regression
-                if b > ratio * a and b - a > 0.5:
+                # ratio gate + absolute jitter floor: single-run
+                # sweeps spread ±0.5–1.5 s with host state, so only a
+                # ratio breach that also moves ≥2 s is a real signal
+                if b > ratio * a and b - a > 2.0:
                     print(f"   {name:32} {a:8.2f} {b:8.2f} {b/a:6.2f}x  REGRESSION")
                     regressions.append((key, name, a, b))
-                elif a > ratio * b and a - b > 0.5:
+                elif a > ratio * b and a - b > 2.0:
                     print(f"   {name:32} {a:8.2f} {b:8.2f} {b/a:6.2f}x  improved")
     if regressions:
         print(f"\n{len(regressions)} warm-sweep regression(s) over {ratio}x")
