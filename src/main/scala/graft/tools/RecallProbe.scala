@@ -21,14 +21,28 @@ import org.apache.spark.sql.functions._
 object IvfAutoProbe {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
-    val dir = s"target/bigbench/llm_$rows"
+    // 2nd arg "clustered": mixture corpus — 1000 hash-derived centers,
+    // each vector = its center + 10%-scale hash noise. IVF's regime:
+    // the quantizer cells align with real structure, vs the default
+    // hash-uniform corpus where near neighbors scatter across cells
+    // (the documented IVF worst case; annSketch's regime).
+    val clustered = args.lift(1).contains("clustered")
+    val dir =
+      if (clustered) s"target/bigbench/llm_clustered_$rows"
+      else s"target/bigbench/llm_$rows"
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+      val emb =
+        if (clustered)
+          expr("""transform(sequence(0, 63), j -> CAST(
+                 |  pmod(xxhash64(pmod(vec_id, 1000), j), 2000) / 1000.0 - 1.0
+                 |  + (pmod(xxhash64(vec_id, j), 200) / 1000.0 - 0.1) AS FLOAT))""".stripMargin)
+        else
+          expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(vec_id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
       spark.range(0, rows, 1, 32).select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(vec_id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
-          .as("embedding"),
+        emb.as("embedding"),
         pmod(col("id"), lit(64)).cast("int").as("label"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
@@ -71,7 +85,7 @@ object IvfAutoProbe {
       .groupBy("q_id").agg(sum("sz").as("scanned"))
       .agg(avg("scanned")).as[Double].head()
     val frac = scannedPerQ / n
-    println(s"""{"rows":$rows,"nlist_auto":$nLists,"nprobe_auto":$probes,"recall_at_10":${f"$recall%.3f"},"scanned_fraction":${f"$frac%.4f"},"brute_s":${f"$tBrute%.3f"},"ivf_s":${f"$tIvf%.3f"}}""")
+    println(s"""{"rows":$rows,"corpus":"${if (clustered) "clustered" else "uniform"}","nlist_auto":$nLists,"nprobe_auto":$probes,"recall_at_10":${f"$recall%.3f"},"scanned_fraction":${f"$frac%.4f"},"brute_s":${f"$tBrute%.3f"},"ivf_s":${f"$tIvf%.3f"}}""")
     spark.stop()
   }
 }
