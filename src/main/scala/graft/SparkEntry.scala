@@ -169,6 +169,7 @@ object SparkEntry {
     "corpus_mix" -> (Documents.corpusMix _),
     "corpus_trim" -> (Documents.corpusTrim _),
     "corpus_temperature_sample" -> (Documents.corpusTemperatureSample _),
+    "corpus_token_budget" -> (Documents.corpusTokenBudget _),
     "doc_split" -> (Documents.docSplit _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
@@ -1368,6 +1369,21 @@ object SparkEntry {
         |FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rk <= q.quota
         |ORDER BY r.lang, r.rk""".stripMargin,
+    "corpus_token_budget" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |             md5(text) AS h
+        |           FROM documents),
+        |b AS (SELECT floor(sum(n_tokens) * 0.1 / count(DISTINCT source))::BIGINT
+        |        AS src_budget FROM s),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM s)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c CROSS JOIN b
+        |WHERE cum_tokens <= src_budget
+        |ORDER BY source, cum_tokens""".stripMargin,
     "corpus_mix" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(text), 1, 2) <

@@ -1609,6 +1609,39 @@ object Documents {
   def corpusTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     temperatureSample(Tables.load(spark, dir, "documents"))
 
+  /** Token-budget source mixing — the unit a training mix is actually
+    * specified in is TOKENS, not documents: each source gets an equal
+    * token budget (total·frac ÷ |sources|, the flattening mix that
+    * upweights small sources; a proportional mix is the same plan with
+    * per-source budgets), filled greedily in the content-keyed
+    * (md5(text), doc_id) order, so the cut is deterministic,
+    * partition-invariant and oracle-replayable. The running token sum
+    * is a rows-frame window per source — one source-partitioned
+    * shuffle; budgets are a 2-row aggregate broadcast back. A doc is
+    * kept iff its cumulative sum fits the budget (the last partial doc
+    * is dropped, not split — packing, not truncation, owns splitting).
+    * All-integer arithmetic: no rounding contract needed beyond the
+    * floor on the budget itself. */
+  def tokenBudgetMix(docs: DataFrame, frac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("text").cast("binary")).as("h"))
+    val budget = sized.agg(
+      floor(sum("n_tokens") * frac / countDistinct("source")).cast("long")
+        .as("src_budget"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("src_budget"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetMix(Tables.load(spark, dir, "documents"))
+
   /** Percentile-based length trimming — the tail cut every curation
     * pass applies (fragments below the low percentile and outliers
     * above the high one are both training poison). The percentile pair

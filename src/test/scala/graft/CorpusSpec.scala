@@ -52,6 +52,38 @@ class CorpusSpec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("token-budget mix fills each source to its budget, greedily maximal") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Documents.tokenBudgetMix(docs)
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect()
+    // recompute the budget and the per-source hash order independently
+    val sized = docs.selectExpr("doc_id", "source",
+        "cast(size(split(text, ' ')) as long) as n",
+        "md5(cast(text as binary)) as h")
+      .as[(Long, String, Long, String)].collect()
+    val totalTokens = sized.map(_._3).sum
+    val nSources = sized.map(_._2).distinct.length
+    val budget = (totalTokens * 0.1 / nSources).toLong
+    val bySource = sized.groupBy(_._2).view
+      .mapValues(_.sortBy(d => (d._4, d._1))).toMap
+    val sel = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    bySource.foreach { case (src, ordered) =>
+      val chosen = sel.getOrElse(src, Set.empty)
+      // PREFIX-greedy replay: the operator keeps the longest hash-order
+      // prefix whose running sum fits — the running sum includes every
+      // earlier doc, so the first overflow ends the source's intake
+      var cum = 0L
+      ordered.foreach { case (id, _, n, _) =>
+        cum += n
+        if (cum <= budget)
+          assert(chosen.contains(id), s"$src: doc $id in prefix (cum $cum <= $budget) but dropped")
+        else
+          assert(!chosen.contains(id), s"$src: doc $id past the budget but kept")
+      }
+    }
+  }
+
   test("quality components stay in [0,1] and repetition lowers the score") {
     val out = Documents.textQuality(spark, dir)
     val bad = out.filter(
