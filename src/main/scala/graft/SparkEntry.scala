@@ -92,6 +92,7 @@ object SparkEntry {
     "scalar_datetime" -> (Relational.scalarDatetime _),
     "events_funnel" -> (Relational.eventsFunnel _),
     "group_pivot" -> (Relational.groupPivot _),
+    "group_unpivot" -> (Relational.groupUnpivot _),
     "group_grouping_sets" -> (Relational.groupGroupingSets _),
     "join_full_outer" -> (Relational.joinFullOuter _),
     "group_having" -> (Relational.groupHaving _),
@@ -517,6 +518,16 @@ object SparkEntry {
         |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
         |FROM lineitem GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+    "group_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "events_json_props" ->
       """SELECT event_type, count(*) AS n,
         |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,

@@ -685,6 +685,22 @@ object Relational {
       .agg(round(sum("l_quantity"), 2))
       .orderBy("l_linestatus")
 
+  /** UNPIVOT (melt) — the inverse of [[groupPivot]]: wide measure
+    * columns become (metric, value) rows, the reshape every
+    * feature-table pipeline runs before per-metric aggregation or
+    * storage in a long-format store. `stack` plans as a narrow
+    * Generate — rows multiply ×3 map-side, nothing shuffles, and the
+    * column pruner still drops unreferenced measures from the scan.
+    * Bounded to a key range so the oracle row stays diff-sized;
+    * (orderkey, linenumber, metric) is the unique output key. */
+  def groupUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(3, 'discount', l_discount, 'price', l_extendedprice,
+          |'quantity', l_quantity) AS (metric, value)""".stripMargin)
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   /** Sessionization: split each user's event stream at >30-minute
     * gaps (lag + cumulative sum of gap flags — the standard two-window
     * formulation), then summarize each session. The log-analytics
