@@ -54,7 +54,10 @@ object DumpPlans {
       "tpch_q1_pricing" -> "pushed shipdate cutoff; 6-group partial+final hash aggregate with 8 aggregates — scan-bound",
       "tpch_q6_forecast" -> "date + discount + quantity bands all inside PushedFilters; ungrouped product-sum",
       "tpch_q4_priority" -> "EXISTS plans as a LEFT SEMI join on o_orderkey with the shipped-after-order residual — one row per order, no de-dup aggregate",
-      "tpch_q19_brand" -> "OR-of-conjunctions join predicate: per-side implications extracted to the scans, cross-side residual evaluated post-join")
+      "tpch_q19_brand" -> "OR-of-conjunctions join predicate: per-side implications extracted to the scans, cross-side residual evaluated post-join",
+      "corpus_temperature_sample" -> "WindowGroupLimit prunes to the literal max quota per language map-side; sqrt-count quotas broadcast",
+      "corpus_token_budget" -> "running token sum is one source-partitioned rows-frame window; 1-row budget broadcast back",
+      "group_unpivot" -> "stack is a narrow Generate — rows multiply map-side, no shuffle, scan pruned to the three measures")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
