@@ -97,6 +97,14 @@ class PlanSpec extends SparkSuite {
     graft.Caches.release(spark)
   }
 
+  test("unpivot is a narrow Generate — no hash exchange, scan pruned to the measures") {
+    val p = fplan(Relational.groupUnpivot(spark, SparkSpec.sfTiny))
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "melt must not shuffle — rows multiply map-side:\n" + p.take(3000))
+    assert(!p.contains("l_comment"), "scan must prune to the three measures:\n" + p.take(3000))
+  }
+
   test("tpch_q6 pushes all three predicate bands into the lineitem scan") {
     val p = fplan(Relational.tpchQ6Forecast(spark, SparkSpec.sfTiny))
     assert(p.contains("PushedFilters"), p.take(2000))
