@@ -80,9 +80,20 @@ object Caches {
   def decideOnce(spark: SparkSession, planKey: Int, budget: Long)(
       measure: => Boolean): Boolean = {
     sweepStopped(decisions)(identity)
-    decisions
+    val perSession = decisions
       .computeIfAbsent(spark, _ => new ConcurrentHashMap[(Int, Long), java.lang.Boolean]())
-      .computeIfAbsent((planKey, budget), _ => measure)
+    val key = (planKey, budget)
+    // Measure OUTSIDE the map's bin lock: the closure runs a Spark
+    // count() job that can take seconds (and could re-enter decideOnce,
+    // which computeIfAbsent forbids). A rare duplicate measurement under
+    // a race is harmless — putIfAbsent keeps the first answer.
+    val cached = perSession.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val measured: java.lang.Boolean = measure
+      val prior = perSession.putIfAbsent(key, measured)
+      (if (prior != null) prior else measured).booleanValue()
+    }
   }
 
   /** Unpersist every frame and RDD registered for `spark`

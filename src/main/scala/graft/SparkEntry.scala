@@ -1388,8 +1388,8 @@ object SparkEntry {
         |b AS (SELECT floor(sum(n_tokens) * 0.1 / count(DISTINCT source))::BIGINT
         |        AS src_budget FROM s),
         |c AS (SELECT doc_id, source, n_tokens,
-        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-        |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |        (sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
         |      FROM s)
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c CROSS JOIN b
@@ -1582,6 +1582,20 @@ object SparkEntry {
         |       len(e.embedding) AS dim, e.label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+    // The stub tier's fake dims + content_hash are closed forms of the
+    // first 60 bits of md5(media); the payload is the document's UTF-8
+    // text, so md5(text) replays the whole decode row (same 15-hex-char
+    // recipe as the dedup family). Hard oracle since round 9.
+    "multimodal_decode" ->
+      """WITH p AS (SELECT d.doc_id,
+        |             ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS h
+        |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT doc_id,
+        |       (64 + (h % 512))::INT AS width,
+        |       (64 + ((h // 512) % 512))::INT AS height,
+        |       1::INT AS n_frames,
+        |       h AS content_hash
+        |FROM p ORDER BY doc_id""".stripMargin,
     // DuckDB recomputes MediaEncoder.forId's closed-form dims straight
     // from doc_id; Spark's side had to round-trip them through REAL
     // BMP/PNG/WAV bytes (encode → header parse), so a hash match proves

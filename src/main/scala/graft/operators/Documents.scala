@@ -1581,26 +1581,37 @@ object Documents {
     * rank filter is pushable. */
   def temperatureSample(docs: DataFrame, frac: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum(sqrt(col("c"))).as("z"), sum("c").as("n"))
-    val quotas = counts.crossJoin(broadcast(tot))
-      .select(col("lang"),
-        floor(floor(col("n") * frac + lit(0.5)) * sqrt(col("c")) / col("z")
-          + lit(0.5)).cast("long").as("quota"))
+    import docs.sparkSession.implicits._
+    // Per-lang counts are |langs| rows — driver-collecting them is the
+    // same bounded materialization as k-means centroids. Summing the
+    // √c terms driver-side IN SORTED LANG ORDER pins the floating-point
+    // accumulation order (a distributed sum(sqrt(c)) reduces in
+    // whatever order partitions finish, so a quota landing within an
+    // ulp of a .5 floor boundary could flip run-to-run); left-to-right
+    // over sorted langs is deterministic and partition-invariant.
+    val countRows = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (countRows.isEmpty)
+      return docs.select(col("doc_id"), col("lang"),
+        lit(0).as("rk")).filter(lit(false))
+    val n = countRows.map(_._2).sum
+    val z = countRows.foldLeft(0.0) { case (acc, (_, c)) => acc + math.sqrt(c.toDouble) }
+    val bigN = math.floor(n * frac + 0.5)
+    val quotaRows = countRows.map { case (l, c) =>
+      (l, math.floor(bigN * math.sqrt(c.toDouble) / z + 0.5).toLong)
+    }
     // the LITERAL max-quota cap is what lets WindowGroupLimit prune
     // map-side (a rank-vs-joined-column filter can't): each task keeps
     // ≤ maxQuota rows per language BEFORE the lang exchange, so the
-    // shuffle carries quota-bounded rows, not the corpus. The quotas
-    // frame is |langs| rows — driver-collecting it is the same bounded
-    // materialization as k-means centroids; the exact per-lang cut then
-    // applies over the already-pruned stream.
-    val cached = graft.Caches.persist(quotas)
-    val maxQuota = cached.agg(max("quota")).head().getLong(0)
+    // shuffle carries quota-bounded rows, not the corpus; the exact
+    // per-lang cut then applies over the already-pruned stream.
+    val maxQuota = quotaRows.map(_._2).max
+    val quotas = quotaRows.toSeq.toDF("lang", "quota")
     val w = Window.partitionBy("lang")
       .orderBy(md5(col("text").cast("binary")), col("doc_id"))
     docs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= lit(maxQuota))
-      .join(broadcast(cached), "lang")
+      .join(broadcast(quotas), "lang")
       .filter(col("rk") <= col("quota"))
       .select("doc_id", "lang", "rk")
       .orderBy("lang", "rk")

@@ -259,16 +259,26 @@ object Multimodal {
     * of `mapInPandas`: the decoder amortizes codec init across a whole
     * partition instead of paying it per row. BMP, PNG, WAV and JPEG
     * decode for real ([[MediaDecoder]]); other formats fall back to
-    * the deterministic murmur3-hash STUB (no codecs in the container),
-    * so specs and the verify harness stay stable. For WAV, `width` is
-    * the sample rate, `height` the channel count, `n_frames` the
-    * sample frames; for JPEG, `n_frames` is the component count. */
+    * the deterministic md5-derived STUB (no codecs in the container) —
+    * `content_hash` is the first 60 bits of md5(media) and the fake
+    * dims derive from it, so when the payload is text bytes the DuckDB
+    * oracle replays the whole row via the same
+    * `('0x' || substr(md5(text), 1, 15))::BIGINT` recipe the dedup
+    * family uses. For WAV, `width` is the sample rate, `height` the
+    * channel count, `n_frames` the sample frames; for JPEG, `n_frames`
+    * is the component count. */
   def decodeStub(records: Dataset[MediaRecord]): Dataset[DecodedFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // real codecs would init once per partition here
+      // real codecs would init once per partition here; the digest is
+      // the per-partition "codec" instance
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, seed = 42)
+        md.reset()
+        val digest = md.digest(r.media)
+        // first 15 hex chars = top 60 bits, always non-negative
+        val h = java.lang.Long.parseLong(
+          digest.take(8).map("%02x".format(_)).mkString.take(15), 16)
         val decoded = r.mime match {
           case "image/bmp"  => MediaDecoder.decodeBmp(r.media)
           case "image/png"  => MediaDecoder.decodePng(r.media)
@@ -277,10 +287,10 @@ object Multimodal {
           case _            => None
         }
         val (w, ht, frames) = decoded.getOrElse((
-          64 + (math.abs(h.toLong) % 512).toInt,
-          64 + (math.abs(h.toLong >> 9) % 512).toInt,
+          64 + (h % 512).toInt,
+          64 + ((h >> 9) % 512).toInt,
           1))
-        DecodedFeatures(r.doc_id, w, ht, frames, h.toLong)
+        DecodedFeatures(r.doc_id, w, ht, frames, h)
       }
     }
   }
@@ -516,8 +526,11 @@ object Multimodal {
       .select("doc_id", "n_bytes", "lang", "dim", "label")
       .orderBy("doc_id")
 
-  /** Registered query (rows-only: stub hash isn't SQL-reproducible):
-    * full pack → decode pipeline. */
+  /** Registered query (HARD oracle since round 9): full pack → decode
+    * pipeline. Text payloads all take the stub branch, whose dims and
+    * `content_hash` are closed forms of md5(media) = md5(text) — so
+    * DuckDB replays every column of the decode output, not just row
+    * counts. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decodeStub(pack(spark, dir)).toDF().orderBy("doc_id")
 
@@ -527,9 +540,10 @@ object Multimodal {
     * closed-form function of doc_id that [[MediaEncoder.forId]]
     * defines, which DuckDB recomputes directly in SQL — so the oracle
     * verifies that the dims survived a real encode → header-parse
-    * round trip through actual BMP/PNG/WAV bytes. The murmur3
-    * `content_hash` is deliberately projected away here (not
-    * SQL-reproducible); MultimodalSpec covers it on [[decodeStub]]. */
+    * round trip through actual BMP/PNG/WAV bytes. The `content_hash`
+    * (md5 of the ENCODED media bytes, which SQL over the source tables
+    * cannot recompute) is deliberately projected away here;
+    * MultimodalSpec covers it on [[decodeStub]]. */
   def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame =
     decodeStub(syntheticMedia(spark, dir)).toDF()
       .select("doc_id", "width", "height", "n_frames")

@@ -111,10 +111,12 @@ def main_warm(old_path, new_path, ratio):
                 # sweeps spread ±0.5–1.5 s with host state, so only a
                 # ratio breach that also moves ≥2 s is a real signal
                 if b > ratio * a and b - a > 2.0:
-                    print(f"   {name:32} {a:8.2f} {b:8.2f} {b/a:6.2f}x  REGRESSION")
+                    r = b / a if a > 0 else float("inf")
+                    print(f"   {name:32} {a:8.2f} {b:8.2f} {r:6.2f}x  REGRESSION")
                     regressions.append((key, name, a, b))
                 elif a > ratio * b and a - b > 2.0:
-                    print(f"   {name:32} {a:8.2f} {b:8.2f} {b/a:6.2f}x  improved")
+                    r = b / a if a > 0 else float("inf")
+                    print(f"   {name:32} {a:8.2f} {b:8.2f} {r:6.2f}x  improved")
     if regressions:
         print(f"\n{len(regressions)} warm-sweep regression(s) over {ratio}x")
         return 1
