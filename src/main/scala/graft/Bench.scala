@@ -120,6 +120,34 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist bench_latest.json: ${e.getMessage}")
     }
+    // The round driver snapshots only the LAST ~2000 chars of stdout,
+    // so with 150+ queries the full line above is decapitated in its
+    // record (rounds 6-8 carried "parsed": null). Emit a second,
+    // compact line LAST that fits that window and still carries the
+    // FULL per-query map: query NAMES are the bulk (~3 KB), so the
+    // medians go out as "values_by_name" — 3-decimal seconds sorted by
+    // query name, reconstructable by zipping with the sorted registry
+    // keys (= the CORRECTNESS record's keys) — plus a small named
+    // headline map for eyeballing. If an outlier run ever pushes the
+    // line past the window, degrade to as many named entries as fit.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val fixed = s""""n_queries":${results.length},"errors":${errors.size},"load_s":${f3(loadS)},"runs":3,"full":"target/bench_latest.json","sf":${jstr(sfDir)}}"""
+    val headlineMap = results.take(10)
+      .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
+    val valuesByName = results.sortBy(_._1).map(r => f3(r._2))
+      .mkString("[", ",", "]")
+    val withValues = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$headlineMap,"values_by_name":$valuesByName,$fixed"""
+    val compact =
+      if (withValues.length <= 1800) withValues
+      else {
+        val kept = new scala.collection.mutable.ArrayBuffer[String]
+        var used = 0
+        results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.foreach { e =>
+          if (used + e.length + 1 <= 1500) { used += e.length + 1; kept += e }
+        }
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted":${results.length - kept.length},$fixed"""
+      }
+    println(compact)
     spark.stop()
   }
 }
