@@ -1529,6 +1529,15 @@ object SparkEntry {
         |           * sqrt(list_sum(list_transform(e2.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
         |      FROM cand JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2)
         |SELECT d1, d2, cos_sim FROM v WHERE cos_sim >= 0.95 ORDER BY d1, d2""".stripMargin,
+    // Planted-structure oracle: the query unions exact clones of every
+    // 20th vector under vec_id + 10M; an exact clone provably shares
+    // its original's k-means cell (identical argmax input) and its
+    // cosine rounds to exactly 1.0, while every other pair stays under
+    // τ=0.95 (background σ≈0.124). The true pair set is closed-form.
+    "dedup_semantic" ->
+      """SELECT vec_id AS id_a, (vec_id + 10000000)::BIGINT AS id_b,
+        |       1.0::DOUBLE AS sim
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a, id_b""".stripMargin,
     "embed_knn_filtered" ->
       """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

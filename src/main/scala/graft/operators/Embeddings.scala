@@ -758,12 +758,29 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
-  /** Registered query (rows-only: k-means is Spark-side). The driver
-    * corpus has no planted semantic dups (background cosine σ≈0.124),
-    * so 0 pairs at τ=0.9 is the true answer — the planted-dup
-    * behavior is spec-asserted (EmbeddingsSpec). */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    semanticDupPairs(Tables.load(spark, dir, "embeddings"), simThreshold = 0.9)
+  /** Registered query (HARD oracle since round 9, planted-structure
+    * recipe). The driver corpus has no semantic dups (background
+    * cosine σ≈0.124, zero pairs at τ=0.9 at every SF), so running the
+    * raw table verified nothing; instead the query PLANTS them: every
+    * 20th vector is unioned back as an exact clone under
+    * `vec_id + 10_000_000`. The learned k-means fit stays in the loop,
+    * yet the TRUE answer is closed-form — an exact clone is assigned
+    * the same centroid as its original (identical input through the
+    * deterministic argmax), the pair's cosine rounds to exactly 1.0
+    * (dot(e,e)/(√s·√s) is within ulps of 1, six-decimal round snaps
+    * it), and at τ=0.95 no background or clone-vs-other pair reaches
+    * the cut (those cosines equal original-vs-original ones). The
+    * oracle therefore replays the full pair set arithmetically:
+    * {(i, i+10M, 1.0) | i ≡ 0 mod 20}. A clustering bug that splits a
+    * clone from its original, a cosine bug, or a spurious pair each
+    * break a different leg of the compare. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val clones = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    semanticDupPairs(base.union(clones), simThreshold = 0.95)
+  }
 
   /** Embedding-space outlier report — the curation filter that drops
     * mislabeled / off-distribution vectors before they poison a
