@@ -193,6 +193,7 @@ object SparkEntry {
       Embeddings.embedPca(s, d)),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
+    "embed_ann_auto" -> (Embeddings.embedAnnAuto _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "embed_outliers" -> (Embeddings.embedOutliersQ _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
@@ -230,6 +231,44 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (driver runs these on the same parquet
     * tables at sf=0.01 and hash-compares). */
+  /** Shared by `embed_ann_lsh` and `embed_ann_auto`: the auto router
+    * picks the sketch path on this corpus (measured tightness ~0.5
+    * against the 0.75 cut), so both queries' true answer is the same
+    * sign-sketch → Hamming gate → exact-rerank replay. */
+  private val annLshOracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |mat AS (SELECT p.p AS p,
+      |          list(CASE WHEN substr(md5('sign:' || p.p || ':' || d.d), 1, 1)
+      |                    IN ('1','3','5','7','9','b','d','f')
+      |               THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS srow
+      |        FROM range(0, 256) p(p), range(0, 64) d(d) GROUP BY p.p),
+      |bits AS (SELECT vec_id,
+      |           list(CASE WHEN list_reduce(list_transform(range(1, 65),
+      |                  i -> embedding[i]::DOUBLE * srow[i]), (a, b) -> a + b) > 0
+      |                THEN 1 ELSE 0 END ORDER BY p) AS bits
+      |         FROM e, mat GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, bits AS q_bits FROM bits WHERE vec_id < 10),
+      |ham AS (SELECT q_id, b.vec_id,
+      |          list_sum(list_transform(range(1, 257),
+      |            i -> CASE WHEN q_bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS ham
+      |        FROM q, bits b WHERE b.vec_id != q_id),
+      |topc AS (SELECT q_id, vec_id FROM
+      |           (SELECT q_id, vec_id,
+      |              row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY ham ASC, vec_id ASC) AS hrnk
+      |            FROM ham WHERE ham <= 128)
+      |         WHERE hrnk <= 150),
+      |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+      |s AS (SELECT t.q_id, t.vec_id,
+      |        round(list_sum(list_transform(range(1, len(q_emb) + 1),
+      |                i -> q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |          / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+      |           * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+      |      FROM topc t JOIN e ON e.vec_id = t.vec_id JOIN qe ON qe.q_id = t.q_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
+      |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_join_avg" ->
       """SELECT round(avg(c.c_acctbal), 2) AS avg_acctbal
@@ -1450,39 +1489,13 @@ object SparkEntry {
     // (sign extraction is exact-sensitive; identical IEEE op order ⇒
     // identical doubles), so signatures, Hamming prefilter, top-C and
     // exact rerank all reproduce value-for-value.
-    "embed_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |mat AS (SELECT p.p AS p,
-        |          list(CASE WHEN substr(md5('sign:' || p.p || ':' || d.d), 1, 1)
-        |                    IN ('1','3','5','7','9','b','d','f')
-        |               THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS srow
-        |        FROM range(0, 256) p(p), range(0, 64) d(d) GROUP BY p.p),
-        |bits AS (SELECT vec_id,
-        |           list(CASE WHEN list_reduce(list_transform(range(1, 65),
-        |                  i -> embedding[i]::DOUBLE * srow[i]), (a, b) -> a + b) > 0
-        |                THEN 1 ELSE 0 END ORDER BY p) AS bits
-        |         FROM e, mat GROUP BY vec_id),
-        |q AS (SELECT vec_id AS q_id, bits AS q_bits FROM bits WHERE vec_id < 10),
-        |ham AS (SELECT q_id, b.vec_id,
-        |          list_sum(list_transform(range(1, 257),
-        |            i -> CASE WHEN q_bits[i] != b.bits[i] THEN 1 ELSE 0 END)) AS ham
-        |        FROM q, bits b WHERE b.vec_id != q_id),
-        |topc AS (SELECT q_id, vec_id FROM
-        |           (SELECT q_id, vec_id,
-        |              row_number() OVER (PARTITION BY q_id
-        |                                 ORDER BY ham ASC, vec_id ASC) AS hrnk
-        |            FROM ham WHERE ham <= 128)
-        |         WHERE hrnk <= 150),
-        |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
-        |s AS (SELECT t.q_id, t.vec_id,
-        |        round(list_sum(list_transform(range(1, len(q_emb) + 1),
-        |                i -> q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
-        |          / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
-        |           * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
-        |      FROM topc t JOIN e ON e.vec_id = t.vec_id JOIN qe ON qe.q_id = t.q_id),
-        |r AS (SELECT q_id, vec_id, sim,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
-        |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "embed_ann_lsh" -> annLshOracle,
+    // embed_ann_auto routes by measured clusteredness; on the driver
+    // corpus the probe reads tightness ~0.5 (< 0.75 cut) and picks the
+    // sketch path, so its true answer IS the lsh oracle. A corpus
+    // change that flips the route turns this row red rather than
+    // silently shifting recall.
+    "embed_ann_auto" -> annLshOracle,
     // Same md5 matrix replaying the banded near-dup path: b derived
     // from count(*) by integer ceil-log2 (bin-string length — matches
     // autoCosineBandBits's numberOfLeadingZeros exactly, no libm),

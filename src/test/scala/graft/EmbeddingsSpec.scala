@@ -177,6 +177,41 @@ class EmbeddingsSpec extends SparkSuite {
       s"auto-geometry mean recall@10 $autoRecall (per-query ${autoRecalls.toSeq.sorted})")
   }
 
+  test("clusteredness probe separates the regimes and annAuto routes on it") {
+    // Uniform-ish driver corpus: cells can't explain the data →
+    // tightness well under the 0.75 cut → annAuto must take the
+    // sketch path (identical output to annSketch, row for row).
+    val probe = Embeddings.probeClusteredness(emb)
+    assert(probe.tightness < 0.75,
+      s"driver corpus tightness ${probe.tightness} should sit under the cut")
+    assert(probe.sampleRows > 0 && probe.occupancyEntropy > 0.5)
+    val auto = Embeddings.annAuto(emb, col("vec_id") < 10, k = 10)
+      .collect().toSeq
+    val sketch = Embeddings.annSketch(emb, col("vec_id") < 10, k = 10)
+      .collect().toSeq
+    assert(auto === sketch, "uniform corpus must route to the sketch path")
+
+    // The 10-cluster fixture: tight cells → IVF route. Margin is NOT
+    // the signal here (auto-k over-segments the clusters into
+    // near-identical cells, collapsing it) — tightness is.
+    var seed = 7L
+    def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33).toInt % 2000) / 1000.0 - 1.0 }
+    val centroids = Seq.fill(10)(Array.fill(32)(rnd()))
+    val vecs = for { c <- 0 until 10; m <- 0 until 20 }
+      yield (c * 20L + m, centroids(c).map(x => (x + rnd() * 0.15).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cProbe = Embeddings.probeClusteredness(df)
+    assert(cProbe.tightness > 0.75,
+      s"clustered fixture tightness ${cProbe.tightness} should clear the cut")
+    assert(cProbe.margin < 0.05,
+      s"margin ${cProbe.margin} collapses under over-segmentation — the documented reason routing uses tightness")
+    val autoC = Embeddings.annAuto(df, col("vec_id") % 20 === 0, k = 10)
+      .collect().toSeq
+    val ivfC = Embeddings.annIvf(df, col("vec_id") % 20 === 0, k = 10)
+      .collect().toSeq
+    assert(autoC === ivfC, "clustered corpus must route to the IVF path")
+  }
+
   test("annIvf (k-means) recall@10 >= 0.9 on the DRIVER corpus with registered params") {
     // The round-3 label-derived quantizer capped recall at ~0.45 here
     // (labels ≈ random w.r.t. cosine geometry); seeded Lloyd k-means
