@@ -84,6 +84,7 @@ object SparkEntry {
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "join_asof" -> (Relational.joinAsof _),
     "join_range" -> (Relational.joinRange _),
+    "join_range_capped" -> (Relational.joinRangeCapped _),
     "join_semi" -> (Relational.joinSemi _),
     "agg_stddev" -> (Relational.aggStddev _),
     "window_running" -> (Relational.windowRunning _),
@@ -474,6 +475,21 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "join_range" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_id AS e1, b.event_id AS e2, b.us - a.us AS diff_us
+        |FROM e a JOIN e b
+        |  ON b.us >= a.us AND b.us < a.us + 1000000
+        | AND (a.us < b.us OR a.event_id < b.event_id)
+        | AND a.user_id <> b.user_id
+        |ORDER BY e1, e2""".stripMargin,
+    // Replays the admission cap exactly: earliest 20 events per
+    // one-second bucket by (us, event_id), then the same band join.
+    "join_range_capped" ->
+      """WITH e0 AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT event_id, user_id, us,
+        |        row_number() OVER (PARTITION BY us // 1000000
+        |                           ORDER BY us, event_id) AS rn
+        |      FROM e0),
+        |e AS (SELECT event_id, user_id, us FROM r WHERE rn <= 20)
         |SELECT a.event_id AS e1, b.event_id AS e2, b.us - a.us AS diff_us
         |FROM e a JOIN e b
         |  ON b.us >= a.us AND b.us < a.us + 1000000

@@ -307,9 +307,12 @@ object Relational {
     * partition key then a same-key aggregate, so the whole funnel
     * costs ONE user_id shuffle (the sessionize pattern); no joins, no
     * per-stage passes over the events. */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventsFunnelFrame(Tables.load(spark, dir, "events"))
+
+  def eventsFunnelFrame(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
-    Tables.load(spark, dir, "events")
+    events
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t2",
@@ -594,6 +597,49 @@ object Relational {
     val W = 1000000L // band width: 1 second in µs
     val e = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val a = e.withColumn("bucket",
+      explode(array(expr(s"us div $W"), expr(s"us div $W") + 1)))
+    val b = e.withColumn("bucket", expr(s"us div $W"))
+      .select(col("bucket"), col("event_id").as("e2"),
+        col("user_id").as("u2"), col("us").as("us2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("us2") >= col("us") && col("us2") < col("us") + W &&
+        (col("us") < col("us2") || col("event_id") < col("e2")) &&
+        col("user_id") =!= col("u2"))
+      .select(col("event_id").as("e1"), col("e2"), (col("us2") - col("us")).as("diff_us"))
+      .orderBy("e1", "e2")
+  }
+
+  /** Spill-bounded RANGE join — [[joinRange]] behind a per-second
+    * ADMISSION CAP, the same doctrine as the dedup family's
+    * stop-shingle cap: a range join's true pair volume is
+    * Σ_bucket (rows·reachable-rows), which on a dense corpus is the
+    * data's property, not the plan's — at 100M synthetic events the
+    * uncapped banded join materializes ~4G pairs and spilled >35 GB
+    * past this host's disk (BIGBENCH.md "join_range at 100M"; on a
+    * cluster that spill is distributed and fine). The guard truncates
+    * the EVENT SET, not the pair set: keep the earliest `cap` events
+    * per one-second bucket by (us, event_id) — deterministic,
+    * partition-invariant, SQL-replayable — then run the exact banded
+    * join over the admitted set, so pairs per bucket are ≤ ~2·cap²
+    * and total output is linear in seconds covered. The rank filter
+    * is a literal, so WindowGroupLimit prunes map-side BEFORE the
+    * bucket exchange, and the window's bucket partitioning is the
+    * join's key. The uncapped [[joinRange]] stays the exact oracle
+    * row; this variant carries its own oracle replaying the same
+    * admission rule. */
+  def joinRangeCapped(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinCapped(Tables.load(spark, dir, "events"), 1000000L, 20)
+
+  def rangeJoinCapped(events: DataFrame, widthUs: Long, cap: Int): DataFrame = {
+    val W = widthUs
+    val wB = Window.partitionBy(expr(s"us div $W"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val e = events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= cap)
+      .select("event_id", "user_id", "us")
     val a = e.withColumn("bucket",
       explode(array(expr(s"us div $W"), expr(s"us div $W") + 1)))
     val b = e.withColumn("bucket", expr(s"us div $W"))
@@ -1007,9 +1053,11 @@ object Relational {
     * composite key; at 100 TB the bucket column rides the shuffle key
     * so state per task is one bucket's events, mirroring how the
     * streaming twin's state is bounded by the watermark. */
-  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events")
-      .withColumn("bucket", date_trunc("hour", col("ts")))
+  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsDedupWindowFrame(Tables.load(spark, dir, "events"))
+
+  def eventsDedupWindowFrame(raw: DataFrame): DataFrame = {
+    val events = raw.withColumn("bucket", date_trunc("hour", col("ts")))
     val w = Window.partitionBy("user_id", "event_type", "bucket")
       .orderBy(col("ts").asc, col("event_id").asc)
     events.withColumn("rn", row_number().over(w))
@@ -1062,11 +1110,14 @@ object Relational {
     * only to keep e^(t) in double range for arbitrary epochs; bounded
     * 7-day frames cap the term ratio at e^7, so double precision holds
     * to well past the rounded digit in both engines. */
-  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    eventsEwmaFrame(Tables.load(spark, dir, "events"))
+
+  def eventsEwmaFrame(events: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("user_id")
     val wFrame = Window.partitionBy("user_id").orderBy(col("s"))
       .rangeBetween(-7 * 86400, 0)
-    Tables.load(spark, dir, "events")
+    events
       .select(col("event_id"), col("user_id"),
         col("ts").cast("double").as("s"), col("value"))
       .withColumn("anchor_d", max(col("s")).over(wAll) / 86400.0)
@@ -1404,11 +1455,14 @@ object Relational {
     * whole chain runs on ONE events exchange with sorts layered on it.
     * The trigram aggregate map-side-combines into ≤|types|³ rows, and
     * the top-20 plans as TakeOrderedAndProject, never a global sort. */
-  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame =
+    eventsPathsFrame(Tables.load(spark, dir, "events"))
+
+  def eventsPathsFrame(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val bySession = Window.partitionBy("user_id", "session_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.load(spark, dir, "events")
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("gap", when(

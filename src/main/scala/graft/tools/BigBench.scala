@@ -117,7 +117,7 @@ object BigBenchEvents {
       "events_active_users", "events_markov", "events_paths",
       "events_attribution", "events_dedup_window", "group_percentile",
       "events_ewma", "group_approx_distinct", "events_window_sliding",
-      "join_asof", "join_range")
+      "join_asof", "join_range", "join_range_capped")
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
     val results = names.map { n =>
@@ -343,6 +343,71 @@ object SessionizeBucketBench {
     val (xP, xB) = (exchanges(plain), exchanges(bucketed))
     assert(xB == 0, s"bucketed sessionize still has $xB Exchange(s)")
     println(s"""{"rows":$rows,"layout_write_s":${f"$tLayout%.3f"},"sessionize_plain_s":${f"$tPlain%.3f"},"sessionize_bucketed_s":${f"$tBucketed%.3f"},"exchanges_plain":$xP,"exchanges_bucketed":$xB}""")
+    spark.stop()
+  }
+}
+
+/** Closes BIGBENCH.md's "every user_id-windowed query rides the same
+  * layout for free" claim with MEASURED rows: the whole family —
+  * sessionize, funnel, paths, ewma, dedup-window — over (a) plain
+  * parquet and (b) the ONE user_id-bucketed table that
+  * SessionizeBucketBench's layout pays for. For each query it counts
+  * hash exchanges in the executed plan and asserts the bucketed count
+  * matches the expected floor: 0 for the pure-window queries
+  * (HashPartitioning(user_id) satisfies every window's and funnel's
+  * final groupBy's clustered distribution by the subset rule — this
+  * includes the multi-key windows, e.g. dedup-window's
+  * (user_id, event_type, hour)), and 1 for paths, whose residual
+  * exchange is the post-window 125-row path-triple groupBy, not a
+  * data-linear shuffle. Emits one JSON line for BIGBENCH.md. */
+object UserWindowBucketBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val dir = s"target/bigbench/events_$rows"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    require(new java.io.File(s"$dir/events.parquet/_SUCCESS").exists(),
+      s"run BigBenchEvents $rows first to synthesize $dir")
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val table = s"events_bucketed_$rows"
+    val layoutS =
+      if (spark.catalog.tableExists(table)) 0.0
+      else timeIt(graft.sources.Layout.writeBucketed(events, table, "user_id", 32))
+
+    import org.apache.spark.sql.DataFrame
+    val family: Seq[(String, DataFrame => DataFrame, Int)] = Seq(
+      ("sessionize", graft.operators.Relational.sessionizeFrame _, 0),
+      ("funnel", graft.operators.Relational.eventsFunnelFrame _, 0),
+      ("ewma", graft.operators.Relational.eventsEwmaFrame _, 0),
+      ("dedup_window", graft.operators.Relational.eventsDedupWindowFrame _, 0),
+      ("paths", graft.operators.Relational.eventsPathsFrame _, 1))
+
+    def exchanges(df: DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    def median3(df: => DataFrame): Double = {
+      timeIt(noop(df)); Seq.fill(3)(timeIt(noop(df))).sorted.apply(1)
+    }
+
+    val parts = family.map { case (name, q, expectBucketed) =>
+      val plain = q(events)
+      val bucketed = q(spark.table(table))
+      val tP = median3(plain)
+      val tB = median3(bucketed)
+      val (xP, xB) = (exchanges(plain), exchanges(bucketed))
+      assert(xB == expectBucketed,
+        s"$name: bucketed plan has $xB hash exchange(s), expected $expectBucketed")
+      s""""$name":{"plain_s":${f"$tP%.3f"},"bucketed_s":${f"$tB%.3f"},"exchanges_plain":$xP,"exchanges_bucketed":$xB}"""
+    }
+    println(s"""{"rows":$rows,"layout_write_s":${f"$layoutS%.3f"},${parts.mkString(",")}}""")
     spark.stop()
   }
 }

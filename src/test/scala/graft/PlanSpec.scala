@@ -219,6 +219,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bucket"), p.take(2000))
   }
 
+  test("capped range join admits map-side via WindowGroupLimit, then the same bucket equi join") {
+    // the literal rank cap must engage WindowGroupLimit so each task
+    // keeps ≤ cap rows per second BEFORE any exchange — the whole
+    // point of the spill guard is bounding what the join stage sees
+    val p = plan(Relational.joinRangeCapped(spark, SparkSpec.sfTiny))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "capped band join must stay an equi join on the time bucket:\n" + p.take(3000))
+  }
+
   test("decontaminate broadcasts the eval shingles; corpus never shuffles on the shingle") {
     val p = plan(graft.operators.Documents.docDecontaminate(spark, SparkSpec.sfTiny))
     assert(p.contains("LeftSemi"), p.take(2000))

@@ -162,6 +162,24 @@ class RelationalSpec extends SparkSuite {
     assert(got.nonEmpty, "band width should catch at least one coincident pair")
   }
 
+  test("capped range join: wide cap reproduces the exact join, tight cap admits a deterministic subset") {
+    val events = Tables.load(spark, dir, "events")
+    val exact = Relational.joinRange(spark, dir).collect().toSeq
+    // cap above any per-second density → the guard is a no-op
+    val wide = Relational.rangeJoinCapped(events, 1000000L, Int.MaxValue)
+      .collect().toSeq
+    assert(wide === exact, "un-binding the cap must reproduce the exact range join")
+    // the registered cap: only pairs whose BOTH endpoints were admitted
+    val capped = Relational.joinRangeCapped(spark, dir).collect().toSeq
+    val exactSet = exact.toSet
+    assert(capped.forall(exactSet.contains),
+      "capped pairs must be a subset of the exact pairs")
+    // the admission rule is content-keyed, so partitioning can't move it
+    val repart = Relational.rangeJoinCapped(events.repartition(13), 1000000L, 20)
+      .collect().toSeq
+    assert(repart === capped, "admission must be partition-invariant")
+  }
+
   test("semi join returns distinct qualifying customers of the inner join") {
     val semi = Relational.joinSemi(spark, dir).select("c_custkey").as[Long].collect().toSet
     val inner = Tables.load(spark, dir, "customer")
