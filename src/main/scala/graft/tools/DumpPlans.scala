@@ -57,7 +57,10 @@ object DumpPlans {
       "tpch_q19_brand" -> "OR-of-conjunctions join predicate: per-side implications extracted to the scans, cross-side residual evaluated post-join",
       "corpus_temperature_sample" -> "WindowGroupLimit prunes to the literal max quota per language map-side; sqrt-count quotas broadcast",
       "corpus_token_budget" -> "running token sum is one source-partitioned rows-frame window; 1-row budget broadcast back",
-      "group_unpivot" -> "stack is a narrow Generate — rows multiply map-side, no shuffle, scan pruned to the three measures")
+      "group_unpivot" -> "stack is a narrow Generate — rows multiply map-side, no shuffle, scan pruned to the three measures",
+      "join_range_capped" -> "WindowGroupLimit admits ≤cap rows per second map-side BEFORE the bucket exchange; then the same bucket equi join — never a cartesian",
+      "embed_ann_auto" -> "clusteredness-routed: this corpus routes to the sketch path (Hamming pre-filter + exact rerank); the probe's fit is memoized with the IVF quantizer",
+      "dedup_semantic" -> "planted-clone union; centroid-cell self-join compares cosines only within cells — Σ(cell choose 2), never all-pairs")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
