@@ -188,6 +188,7 @@ object SparkEntry {
     // LLM-pipeline: embedding similarity search
     "embed_knn" -> (Embeddings.embedKnn _),
     "embed_knn_filtered" -> (Embeddings.embedKnnFiltered _),
+    "embed_bitext_mine" -> (Embeddings.embedBitextMine _),
     "embed_matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Embeddings.embedMatryoshka(s, d)),
     "embed_pca" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -1498,6 +1499,49 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
         |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // Margin-based bitext mining replay: forward top-4 of each
+    // even-label query vs the odd-label side, reverse top-4 of each
+    // surviving candidate vs the even-label side, neighborhood means
+    // folded in rank order (list_sum over the rank-ordered list = the
+    // same sequential fold as Spark's aggregate()), margin under the
+    // engine-exact floor(x*1e6+0.5)/1e6 contract.
+    "embed_bitext_mine" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |a AS (SELECT vec_id, embedding FROM e WHERE label % 2 = 0),
+        |b AS (SELECT vec_id, embedding FROM e WHERE label % 2 = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM a WHERE vec_id < 40),
+        |fs AS (SELECT q_id, b.vec_id,
+        |         round(list_sum(list_transform(range(1, len(q_emb) + 1),
+        |                 i -> q_emb[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cs
+        |       FROM q, b),
+        |ft AS (SELECT q_id, vec_id, cs,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rk
+        |       FROM fs),
+        |ftk AS (SELECT * FROM ft WHERE rk <= 4),
+        |fa AS (SELECT q_id, list_sum(list(cs ORDER BY rk)) / 4 AS favg FROM ftk GROUP BY q_id),
+        |ce AS (SELECT b.vec_id AS cand_id, b.embedding AS c_emb
+        |       FROM b JOIN (SELECT DISTINCT vec_id FROM ftk) c USING (vec_id)),
+        |rs AS (SELECT cand_id, a.vec_id,
+        |         round(list_sum(list_transform(range(1, len(c_emb) + 1),
+        |                 i -> c_emb[i]::DOUBLE * a.embedding[i]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |            * sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cs
+        |       FROM ce, a),
+        |rt AS (SELECT cand_id, vec_id, cs,
+        |         row_number() OVER (PARTITION BY cand_id ORDER BY cs DESC, vec_id ASC) AS rk
+        |       FROM rs),
+        |ra AS (SELECT cand_id, list_sum(list(cs ORDER BY rk)) / 4 AS ravg
+        |       FROM rt WHERE rk <= 4 GROUP BY cand_id),
+        |m AS (SELECT f.q_id, f.vec_id AS match_id, f.cs,
+        |        floor(f.cs / ((fa.favg + ra.ravg) / 2) * 1e6 + 0.5) / 1e6 AS margin
+        |      FROM ftk f JOIN fa USING (q_id) JOIN ra ON ra.cand_id = f.vec_id),
+        |r AS (SELECT q_id, match_id, cs, margin,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, match_id ASC) AS rn
+        |      FROM m)
+        |SELECT q_id, match_id, cs AS cos_sim, margin FROM r WHERE rn = 1
+        |ORDER BY q_id""".stripMargin,
     // Full replay of the sign-sketch ANN pipeline: the ±1 hyperplane
     // matrix is md5-derived (sign(p,d) = +1 iff first hex digit of
     // md5('sign:p:d') is odd — same recipe as dedup_minhash), dots are

@@ -630,6 +630,78 @@ object Embeddings {
   def embedAnnAuto(spark: SparkSession, dir: String): DataFrame =
     annAuto(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the CCMatrix/NLLB recipe for harvesting translation pairs, a core
+    * multilingual-training-data operator): raw cosine over-matches hub
+    * sentences whose neighborhoods are dense in EVERY language, so
+    * each candidate pair is scored by its cosine RELATIVE to both
+    * endpoints' neighborhoods — margin(x,y) = cos(x,y) ÷ mean of
+    * (avg top-k cos(x, ·) forward, avg top-k cos(y, ·) reverse) — and
+    * each query keeps its best-margin match.
+    *
+    * Scale shape (NO corpus self-join): queries broadcast against the
+    * target side (one scan, window top-k on q_id like [[knnBrute]]);
+    * the ≤ |Q|·k surviving candidates broadcast back against the
+    * source side for the reverse neighborhoods (second scan); margins
+    * join on the tiny per-query / per-candidate aggregates. Cross-
+    * engine determinism: cosines round to 6 before ranking (the
+    * [[knnBrute]] convention), neighborhood means fold the k rounded
+    * cosines IN RANK ORDER (both engines run the identical sequential
+    * fold), and the margin — a ratio of discrete rationals — uses the
+    * engine-exact floor(x·1e6+0.5)/1e6 contract. The two "languages"
+    * are the label parity classes of the synthetic corpus; on real
+    * data they are the language column. */
+  def bitextMine(emb: DataFrame, queryPred: Column, k: Int = 4): DataFrame = {
+    val a = emb.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val b = emb.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding"))
+    val q = a.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wF = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    val fwd = graft.Caches.persist(b.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(dotCol("q_emb", "embedding") / (normCol("q_emb") * normCol("embedding")), 6)
+          .as("cs"))
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= k))
+    // rank-ordered fold, not avg(): a hash aggregate's input order is
+    // partition-arbitrary, and an ulp of drift in the mean would break
+    // the cross-engine margin compare
+    val foldAvg =
+      expr("aggregate(transform(array_sort(collect_list(struct(rk, cs))), s -> s.cs)," +
+        " 0D, (acc, x) -> acc + x)") / lit(k)
+    val favg = fwd.groupBy("q_id").agg(foldAvg.as("favg"))
+    val candEmb = b.join(fwd.select(col("vec_id")).distinct(), "vec_id")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val wR = Window.partitionBy("cand_id").orderBy(col("cs").desc, col("vec_id").asc)
+    val rev = a.crossJoin(broadcast(candEmb))
+      .select(col("cand_id"), col("vec_id"),
+        round(dotCol("c_emb", "embedding") / (normCol("c_emb") * normCol("embedding")), 6)
+          .as("cs"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= k)
+    val ravg = rev.groupBy("cand_id").agg(foldAvg.as("ravg"))
+    val wPick = Window.partitionBy("q_id")
+      .orderBy(col("margin").desc, col("match_id").asc)
+    fwd.select(col("q_id"), col("vec_id").as("match_id"), col("cs"))
+      .join(favg, "q_id")
+      .join(broadcast(ravg), col("match_id") === col("cand_id"))
+      .withColumn("margin",
+        expr("floor(cs / ((favg + ravg) / 2) * 1e6 + 0.5) / 1e6"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("match_id"), col("cs").as("cos_sim"), col("margin"))
+      .orderBy("q_id")
+  }
+
+  /** Registered query (HARD oracle): best-margin match for each
+    * even-label vector with vec_id < 40, mined against the odd-label
+    * side with k=4 neighborhoods. */
+  def embedBitextMine(spark: SparkSession, dir: String): DataFrame =
+    bitextMine(Tables.load(spark, dir, "embeddings"), col("vec_id") < 40)
+
   /** 8-bit per-vector quantization, emitted as (vec_id, pos, q) rows:
     * q = round((x − min) / (max − min) · 255), the min/max taken per
     * vector. The storage/bandwidth operator for an embedding lake —

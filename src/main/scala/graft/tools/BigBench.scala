@@ -195,7 +195,8 @@ object BigBenchLlm {
       "text_heavy_hitters", "doc_decontaminate_fuzzy",
       "text_gopher_rules", "corpus_reservoir", "corpus_topk_per_lang",
       "embed_matryoshka", "text_langid_confusion", "embed_pca",
-      "corpus_temperature_sample", "corpus_token_budget", "embed_ann_auto")
+      "corpus_temperature_sample", "corpus_token_budget", "embed_ann_auto",
+      "embed_bitext_mine")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

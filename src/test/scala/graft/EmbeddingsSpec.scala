@@ -177,6 +177,32 @@ class EmbeddingsSpec extends SparkSuite {
       s"auto-geometry mean recall@10 $autoRecall (per-query ${autoRecalls.toSeq.sorted})")
   }
 
+  test("bitext mining: one cross-side match per query; a planted translation wins its query") {
+    val full = Tables.load(spark, SparkSpec.sfTiny, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val out = Embeddings.bitextMine(full, col("vec_id") < 40).collect()
+    val nq = full.filter(col("vec_id") < 40 && pmod(col("label"), lit(2)) === 0).count()
+    assert(out.length.toLong === nq, "exactly one best-margin row per query")
+    val odd = full.filter(pmod(col("label"), lit(2)) === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.forall(r => odd.contains(r.getAs[Long]("match_id"))),
+      "matches must come from the other parity side")
+    // plant an exact "translation": clone the first query's embedding
+    // into the odd side under a fresh id — cosine 1.0 and an
+    // above-neighborhood margin must make it that query's match
+    val qid = full.filter(col("vec_id") < 40 && pmod(col("label"), lit(2)) === 0)
+      .agg(min("vec_id")).head().getLong(0)
+    val clone = full.filter(col("vec_id") === qid)
+      .select(lit(999999L).as("vec_id"), col("embedding"), lit(1).as("label"))
+    val mined = Embeddings.bitextMine(full.union(clone), col("vec_id") < 40)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val hit = mined(qid)
+    assert(hit.getAs[Long]("match_id") === 999999L, "planted translation must win")
+    assert(hit.getAs[Double]("cos_sim") === 1.0)
+    assert(hit.getAs[Double]("margin") > 1.0,
+      "an exact pair scores above its neighborhood mean")
+  }
+
   test("clusteredness probe separates the regimes and annAuto routes on it") {
     // Uniform-ish driver corpus: cells can't explain the data →
     // tightness well under the 0.75 cut → annAuto must take the
