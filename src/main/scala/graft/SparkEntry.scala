@@ -115,6 +115,13 @@ object SparkEntry {
     "tpch_q18_big_orders" -> (Relational.tpchQ18BigOrders _),
     "tpch_q10_returns" -> (Relational.tpchQ10Returns _),
     "tpch_q7_volume" -> (Relational.tpchQ7Volume _),
+    "tpch_q8_share" -> (Relational.tpchQ8Share _),
+    "tpch_q12_priority" -> (Relational.tpchQ12Priority _),
+    "tpch_q13_distribution" -> (Relational.tpchQ13Distribution _),
+    "tpch_q15_top_supplier" -> (Relational.tpchQ15TopSupplier _),
+    "tpch_q17_small_qty" -> (Relational.tpchQ17SmallQty _),
+    "tpch_q21_waiting" -> (Relational.tpchQ21Waiting _),
+    "tpch_q22_opportunity" -> (Relational.tpchQ22Opportunity _),
     "agg_regression" -> (Relational.aggRegression _),
     "events_active_users" -> (Relational.eventsActiveUsers _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
@@ -785,6 +792,98 @@ object SparkEntry {
         |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
         |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "tpch_q8_share" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                 THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                 ELSE 0.0 END)
+        |    / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q12_priority" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q13_distribution" ->
+      """WITH cc AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |            FROM customer c LEFT JOIN
+        |              (SELECT o_orderkey, o_custkey FROM orders
+        |               WHERE o_orderpriority <> '1-URGENT') o
+        |              ON c.c_custkey = o.o_custkey
+        |            GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM cc
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |                 AS total_revenue
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |             GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.total_revenue
+        |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "tpch_q17_small_qty" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.a_partkey
+        |WHERE p.p_brand = 'Brand#13' AND p.p_size = 5
+        |  AND l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
+    "tpch_q21_waiting" ->
+      """WITH lines AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |l1 AS (SELECT l_orderkey, l_suppkey FROM lines WHERE late)
+        |SELECT s.s_name, count(*)::BIGINT AS numwait
+        |FROM l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lines l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lines l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+    "tpch_q22_opportunity" ->
+      """WITH cust AS (SELECT c_custkey, c_acctbal,
+        |                c_nationkey % 10 AS cntrycode
+        |              FROM customer
+        |              WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)),
+        |ab AS (SELECT round(avg(c_acctbal), 2) AS avg_bal FROM cust
+        |       WHERE c_acctbal > 0.0)
+        |SELECT cntrycode, count(*)::BIGINT AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM cust, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cust.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_attribution" ->
       """SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts,
         |       round(c.value, 4) AS value

@@ -1478,4 +1478,184 @@ object Relational {
       .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
       .limit(20)
   }
+
+  /** TPC-H Q8 (national market share), adapted to the reduced schema:
+    * of the PROMO-part revenue ordered by ASIA customers in 1995–1996,
+    * the share supplied from NATION_2, per order year. The classic
+    * 7-table star: facts shuffle once each; nation/region broadcast;
+    * the share is a conditional-sum ÷ sum in one aggregate (same
+    * continuous-ratio round(…, 4) contract as Q14). */
+  def tpchQ8Share(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part").filter(col("p_type") === "PROMO")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(n1), customer("c_nationkey") === col("c_nkey"))
+      .join(broadcast(region), col("n_regionkey") === region("r_regionkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(n2), supplier("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0.0)))
+          / sum(vol), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q12 (shipping-priority classes), adapted (no l_shipmode /
+    * commit/receipt dates in the reduced schema): over lines shipped
+    * LATE — more than 60 days after their order date — in 1996–1997,
+    * count urgent-priority vs other-priority lines per line status.
+    * Counts via count(CASE...) so both engines emit BIGINT (the
+    * HUGEINT window-sum lesson, verify skill). */
+  def tpchQ12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS") &&
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(urgent, lit(1))).as("high_line_count"),
+        count(when(!urgent, lit(1))).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT join so
+    * order-less customers land in the c_count = 0 bucket, then a
+    * second aggregate histograms the counts — the canonical two-level
+    * aggregation over an outer join (the filter stands in for the
+    * reduced schema's missing o_comment). */
+  def tpchQ13Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+      .groupBy(customer("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    * the supplier(s) hitting the maximum — the scalar-subquery-on-an-
+    * aggregate shape. Revenue is rounded to cents BEFORE the max and
+    * the equality join, so the cross-engine compare is exact. */
+  def tpchQ15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("mx"))
+    Tables.load(spark, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("mx"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if orders below 20% of a part's mean quantity went unfilled,
+    * for one brand/size slice. The correlated scalar AVG decorrelates
+    * into a per-part aggregate joined back — l_quantity is
+    * integer-valued, so the per-part mean is an exact-sum ÷ count and
+    * the 0.2· threshold compares identically in both engines. */
+  def tpchQ17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13" && col("p_size") === 5)
+      .select("p_partkey")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val avgQty = lineitem.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    * shipping >60 days after the order date (the reduced schema has no
+    * commit/receipt dates). For finished orders: a supplier's late
+    * line counts iff ANOTHER supplier contributed a line (left semi)
+    * and NO other supplier was also late (left anti) — multi-correlated
+    * EXISTS/NOT EXISTS as semi/anti joins preserving line multiplicity,
+    * never a row-exploding distinct-then-count. */
+  def tpchQ21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val l1 = lines.filter(col("late")).select("l_orderkey", "l_suppkey")
+    val others = lines.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      .distinct()
+    val lateOthers = lines.filter(col("late"))
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")).distinct()
+    val waiting = l1
+      .join(others, l1("l_orderkey") === col("o2") && l1("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers,
+        l1("l_orderkey") === col("o3") && l1("l_suppkey") =!= col("s3"), "left_anti")
+    val nation = Tables.load(spark, dir, "nation")
+      .filter(col("n_name") === "NATION_3").select("n_nationkey")
+    Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(waiting, col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted: the country code
+    * is c_nationkey mod 10 (the reduced schema has no c_phone), and
+    * "no orders" is "no orders since 1999" — this synthetic corpus
+    * gives every customer SOME order, so the literal NOT EXISTS would
+    * be vacuously empty and verify nothing; dormancy keeps the
+    * anti-join live at every SF. Idle-but-wealthy customers — above
+    * the positive-balance average, dormant (left anti) — counted per
+    * code. The scalar average threshold is rounded to cents in BOTH
+    * engines before the comparison, so an accumulation-order ulp
+    * can't flip a row. */
+  def tpchQ22Opportunity(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)))
+      .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1999-01-01 00:00:00"))
+      .select("o_custkey")
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
 }

@@ -229,6 +229,18 @@ class PlanSpec extends SparkSuite {
       "capped band join must stay an equi join on the time bucket:\n" + p.take(3000))
   }
 
+  test("tpch_q21's EXISTS/NOT EXISTS chain plans as semi + anti joins, no cartesian") {
+    val p = plan(Relational.tpchQ21Waiting(spark, SparkSpec.sfTiny))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tpch_q17 broadcasts the filtered part slice into the lineitem scan side") {
+    val p = plan(Relational.tpchQ17SmallQty(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("decontaminate broadcasts the eval shingles; corpus never shuffles on the shingle") {
     val p = plan(graft.operators.Documents.docDecontaminate(spark, SparkSpec.sfTiny))
     assert(p.contains("LeftSemi"), p.take(2000))
