@@ -202,6 +202,7 @@ object SparkEntry {
       Embeddings.embedPca(s, d)),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
+    "embed_ann_ivf_planted" -> (Embeddings.embedAnnIvfPlanted _),
     "embed_ann_auto" -> (Embeddings.embedAnnAuto _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "embed_outliers" -> (Embeddings.embedOutliersQ _),
@@ -1710,6 +1711,13 @@ object SparkEntry {
       """SELECT vec_id AS id_a, (vec_id + 10000000)::BIGINT AS id_b,
         |       1.0::DOUBLE AS sim
         |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a, id_b""".stripMargin,
+    // Same planted-clone recipe through the IVF quantizer: the clone
+    // shares the query's top-1 cell, which every probe visits, and no
+    // background vector comes near cosine 1.0 — rank 1 is closed-form.
+    "embed_ann_ivf_planted" ->
+      """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
+        |       1.0::DOUBLE AS sim, 1::INT AS rnk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
     "embed_knn_filtered" ->
       """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -513,6 +513,27 @@ object Embeddings {
     annIvf(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10,
       nCentroids = 16, nProbe = 5, nAssign = 3)
 
+  /** Registered query (HARD oracle, planted-structure recipe like
+    * [[dedupSemantic]]): the learned-quantizer IVF path verified
+    * end-to-end. Each query vector gets an exact clone planted under
+    * `vec_id + 10M`; an identical vector is assigned the query's own
+    * top-1 cell (same argmax input), and a query ALWAYS probes its
+    * own top-1 cell — so the clone is scored, its cosine rounds to
+    * exactly 1.0, and nothing else comes within 0.5 of that on this
+    * corpus: rank 1 is the clone, closed-form. A probe-routing bug, a
+    * posting-list bug, or a scoring bug each break the row, while
+    * [[embedAnnIvf]] stays the honest-recall rows-only twin. */
+  def embedAnnIvfPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val clones = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    annIvf(emb.union(clones), col("vec_id") < 10, k = 10,
+      nCentroids = 16, nProbe = 5, nAssign = 3)
+      .filter(col("rnk") === 1)
+      .orderBy("q_id")
+  }
+
   /** Measured corpus-clusteredness, the basis for [[annAuto]]'s
     * IVF-vs-sketch routing (round 8 measured identical IVF geometry
     * at recall 1.0 on clustered corpora and 0.74 on uniform ones —
