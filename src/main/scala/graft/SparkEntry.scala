@@ -203,6 +203,9 @@ object SparkEntry {
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_ann_ivf_planted" -> (Embeddings.embedAnnIvfPlanted _),
+    "embed_pq_planted" -> (Embeddings.embedPqPlanted _),
+    "embed_pca_planted" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Embeddings.embedPcaPlanted(s, d)),
     "embed_ann_auto" -> (Embeddings.embedAnnAuto _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "embed_outliers" -> (Embeddings.embedOutliersQ _),
@@ -1715,6 +1718,18 @@ object SparkEntry {
     // shares the query's top-1 cell, which every probe visits, and no
     // background vector comes near cosine 1.0 — rank 1 is closed-form.
     "embed_ann_ivf_planted" ->
+      """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
+        |       1.0::DOUBLE AS sim, 1::INT AS rnk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
+    // Same closed form through the PQ codebook (clone survives the
+    // code pre-rank by a >=0.4 reconstruction-cosine margin) and the
+    // PCA projection (identical vectors project identically: projected
+    // cosine is exactly 1, the provable maximum).
+    "embed_pq_planted" ->
+      """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
+        |       1.0::DOUBLE AS sim, 1::INT AS rnk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
+    "embed_pca_planted" ->
       """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
         |       1.0::DOUBLE AS sim, 1::INT AS rnk
         |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,

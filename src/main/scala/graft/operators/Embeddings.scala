@@ -900,6 +900,25 @@ object Embeddings {
   def embedPq(spark: SparkSession, dir: String): DataFrame =
     annPq(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
 
+  /** Registered query (HARD oracle, planted-structure recipe): the
+    * learned PQ codebook path verified end-to-end. An exact clone
+    * shares the query's code, so its reconstruction cosine sits at
+    * 1 − quantization error (~0.4% measured) while every background
+    * candidate's is bounded near its true cosine (≤ ~0.5 on this
+    * corpus) — a ≥0.4 deterministic margin puts the clone in the
+    * top-C survivors, and the exact rerank then makes rank 1
+    * closed-form at cosine exactly 1.0. [[embedPq]] stays the
+    * honest-recall rows-only twin. */
+  def embedPqPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val emb0 = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val clones = emb0.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    annPq(emb0.union(clones), col("vec_id") < 10, k = 10)
+      .filter(col("rnk") === 1)
+      .orderBy("q_id")
+  }
+
   /** Semantic dedup pairs — SemDeDup (Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): partition the embedding space with k-means,
@@ -1210,6 +1229,25 @@ object Embeddings {
     val queries = proj.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     knnBrute(proj, queries, k = 10)
+  }
+
+  /** Registered query (HARD oracle, planted-structure recipe): the
+    * learned PCA fit→project→retrieve pipeline verified end-to-end.
+    * An exact clone of each query mean-centers and projects to the
+    * IDENTICAL reduced vector whatever the learned basis is, so its
+    * projected cosine is exactly 1 — the provable maximum — and
+    * rank 1 is closed-form. [[embedPca]] stays the honest
+    * reduced-space-recall rows-only twin. */
+  def embedPcaPlanted(spark: SparkSession, dir: String, d: Int = 16): DataFrame = {
+    val emb0 = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val clones = emb0.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    val emb = emb0.union(clones)
+    val (mean, basis) = memoFit(emb, d, 64)
+    val proj = pcaProject(emb, mean, basis)
+    val queries = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    knnBrute(proj, queries, k = 10).filter(col("rnk") === 1).orderBy("q_id")
   }
 
   /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
