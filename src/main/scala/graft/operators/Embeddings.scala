@@ -543,10 +543,11 @@ object Embeddings {
     *    nearest (unit) centroid — how well cells explain the data.
     *    THE routing signal: IVF recall is the bet that a vector's
     *    neighbors share its top cells, which holds exactly when cells
-    *    are tight. Measured (ClusterednessProbe, this host): uniform
-    *    hash corpus 0.44 at 100k, driver tables 0.49–0.55, vs 0.96 on
-    *    the 1000-center mixture and 0.99 on the spec's 10-cluster
-    *    fixture — the regimes sit 0.4 apart at every scale probed.
+    *    are tight. Measured (ClusterednessProbe, this host, light
+    *    capped fit): uniform hash corpus 0.51 at 100k, driver tables
+    *    0.48–0.55, vs 0.93 on the 1000-center mixture and 0.99 on the
+    *    spec's 10-cluster fixture — a ≥0.37 gap at every scale
+    *    probed.
     *  - `margin`: mean (cos to 1st − cos to 2nd centroid). Reported
     *    for observability but NOT used to route: auto-k over-segments
     *    genuine clusters into near-identical cells, collapsing the
@@ -557,29 +558,50 @@ object Embeddings {
     *    (H/ln k). Near 1 = even fill; low = mass collapsing into few
     *    cells (duplicate-heavy or degenerate corpora). Observability.
     *
-    * Cost: the k-means fit is memoized under the SAME key [[annIvf]]
-    * uses (probe → route-to-IVF pays zero extra fit), and the metric
-    * pass is one argmax + two dots over a ≤16Ki hash sample, grouped
-    * per cell — driver-collects k rows. */
+    * Cost: BOUNDED regardless of corpus size. The probe's job is
+    * measuring structure, not building the index — an index-grade
+    * 4·√n fit at 1M vectors costs ~500 s (the r8 IVF-build
+    * measurement), which a router that may well pick the OTHER path
+    * cannot spend. So the probe fits a LIGHT quantizer: the IVF
+    * auto-k capped at 1024 cells, trained on ~16 points per centroid
+    * for 2 Lloyd rounds (a few seconds at any n) — enough to measure
+    * whether cells explain the data, not enough to retrieve with.
+    * The k cap means a corpus with MORE than ~1024 genuine clusters
+    * can read as weakly clustered and route to the sketch — the SAFE
+    * error direction: the sketch retrieves well on every structure
+    * (recall 0.99 on the uniform corpus), while a wrong IVF route
+    * would cost recall. Calibration at the capped light-fit geometry:
+    * uniform 0.51 vs 1000-center mixture 0.93 at 100k (k=1024), spec
+    * fixture 0.99 (k=56), driver tables 0.48–0.55 — the 0.75 cut
+    * keeps a ≥0.18 buffer on both sides. The
+    * metric pass is one argmax + two dots over a ≤16Ki hash sample,
+    * grouped per cell — driver-collects k rows. */
   case class Clusteredness(nLists: Int, sampleRows: Long,
                            occupancyEntropy: Double, tightness: Double,
                            margin: Double)
 
   def probeClusteredness(corpus: DataFrame, nCentroids: Int = 0,
-                         iters: Int = 4): Clusteredness = {
+                         iters: Int = 2): Clusteredness = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val n = emb.count()
     val nLists =
       if (nCentroids > 0) nCentroids
-      else math.min(4096L, math.max(10L,
+      else math.min(1024L, math.max(10L,
         4L * math.round(math.sqrt(n.toDouble)))).toInt
-    val planKey = emb.queryExecution.analyzed.semanticHash()
+    // light fit: ~16 training points per centroid (fitKmeans would
+    // default to 256/centroid — index-grade quality the probe doesn't
+    // need and can't afford on the route-to-sketch corpora)
+    val fitCap = math.max(16L * nLists, 16384L)
+    val train =
+      if (n <= fitCap) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(n / fitCap + 1)) === 0)
+    val planKey = train.queryExecution.analyzed.semanticHash()
     sweepQuantizers()
     val cents = quantizers.computeIfAbsent(
       (sp, planKey, nLists, iters),
-      _ => fitKmeans(emb, nLists, iters))
+      _ => fitKmeans(train, nLists, iters))
     val cap = 16384L
     val sample =
       if (n <= cap) emb
@@ -625,10 +647,12 @@ object Embeddings {
     * between the two regimes round 8 characterized (IVF recall 1.0
     * clustered vs 0.74 uniform at identical geometry): measured
     * tightness is ≥0.95 on clustered corpora and ≤0.56 on uniform
-    * ones at every probed scale, so 0.75 is not delicate. The
+    * ones at every probed scale, so the cut is not delicate. The
     * decision is memoized per corpus plan (same registry lifetime as
-    * the broadcast decisions), so a query stream pays the probe once
-    * — and a route to IVF reuses the probe's k-means fit outright. */
+    * the broadcast decisions), so a query stream pays the light probe
+    * fit once; a route to IVF then builds the index at its own
+    * geometry (see [[probeClusteredness]] on why the probe stays
+    * capped and cheap). */
   def annAuto(corpus: DataFrame, queryIds: Column, k: Int,
               tightnessCut: Double = 0.75,
               nBits: Int = 256, candFactor: Int = 15): DataFrame = {

@@ -229,6 +229,15 @@ class PlanSpec extends SparkSuite {
       "capped band join must stay an equi join on the time bucket:\n" + p.take(3000))
   }
 
+  test("bitext mining broadcasts queries and candidates — no corpus self-join, no cartesian") {
+    val p = plan(graft.operators.Embeddings.bitextMine(
+      Tables.load(spark, SparkSpec.sfTiny, "embeddings"),
+      org.apache.spark.sql.functions.col("vec_id") < 40))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    graft.Caches.release(spark)
+  }
+
   test("tpch_q21's EXISTS/NOT EXISTS chain plans as semi + anti joins, no cartesian") {
     val p = plan(Relational.tpchQ21Waiting(spark, SparkSpec.sfTiny))
     assert(p.contains("LeftSemi"), p.take(3000))
