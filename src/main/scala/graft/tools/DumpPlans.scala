@@ -60,7 +60,9 @@ object DumpPlans {
       "group_unpivot" -> "stack is a narrow Generate — rows multiply map-side, no shuffle, scan pruned to the three measures",
       "join_range_capped" -> "WindowGroupLimit admits ≤cap rows per second map-side BEFORE the bucket exchange; then the same bucket equi join — never a cartesian",
       "embed_ann_auto" -> "clusteredness-routed: this corpus routes to the sketch path (Hamming pre-filter + exact rerank); the probe's fit is memoized with the IVF quantizer",
-      "dedup_semantic" -> "planted-clone union; centroid-cell self-join compares cosines only within cells — Σ(cell choose 2), never all-pairs")
+      "dedup_semantic" -> "planted-clone union; centroid-cell self-join compares cosines only within cells — Σ(cell choose 2), never all-pairs",
+      "embed_bitext_mine" -> "queries broadcast vs the target side, candidates broadcast back for reverse neighborhoods — two corpus scans, no self-join",
+      "tpch_q21_waiting" -> "EXISTS/NOT EXISTS chain as multiplicity-preserving semi + anti joins; nation broadcast")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")

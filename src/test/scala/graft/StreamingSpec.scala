@@ -99,6 +99,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission equals the batch twin on ordered replay, and never overspends") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BudgetIngest
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      .select("doc_id", "source", "text")
+    // the batch twin's budget formula and its answer
+    val batch = graft.operators.Documents.tokenBudgetMix(docs, frac = 0.1)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val sized = docs.select(col("doc_id"), col("source"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n"))
+    val srcBudget = {
+      val r = sized.agg(
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.sum("n") * 0.1 /
+            org.apache.spark.sql.functions.countDistinct("source")).cast("long")).head()
+      r.getLong(0)
+    }
+    // replay in the batch twin's content-keyed order, split across
+    // three micro-batches
+    val ordered = docs
+      .orderBy(org.apache.spark.sql.functions.md5(col("text").cast("binary")),
+        col("doc_id"))
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) => BudgetIngest.Doc(id, src, text) }
+    val stream = MemoryStream[BudgetIngest.Doc]
+    val q = BudgetIngest.admitWithBudget(stream.toDS(), srcBudget)
+      .writeStream.format("memory").queryName("budget_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val third = (ordered.length + 2) / 3
+      ordered.grouped(third).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("budget_test")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "ordered replay must reproduce the batch token-budget mix exactly")
+      // the production invariant, order-independent: never overspend
+      val spentPerSource = streamed.groupBy(_._2).map { case (s, rows) =>
+        s -> rows.map(_._3).sum }
+      assert(spentPerSource.values.forall(_ <= srcBudget),
+        s"admitted tokens must fit the budget $srcBudget: $spentPerSource")
+    } finally q.stop()
+  }
+
   test("streaming histogram equals the batch histogram on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "en"))
