@@ -227,4 +227,57 @@ class PropertySpec extends SparkSuite {
       }
     }, n = 8)
   }
+
+  test("capped range join equals brute force over the admitted prefix on random event sets") {
+    // dense us range so buckets collide and the cap actually bites;
+    // the reference is the O(n²) theta join over the ADMITTED set
+    // (earliest `cap` per one-second bucket by (us, event_id))
+    val W = 1000000L
+    val cap = 3
+    val ev = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 4999999L))
+    check(Prop.forAll(Gen.nonEmptyListOf(ev).map(_.take(30))) { xs0 =>
+      val xs = xs0.zipWithIndex.map { case ((u, us), i) => (i.toLong, u, us) }
+      def brute(evs: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+        (for {
+          a <- evs; b <- evs
+          if b._3 >= a._3 && b._3 < a._3 + W
+          if a._3 < b._3 || a._1 < b._1
+          if a._2 != b._2
+        } yield (a._1, b._1, b._3 - a._3)).toSet
+      val admitted = xs.groupBy(_._3 / W).values.flatMap(
+        _.sortBy(e => (e._3, e._1)).take(cap)).toSeq
+      val df2 = xs.toDF("event_id", "user_id", "us")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
+        .select("event_id", "user_id", "ts")
+      val got = graft.operators.Relational.rangeJoinCapped(df2.repartition(5), W, cap)
+        .as[(Long, Long, Long)].collect().toSet
+      got == brute(admitted)
+    }, n = 8)
+  }
+
+  test("token-budget mix is the greedy content-keyed prefix per source, by brute force") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.zip(Gen.oneOf("s1", "s2"),
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    check(Prop.forAll(Gen.nonEmptyListOf(doc).map(_.take(30))) { xs0 =>
+      val xs = xs0.zipWithIndex.map { case ((src, text), i) => (i.toLong, src, text) }
+      val nTok = (t: String) => t.split(" ", -1).length.toLong
+      val budget = math.floor(
+        xs.map(x => nTok(x._3)).sum * 0.1 / xs.map(_._2).distinct.size).toLong
+      val expected = xs.groupBy(_._2).flatMap { case (src, docs) =>
+        val ordered = docs.sortBy(d => (md5hex(d._3), d._1))
+        val cums = ordered.scanLeft(0L)((acc, d) => acc + nTok(d._3)).tail
+        ordered.zip(cums).takeWhile(_._2 <= budget)
+          .map { case (d, cum) => (d._1, src, nTok(d._3), cum) }
+      }.toSet
+      val got = graft.operators.Documents.tokenBudgetMix(
+        xs.toDF("doc_id", "source", "text").repartition(5), frac = 0.1)
+        .as[(Long, String, Long, Long)].collect().toSet
+      got == expected
+    }, n = 8)
+  }
 }
