@@ -186,6 +186,7 @@ object SparkEntry {
     "pipeline_curate" -> (Documents.pipelineCurate _),
     "corpus_upsample" -> (Documents.corpusUpsample _),
     "corpus_shuffle" -> (Documents.corpusShuffle _),
+    "corpus_epoch_schedule" -> (Documents.corpusEpochSchedule _),
     "text_pmi" -> (Documents.textPmi _),
     "corpus_histogram" -> (Documents.corpusHistogramQ _),
     "doc_overlap_report" -> (Documents.docOverlapReport _),
@@ -1271,6 +1272,22 @@ object SparkEntry {
     "corpus_shuffle" ->
       """SELECT doc_id, md5(text || ':42') AS skey FROM documents
         |ORDER BY skey, doc_id LIMIT 200""".stripMargin,
+    // Fractional repetition: epochs 1..floor(w) in full, one extra
+    // epoch for the md5-gated w-floor(w) fraction; skey is the
+    // per-epoch deterministic shuffle key.
+    "corpus_epoch_schedule" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             1 + (substr(source, 4)::INT % 4) * 0.5 AS w
+        |           FROM documents),
+        |e AS (SELECT d.doc_id, d.source, d.w, t.epoch
+        |      FROM d, UNNEST(range(1, ceil(d.w)::BIGINT + 1)) AS t(epoch)),
+        |f AS (SELECT doc_id, source, epoch FROM e
+        |      WHERE epoch <= floor(w)
+        |         OR ('0x' || substr(md5(doc_id::VARCHAR || ':' || source), 1, 15))::BIGINT
+        |            < (w - floor(w)) * 1152921504606846976.0)
+        |SELECT epoch::INT AS epoch, doc_id, source,
+        |       md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS skey
+        |FROM f ORDER BY epoch, skey, doc_id""".stripMargin,
     "text_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |toks AS (SELECT unnest(t) AS tok FROM t),

@@ -1898,6 +1898,44 @@ object Documents {
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
     shuffleDeterministic(Tables.load(spark, dir, "documents")).limit(200)
 
+  /** Epoch-schedule materialization — the step that turns per-source
+    * repetition weights into the ACTUAL training order: a source with
+    * weight w appears in epochs 1..⌊w⌋ in full, plus one more epoch
+    * for a deterministic md5-gated w−⌊w⌋ fraction of its documents
+    * (fractional repetition — how multi-epoch mixes upweight small
+    * high-quality sources without integer-only ratios). Each row
+    * carries skey = md5(epoch:doc_id), the per-epoch shuffle key: the
+    * same corpus schedules identically on any cluster, and each
+    * epoch's order is an independent deterministic permutation.
+    *
+    * Scale shape: the epoch explode is a narrow Generate (≤⌈w⌉ rows
+    * per doc, map-side — no shuffle), the fraction gate is a
+    * projection over the 60-bit md5 prefix (the house portability
+    * recipe), and the final global sort is the range-partitioned
+    * orderBy a training-shard writer would replace with
+    * `partitionBy(epoch) + sortWithinPartitions(skey)`. The weight is
+    * an arbitrary Column so real deployments pass a weights-table
+    * join; the registered query derives it from the source id to stay
+    * oracle-replayable. */
+  def epochSchedule(docs: DataFrame, weight: Column): DataFrame =
+    docs.select(col("doc_id"), col("source"), weight.as("w"))
+      .withColumn("epoch",
+        explode(sequence(lit(1), ceil(col("w")).cast("int"))))
+      .filter(col("epoch") <= floor(col("w")) ||
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("source"))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+          < (col("w") - floor(col("w"))) * lit(1152921504606846976.0))
+      .select(col("epoch"), col("doc_id"), col("source"),
+        md5(concat_ws(":", col("epoch"), col("doc_id")).cast("binary")).as("skey"))
+      .orderBy("epoch", "skey", "doc_id")
+
+  /** Registered query: weights 1.0/1.5/2.0/2.5 cycling by source
+    * number — every fractional-repetition case (integer weight, half
+    * fraction) in one schedule. */
+  def corpusEpochSchedule(spark: SparkSession, dir: String): DataFrame =
+    epochSchedule(Tables.load(spark, dir, "documents"),
+      lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4) * lit(0.5))
+
   /** PMI collocations — pointwise mutual information over adjacent
     * token pairs: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from
     * the bigram stream (duplicates preserved — [[kgramSql]] k=2) and

@@ -10,6 +10,32 @@ class CorpusSpec extends SparkSuite {
 
   private val dir = SparkSpec.sfTiny
 
+  test("epoch schedule: epoch 1 is the full corpus, every doc repeats floor(w) or ceil(w) times, partition-invariant") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Documents.corpusEpochSchedule(spark, dir).collect()
+    val n = docs.count()
+    assert(out.count(_.getAs[Int]("epoch") == 1).toLong === n,
+      "epoch 1 must contain every document")
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    val fracHits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    docs.select("doc_id", "source").as[(Long, String)].collect().foreach {
+      case (id, src) =>
+        val w = 1.0 + (src.drop(3).toInt % 4) * 0.5
+        val k = perDoc(id)
+        assert(k == math.floor(w).toInt || k == math.ceil(w).toInt,
+          s"doc $id of $src (w=$w) appears $k times")
+        if (w != math.floor(w)) fracHits += (k == math.ceil(w).toInt)
+    }
+    // the md5 gate admits SOME but not ALL of a fractional source
+    assert(fracHits.exists(identity) && fracHits.exists(!_),
+      "the fractional epoch must be a proper subset")
+    // partitioning can't move a content-keyed schedule
+    val repart = Documents.epochSchedule(docs.repartition(13),
+      lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4) * lit(0.5))
+      .collect()
+    assert(repart.toSeq === out.toSeq)
+  }
+
   test("hash sampling is deterministic and near the nominal rate") {
     val a = Documents.docSampleHash(spark, dir).collect().toSeq
     val b = Documents.docSampleHash(spark, dir).collect().toSeq
