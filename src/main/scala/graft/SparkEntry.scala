@@ -187,6 +187,7 @@ object SparkEntry {
     "corpus_upsample" -> (Documents.corpusUpsample _),
     "corpus_shuffle" -> (Documents.corpusShuffle _),
     "corpus_epoch_schedule" -> (Documents.corpusEpochSchedule _),
+    "corpus_length_buckets" -> (Documents.corpusLengthBuckets _),
     "text_pmi" -> (Documents.textPmi _),
     "corpus_histogram" -> (Documents.corpusHistogramQ _),
     "doc_overlap_report" -> (Documents.docOverlapReport _),
@@ -1288,6 +1289,23 @@ object SparkEntry {
         |SELECT epoch::INT AS epoch, doc_id, source,
         |       md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS skey
         |FROM f ORDER BY epoch, skey, doc_id""".stripMargin,
+    // Bit-length bucket (exact integer log2), content-keyed rank
+    // within bucket, batch = rank div/mod batch size.
+    "corpus_length_buckets" ->
+      """WITH s AS (SELECT doc_id,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |             md5(text) AS h
+        |           FROM documents),
+        |b AS (SELECT doc_id, n_tokens, h,
+        |        (length(ltrim(bin(n_tokens), '0')) - 1)::INT AS bucket
+        |      FROM s),
+        |r AS (SELECT doc_id, n_tokens, bucket,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+        |      FROM b)
+        |SELECT doc_id, n_tokens, bucket,
+        |       ((rn - 1) // 8)::BIGINT AS batch_id,
+        |       ((rn - 1) % 8)::INT AS pos
+        |FROM r ORDER BY bucket, batch_id, pos""".stripMargin,
     "text_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |toks AS (SELECT unnest(t) AS tok FROM t),

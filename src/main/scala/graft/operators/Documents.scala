@@ -1936,6 +1936,38 @@ object Documents {
     epochSchedule(Tables.load(spark, dir, "documents"),
       lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4) * lit(0.5))
 
+  /** Length-bucketed batch assembly — the training-loader step that
+    * kills padding waste: batching a 10-token doc with a 1000-token
+    * doc pads the short one to the long one's length, so loaders
+    * group documents into power-of-two token-length buckets and form
+    * fixed-size batches WITHIN a bucket (worst-case pad factor 2×
+    * instead of unbounded). bucket = ⌊log₂(n_tokens)⌋ computed as the
+    * bit length of the integer count (bin-string length — exact in
+    * both engines, where a float log2 can read 2.999…96 at an exact
+    * power of two); within a bucket, docs order by the content key
+    * (md5(text), doc_id) — the same cluster-invariant rank every
+    * sampling operator here uses — and batch_id/pos are integer
+    * div/mod of that rank. One bucket-keyed shuffle for the rank
+    * window (WindowGroupLimit doesn't apply — every row survives);
+    * at lake scale the writer emits `partitionBy(bucket, batch_id)`
+    * shards in the same pass. */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("text").cast("binary")).as("h"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("int"))
+    val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    sized.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"CAST((rn - 1) div $batchSize AS BIGINT)").as("batch_id"),
+        expr(s"CAST((rn - 1) % $batchSize AS INT)").as("pos"))
+      .orderBy("bucket", "batch_id", "pos")
+  }
+
+  def corpusLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketBatches(Tables.load(spark, dir, "documents"))
+
   /** PMI collocations — pointwise mutual information over adjacent
     * token pairs: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from
     * the bigram stream (duplicates preserved — [[kgramSql]] k=2) and

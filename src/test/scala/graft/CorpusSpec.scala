@@ -36,6 +36,28 @@ class CorpusSpec extends SparkSuite {
     assert(repart.toSeq === out.toSeq)
   }
 
+  test("length buckets: 2^b <= n_tokens < 2^(b+1), full batches except the bucket tail, partition-invariant") {
+    val out = Documents.corpusLengthBuckets(spark, dir).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val b = r.getAs[Int]("bucket")
+      assert(n >= (1L << b) && n < (1L << (b + 1)),
+        s"n_tokens $n outside bucket $b")
+    }
+    // every (bucket, batch) except a bucket's last is exactly full,
+    // positions are 0..size-1
+    out.groupBy(r => (r.getAs[Int]("bucket"), r.getAs[Long]("batch_id")))
+      .foreach { case ((b, bid), rows) =>
+        val maxBid = out.filter(_.getAs[Int]("bucket") == b)
+          .map(_.getAs[Long]("batch_id")).max
+        assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq ===
+          (0 until rows.length).toSeq)
+        if (bid < maxBid) assert(rows.length === 8, s"bucket $b batch $bid not full")
+      }
+    val repart = Documents.lengthBucketBatches(
+      Tables.load(spark, dir, "documents").repartition(13)).collect()
+    assert(repart.toSeq === out.toSeq, "content-keyed batching must be partition-invariant")
+  }
+
   test("hash sampling is deterministic and near the nominal rate") {
     val a = Documents.docSampleHash(spark, dir).collect().toSeq
     val b = Documents.docSampleHash(spark, dir).collect().toSeq
