@@ -139,6 +139,7 @@ object SparkEntry {
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
+    "dedup_source_matrix" -> (Documents.dedupSourceMatrixQ _),
     "dedup_containment" -> (Documents.dedupContainment _),
     "dedup_containment_capped" -> (Documents.dedupContainmentCapped _),
     "dedup_minhash" -> (Documents.dedupMinhash _),
@@ -1146,6 +1147,28 @@ object SparkEntry {
         |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    // The same pair CTE, joined back to sources and grouped; the mean
+    // folds the sorted rounded scores (deterministic order both
+    // engines) under the floor contract.
+    "dedup_source_matrix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |        floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+        |      FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
+        |m AS (SELECT least(a.source, b.source) AS src_a,
+        |             greatest(a.source, b.source) AS src_b, j.jaccard
+        |      FROM j JOIN documents a ON j.d1 = a.doc_id
+        |             JOIN documents b ON j.d2 = b.doc_id)
+        |SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+        |       floor(list_reduce(list_sort(list(jaccard)), (x, y) -> x + y)
+        |             / count(*) * 10000 + 0.5) / 10000 AS mean_jaccard
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -181,6 +181,41 @@ object Documents {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
+  /** Cross-source duplication matrix — the observability view over
+    * the near-dup pairs: WHICH sources copy from each other, and how
+    * much. Every mix decision ("drop source X, it's 40% scraped from
+    * Y") starts from this table, but computing it ad hoc means
+    * re-running the pair detection — here it rides the SAME
+    * inverted-index pair pass as [[jaccardPairs]] and just joins the
+    * ≤|pairs| rows back to the (doc_id → source) map twice (broadcast
+    * at any realistic source cardinality — the MAP is docs-sized, so
+    * it joins by doc_id on the pair side, never broadcast itself) and
+    * groups. Sources are ordered within a pair (src_a ≤ src_b) so
+    * A→B and B→A leakage land in one cell; n_pairs counts pairs, and
+    * mean_jaccard (engine-exact floor rounding over the already-
+    * rounded pair scores, summed in deterministic order via the
+    * sorted pair list) says whether the overlap is near-identical
+    * copies or loose templates. */
+  def dedupSourceMatrix(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    val withSrc = pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(
+        least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"),
+        col("jaccard"))
+    withSrc.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("floor(aggregate(array_sort(collect_list(jaccard)), 0D, (a, x) -> a + x)" +
+          " / count(1) * 10000 + 0.5) / 10000").as("mean_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def dedupSourceMatrixQ(spark: SparkSession, dir: String): DataFrame =
+    dedupSourceMatrix(Tables.load(spark, dir, "documents"))
+
   /** ASYMMETRIC containment pairs: C(a,b) = |A∩B| / min(|A|,|B|) —
     * the "one document contains the other" detector Jaccard misses
     * (a paragraph quoted whole inside a long page has low Jaccard but

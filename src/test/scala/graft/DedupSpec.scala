@@ -33,6 +33,19 @@ class DedupSpec extends SparkSuite {
   private lazy val truePairs: Set[(Long, Long)] =
     (0 until 40).map(i => (i.toLong, i + 100L)).toSet
 
+  test("source matrix conserves the pair count and orders its cells") {
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val pairs = Documents.jaccardPairs(docs, threshold = 0.6).count()
+    val m = Documents.dedupSourceMatrix(docs).collect()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum === pairs,
+      "every pair must land in exactly one cell")
+    assert(m.forall(r => r.getAs[String]("src_a") <= r.getAs[String]("src_b")),
+      "cells must be unordered-pair canonical")
+    assert(m.forall { r =>
+      val mj = r.getAs[Double]("mean_jaccard"); mj >= 0.6 && mj <= 1.0
+    }, "mean of >=threshold scores stays in [threshold, 1]")
+  }
+
   test("dedupExact keeps min doc_id per distinct text") {
     val out = planted.groupBy("text").agg(min("doc_id").as("doc_id"))
     assert(out.count() === 80) // 81 rows, one exact dup collapses
