@@ -189,6 +189,7 @@ object SparkEntry {
     "corpus_shuffle" -> (Documents.corpusShuffle _),
     "corpus_epoch_schedule" -> (Documents.corpusEpochSchedule _),
     "corpus_length_buckets" -> (Documents.corpusLengthBuckets _),
+    "corpus_shard_manifest" -> (Documents.corpusShardManifest _),
     "text_pmi" -> (Documents.textPmi _),
     "corpus_histogram" -> (Documents.corpusHistogramQ _),
     "doc_overlap_report" -> (Documents.docOverlapReport _),
@@ -1329,6 +1330,18 @@ object SparkEntry {
         |       ((rn - 1) // 8)::BIGINT AS batch_id,
         |       ((rn - 1) % 8)::INT AS pos
         |FROM r ORDER BY bucket, batch_id, pos""".stripMargin,
+    // Order-independent per-shard integrity: bit_xor of 60-bit content
+    // hashes; sums cast to BIGINT per the HUGEINT rule.
+    "corpus_shard_manifest" ->
+      """WITH s AS (SELECT
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
+        |  FROM documents)
+        |SELECT shard_id, count(*)::BIGINT AS n_docs,
+        |       sum(n_tokens)::BIGINT AS n_tokens,
+        |       bit_xor(content_h)::BIGINT AS checksum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |toks AS (SELECT unnest(t) AS tok FROM t),

@@ -2003,6 +2003,34 @@ object Documents {
   def corpusLengthBuckets(spark: SparkSession, dir: String): DataFrame =
     lengthBucketBatches(Tables.load(spark, dir, "documents"))
 
+  /** Shard manifest — the reproducibility/audit artifact of a corpus
+    * release: every doc hash-routes to a shard, and each shard row
+    * carries its doc count, token count, and an ORDER-INDEPENDENT
+    * content checksum (bit_xor of each doc's 60-bit md5(text) prefix
+    * — xor commutes, so the checksum is identical however partitions
+    * merge, and any single changed/dropped/duplicated document flips
+    * it). Two corpus copies on different clusters compare releases by
+    * diffing 16 manifest rows instead of re-hashing terabytes; the
+    * routing key is md5(doc_id), so a shard's membership is stable
+    * under any repartitioning or re-ingest order. One hash-agg pass,
+    * map-side partials — the cheapest full-corpus integrity sweep
+    * possible. */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.select(
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long") % nShards).as("shard_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("content_h"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr("bit_xor(content_h)").as("checksum"))
+      .orderBy("shard_id")
+
+  def corpusShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.load(spark, dir, "documents"))
+
   /** PMI collocations — pointwise mutual information over adjacent
     * token pairs: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from
     * the bigram stream (duplicates preserved — [[kgramSql]] k=2) and

@@ -58,6 +58,22 @@ class CorpusSpec extends SparkSuite {
     assert(repart.toSeq === out.toSeq, "content-keyed batching must be partition-invariant")
   }
 
+  test("shard manifest: conserves docs and tokens, checksum is order-independent and change-sensitive") {
+    val docs = Tables.load(spark, dir, "documents")
+    val m = Documents.corpusShardManifest(spark, dir).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val repart = Documents.shardManifest(docs.repartition(13)).collect()
+    assert(repart.toSeq === m.toSeq, "manifest must not depend on partitioning")
+    // flipping ONE document's text must flip exactly its shard's checksum
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))
+    val m2 = Documents.shardManifest(tweaked).collect()
+    val diff = m.zip(m2).count { case (a, b) =>
+      a.getAs[Long]("checksum") != b.getAs[Long]("checksum") }
+    assert(diff === 1, s"one changed doc must flip exactly one shard checksum, flipped $diff")
+  }
+
   test("hash sampling is deterministic and near the nominal rate") {
     val a = Documents.docSampleHash(spark, dir).collect().toSeq
     val b = Documents.docSampleHash(spark, dir).collect().toSeq
