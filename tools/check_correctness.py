@@ -34,6 +34,21 @@ def main(out_dir, sf_dir):
             n_skip += 1
             continue
         try:
+            # Type gate BEFORE values: the driver hashes serialized
+            # values, so a DuckDB HUGEINT (promoted integer sum) or
+            # DECIMAL column hash-mismatches Spark's BIGINT/DOUBLE even
+            # when every value is identical — and pandas coercion below
+            # would hide it locally (the round-8 corpus_token_budget
+            # bug passed this checker and failed the driver). Cast in
+            # the oracle SQL (::BIGINT / ::DOUBLE).
+            otypes = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            promoted = [(c[0], c[1]) for c in otypes
+                        if c[1] in ("HUGEINT", "UHUGEINT")
+                        or c[1].startswith("DECIMAL")]
+            if promoted:
+                print(f"FAIL {name}: oracle emits driver-hash-unsafe types {promoted}")
+                n_fail += 1
+                continue
             ora_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
