@@ -1302,7 +1302,7 @@ object SparkEntry {
     // per-epoch deterministic shuffle key.
     "corpus_epoch_schedule" ->
       """WITH d AS (SELECT doc_id, source,
-        |             1 + (substr(source, 4)::INT % 4) * 0.5 AS w
+        |             1 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 4) * 0.5 AS w
         |           FROM documents),
         |e AS (SELECT d.doc_id, d.source, d.w, t.epoch
         |      FROM d, UNNEST(range(1, ceil(d.w)::BIGINT + 1)) AS t(epoch)),

@@ -1964,12 +1964,15 @@ object Documents {
         md5(concat_ws(":", col("epoch"), col("doc_id")).cast("binary")).as("skey"))
       .orderBy("epoch", "skey", "doc_id")
 
-  /** Registered query: weights 1.0/1.5/2.0/2.5 cycling by source
-    * number — every fractional-repetition case (integer weight, half
-    * fraction) in one schedule. */
+  /** Registered query: weights 1.0/1.5/2.0/2.5 assigned by source-name
+    * hash — every fractional-repetition case (integer weight, half
+    * fraction) in one schedule, and the rule holds for ANY source
+    * naming (a substring-parse of the name broke on the synthetic 1M
+    * corpus's source format). */
   def corpusEpochSchedule(spark: SparkSession, dir: String): DataFrame =
     epochSchedule(Tables.load(spark, dir, "documents"),
-      lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4) * lit(0.5))
+      lit(1.0) + (conv(substring(md5(col("source").cast("binary")), 1, 15),
+        16, 10).cast("long") % 4) * lit(0.5))
 
   /** Length-bucketed batch assembly — the training-loader step that
     * kills padding waste: batching a 10-token doc with a 1000-token

@@ -18,9 +18,14 @@ class CorpusSpec extends SparkSuite {
       "epoch 1 must contain every document")
     val perDoc = out.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
     val fracHits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def weightOf(src: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      1.0 + (java.lang.Long.parseLong(hex.take(15), 16) % 4) * 0.5
+    }
     docs.select("doc_id", "source").as[(Long, String)].collect().foreach {
       case (id, src) =>
-        val w = 1.0 + (src.drop(3).toInt % 4) * 0.5
+        val w = weightOf(src)
         val k = perDoc(id)
         assert(k == math.floor(w).toInt || k == math.ceil(w).toInt,
           s"doc $id of $src (w=$w) appears $k times")
@@ -31,7 +36,8 @@ class CorpusSpec extends SparkSuite {
       "the fractional epoch must be a proper subset")
     // partitioning can't move a content-keyed schedule
     val repart = Documents.epochSchedule(docs.repartition(13),
-      lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4) * lit(0.5))
+      lit(1.0) + (conv(substring(md5(col("source").cast("binary")), 1, 15),
+        16, 10).cast("long") % 4) * lit(0.5))
       .collect()
     assert(repart.toSeq === out.toSeq)
   }
