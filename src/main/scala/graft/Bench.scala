@@ -125,18 +125,22 @@ object Bench {
     // record (rounds 6-8 carried "parsed": null). Emit a second,
     // compact line LAST that fits that window and still carries the
     // FULL per-query map: query NAMES are the bulk (~3 KB), so the
-    // medians go out as "values_by_name" — 3-decimal seconds sorted by
-    // query name, reconstructable by zipping with the sorted registry
-    // keys (= the CORRECTNESS record's keys) — plus a small named
-    // headline map for eyeballing. If an outlier run ever pushes the
-    // line past the window, degrade to as many named entries as fit.
+    // medians go out as "values_by_name" — 3-decimal seconds over ALL
+    // ATTEMPTED names sorted (= the sorted registry keys = the
+    // CORRECTNESS record's keys), with `null` at each errored query's
+    // slot so a nonzero error count can never misalign the zip.
+    // Budget: ~6 chars/query + ~200 fixed ≈ 1.35 KB at 190 queries —
+    // ≥500 chars of window headroom (the r9 line with its redundant
+    // 10-entry headline map measured 1,428 chars at 174; the map is
+    // dropped, the full file has the names). If an outlier run ever
+    // pushes past the window, degrade to as many named entries as fit.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val fixed = s""""n_queries":${results.length},"errors":${errors.size},"load_s":${f3(loadS)},"runs":3,"full":"target/bench_latest.json","sf":${jstr(sfDir)}}"""
-    val headlineMap = results.take(10)
-      .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
-    val valuesByName = results.sortBy(_._1).map(r => f3(r._2))
+    val medians = results.toMap
+    val valuesByName = headlineAll.sorted
+      .map(n => medians.get(n).map(f3).getOrElse("null"))
       .mkString("[", ",", "]")
-    val withValues = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$headlineMap,"values_by_name":$valuesByName,$fixed"""
+    val withValues = s"""{"metric":"total","value":${f3(total)},"unit":"sec","values_by_name":$valuesByName,$fixed"""
     val compact =
       if (withValues.length <= 1800) withValues
       else {

@@ -840,15 +840,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "tpch_q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
-        |               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-        |                 AS total_revenue
+        |               sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                              * 100.0 + 0.5) AS BIGINT))::BIGINT
+        |                 AS rev_cents
         |             FROM lineitem
         |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |             GROUP BY 1)
-        |SELECT s.s_suppkey, s.s_name, rev.total_revenue
+        |SELECT s.s_suppkey, s.s_name, rev.rev_cents / 100.0 AS total_revenue
         |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
-        |WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |WHERE rev.rev_cents = (SELECT max(rev_cents) FROM rev)
         |ORDER BY s.s_suppkey""".stripMargin,
     "tpch_q17_small_qty" ->
       """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
@@ -1596,10 +1597,16 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // quotas via sqrt (IEEE-correctly-rounded in both engines, unlike
     // pow) and the floor(x+0.5) portable rounding; within-lang order is
-    // the content-keyed (md5(text), doc_id) rank, as in corpus_reservoir
+    // the content-keyed (md5(text), doc_id) rank, as in corpus_reservoir.
+    // z accumulates via a LEFT FOLD IN SORTED LANG ORDER (list_reduce
+    // over list(... ORDER BY lang)) mirroring the Spark side's sorted
+    // driver fold — an order-arbitrary sum(sqrt(c)) could differ by an
+    // ulp and flip a quota sitting on a .5 floor boundary.
     "corpus_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
-        |t AS (SELECT sum(sqrt(c)) AS z, sum(c) AS n FROM c),
+        |t AS (SELECT list_reduce(list(sqrt(c) ORDER BY lang),
+        |                         (a, b) -> a + b) AS z,
+        |             sum(c) AS n FROM c),
         |q AS (SELECT lang, floor(floor(n * 0.2 + 0.5) * sqrt(c) / z + 0.5)::BIGINT AS quota
         |      FROM c, t),
         |r AS (SELECT doc_id, lang,

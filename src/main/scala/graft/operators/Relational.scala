@@ -1557,20 +1557,26 @@ object Relational {
 
   /** TPC-H Q15 (top supplier): quarterly revenue per supplier, then
     * the supplier(s) hitting the maximum — the scalar-subquery-on-an-
-    * aggregate shape. Revenue is rounded to cents BEFORE the max and
-    * the equality join, so the cross-engine compare is exact. */
+    * aggregate shape. Each LINE's revenue is rounded to integer cents
+    * (floor(x·100+0.5), a per-row IEEE-identical op in both engines)
+    * and summed as BIGINT, so the aggregate — and therefore the max and
+    * the equality join — is integer-exact regardless of partition
+    * accumulation order; a post-aggregate round(sum(double)) could land
+    * within an ulp of a .005 boundary and flip the match run-to-run. */
   def tpchQ15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lineCents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0) + lit(0.5)).cast("long")
     val rev = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
         col("l_shipdate") < ts("1996-04-01 00:00:00"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("total_revenue"))
-    val maxRev = rev.agg(max("total_revenue").as("mx"))
+      .agg(sum(lineCents).as("rev_cents"))
+    val maxRev = rev.agg(max("rev_cents").as("mx"))
     Tables.load(spark, dir, "supplier")
       .join(rev, col("s_suppkey") === col("l_suppkey"))
-      .join(broadcast(maxRev), col("total_revenue") === col("mx"))
-      .select("s_suppkey", "s_name", "total_revenue")
+      .join(broadcast(maxRev), col("rev_cents") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / lit(100.0)).as("total_revenue"))
       .orderBy("s_suppkey")
   }
 
