@@ -122,6 +122,11 @@ object SparkEntry {
     "tpch_q17_small_qty" -> (Relational.tpchQ17SmallQty _),
     "tpch_q21_waiting" -> (Relational.tpchQ21Waiting _),
     "tpch_q22_opportunity" -> (Relational.tpchQ22Opportunity _),
+    "tpch_q2_min_cost" -> (Relational.tpchQ2MinCost _),
+    "tpch_q9_profit" -> (Relational.tpchQ9Profit _),
+    "tpch_q11_stock" -> (Relational.tpchQ11Stock _),
+    "tpch_q16_supplier_cnt" -> (Relational.tpchQ16SupplierCnt _),
+    "tpch_q20_promotion" -> (Relational.tpchQ20Promotion _),
     "agg_regression" -> (Relational.aggRegression _),
     "events_active_users" -> (Relational.eventsActiveUsers _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
@@ -285,6 +290,17 @@ object SparkEntry {
       |r AS (SELECT q_id, vec_id, sim,
       |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
       |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+
+  /** Shared oracle CTE mirroring [[Relational.partsupp]]: the observed
+    * (l_partkey, l_suppkey) pairs with availqty/supplycost synthesized
+    * by the SAME integer modular arithmetic — supplycost in BIGINT
+    * cents so every downstream min/sum/comparison is integer-exact. */
+  private val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         ((l_partkey * 7 + l_suppkey * 11) % 100 + 1)::INT AS ps_availqty,
+      |         ((l_partkey * 13 + l_suppkey * 17) % 1000 + 100)::BIGINT AS ps_cost_cents
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_join_avg" ->
@@ -893,6 +909,88 @@ object SparkEntry {
         |                  WHERE o.o_custkey = cust.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q2_min_cost" ->
+      s"""WITH $partsuppCte,
+        |eur AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |        FROM supplier s
+        |        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |        JOIN region r ON n.n_regionkey = r.r_regionkey
+        |        WHERE r.r_name = 'EUROPE'),
+        |c AS (SELECT ps.ps_partkey, ps.ps_cost_cents,
+        |             e.s_acctbal, e.s_name, e.n_name
+        |      FROM partsupp ps JOIN eur e ON ps.ps_suppkey = e.s_suppkey),
+        |m AS (SELECT ps_partkey AS m_partkey, min(ps_cost_cents) AS min_cents
+        |      FROM c GROUP BY 1)
+        |SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey,
+        |       c.ps_cost_cents / 100.0 AS ps_supplycost
+        |FROM c
+        |JOIN part p ON c.ps_partkey = p.p_partkey
+        |JOIN m ON c.ps_partkey = m.m_partkey AND c.ps_cost_cents = m.min_cents
+        |WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+        |ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q9_profit" ->
+      s"""WITH $partsuppCte,
+        |profit AS (
+        |  SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+        |         CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)
+        |                - (ps.ps_cost_cents / 100.0) * l.l_quantity)
+        |               * 100.0 + 0.5) AS BIGINT) AS amount_cents
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN partsupp ps ON l.l_partkey = ps.ps_partkey
+        |                  AND l.l_suppkey = ps.ps_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE 'red%')
+        |SELECT nation, o_year, sum(amount_cents)::BIGINT / 100.0 AS sum_profit
+        |FROM profit GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q11_stock" ->
+      s"""WITH $partsuppCte,
+        |v AS (SELECT ps.ps_partkey,
+        |             sum(ps.ps_cost_cents * ps.ps_availqty)::BIGINT AS vc
+        |      FROM partsupp ps
+        |      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        |      JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |      WHERE n.n_name = 'NATION_7'
+        |      GROUP BY 1),
+        |t AS (SELECT 1.5 * (CAST(sum(vc)::BIGINT AS DOUBLE) / count(*)) AS cut
+        |      FROM v)
+        |SELECT ps_partkey, vc / 100.0 AS value
+        |FROM v, t WHERE vc > cut
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "tpch_q16_supplier_cnt" ->
+      s"""WITH $partsuppCte
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        |FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                            WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q20_promotion" ->
+      s"""WITH $partsuppCte
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND s.s_suppkey IN (
+        |    SELECT ps.ps_suppkey
+        |    FROM partsupp ps
+        |    JOIN part p ON ps.ps_partkey = p.p_partkey
+        |    JOIN (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |          FROM lineitem
+        |          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |          GROUP BY 1, 2) q
+        |      ON ps.ps_partkey = q.l_partkey AND ps.ps_suppkey = q.l_suppkey
+        |    WHERE p.p_name LIKE 'small%'
+        |      AND ps.ps_availqty > 0.5 * q.qty)
+        |ORDER BY s.s_name""".stripMargin,
     "events_attribution" ->
       """SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts,
         |       round(c.value, 4) AS value

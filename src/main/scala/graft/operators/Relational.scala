@@ -1664,4 +1664,166 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
       .orderBy("cntrycode")
   }
+
+  /** Derived PARTSUPP — the testdata has no partsupp parquet, and its
+    * lineitem assigns suppliers to parts at random (13-41 distinct
+    * suppliers per part, NOT dbgen's 4-supplier modular rule), so a
+    * formula-generated partsupp would orphan ~96% of lineitem's
+    * (partkey, suppkey) pairs and hollow out Q9/Q20's joins. Instead
+    * partsupp is reconstructed as the OBSERVED supplier-part
+    * relationships — `SELECT DISTINCT l_partkey, l_suppkey` — with
+    * availqty/supplycost synthesized from the keys by integer modular
+    * arithmetic, so both engines derive bit-identical columns and the
+    * TPC-H invariant partsupp ⊇ lineitem-pairs holds. supplycost is
+    * carried as integer CENTS (BIGINT, $1.00-$10.99) so every
+    * downstream aggregate/min/comparison is integer-exact; /100.0 only
+    * at presentation. At scale the derivation is one pair-keyed
+    * distinct over the fact table — a fixture build, paid per query
+    * here for bench isolation (each query stands alone). */
+  def partsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        ((col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 100 + 1).cast("int"))
+      .withColumn("ps_cost_cents",
+        ((col("ps_partkey") * 13 + col("ps_suppkey") * 17) % 1000 + 100).cast("long"))
+
+  /** TPC-H Q2 (minimum-cost supplier): for STANDARD parts up to size
+    * 15, the EUROPE supplier(s) quoting each part's minimum supplycost
+    * — the correlated-min-subquery shape, decorrelated into a per-part
+    * min aggregate joined back on (partkey, min cents). The min and
+    * the equality are over integer cents, so no rounding can flip a
+    * match. The order-by keys (acctbal desc, nation, supplier, part) are a
+    * total order on the output rows, making LIMIT 100 deterministic. */
+  def tpchQ2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val nation = Tables.load(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ps = partsupp(spark, dir).join(supp, col("ps_suppkey") === col("s_suppkey"))
+    val minCost = ps.groupBy(col("ps_partkey").as("m_partkey"))
+      .agg(min("ps_cost_cents").as("min_cents"))
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+      .select("p_partkey")
+    ps.join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+      .join(minCost,
+        col("ps_partkey") === col("m_partkey") && col("ps_cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        (col("ps_cost_cents") / lit(100.0)).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 (product-type profit): per supplier nation per order
+    * year, profit on 'red%' parts = line revenue minus supply cost.
+    * Each LINE's profit is floor-rounded to integer cents and summed
+    * as BIGINT (the q15 rule: a sum of revenue-minus-cost doubles is
+    * exactly the accumulation-order ulp trap), presented as /100.0. */
+  def tpchQ9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val nation = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      (col("ps_cost_cents") / lit(100.0)) * col("l_quantity")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(partsupp(spark, dir),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        floor(amount * lit(100.0) + lit(0.5)).cast("long").as("amount_cents"))
+      .groupBy("nation", "o_year")
+      .agg((sum("amount_cents") / lit(100.0)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock): NATION_7 suppliers' per-part stock
+    * value, keeping parts above 1.5× the mean per-part value — the
+    * HAVING-over-scalar-subquery shape. The TPC-H fraction literal
+    * (0.0001/SF) is scale-dependent; the mean-based cut is the
+    * scale-invariant equivalent. value accumulates as exact BIGINT
+    * cents (cost_cents × availqty), and the threshold is the same
+    * double (1.5 · total/cnt of exact integers) in both engines, so
+    * the comparison is deterministic. */
+  def tpchQ11Stock(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(spark, dir, "nation")
+      .filter(col("n_name") === "NATION_7").select("n_nationkey")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = partsupp(spark, dir)
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("vc"))
+    val thresh = v.agg(
+      (lit(1.5) * (sum("vc").cast("double") / count(lit(1)))).as("cut"))
+    v.crossJoin(broadcast(thresh))
+      .filter(col("vc") > col("cut"))
+      .select(col("ps_partkey"), (col("vc") / lit(100.0)).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    * per (brand, type, size) bucket, excluding one brand, one type,
+    * off-list sizes, and flagged suppliers (negative balance stands in
+    * for the missing comment column's complaint scan) — the
+    * NOT-IN-subquery + grouped COUNT DISTINCT shape, the exclusion as
+    * a broadcast anti join. */
+  def tpchQ16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("x_suppkey"))
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partsupp(spark, dir)
+      .join(part, col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("ps_suppkey") === col("x_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 (potential part promotion): ASIA suppliers whose stock
+    * of 'small%' parts exceeds half of what they shipped in 1996 — the
+    * correlated-sum-subquery shape, decorrelated into a pair-keyed
+    * 1996-quantity aggregate joined to partsupp, then a semi join into
+    * supplier. qty is a sum of integer-valued doubles (exact in IEEE
+    * regardless of order), availqty an INT — the 0.5· comparison
+    * cannot diverge across engines. */
+  def tpchQ20Promotion(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val shipped = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum("l_quantity").as("qty"))
+    val cand = partsupp(spark, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+      .select("ps_suppkey")
+    val asia = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val asiaNations = Tables.load(spark, dir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    Tables.load(spark, dir, "supplier")
+      .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name")
+  }
 }

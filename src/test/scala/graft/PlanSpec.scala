@@ -250,6 +250,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("tpch_q2's correlated min decorrelates to a per-part agg join, no cartesian") {
+    val p = plan(Relational.tpchQ2MinCost(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // part slice + dims
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tpch_q9 broadcasts part/nation dims; the pair join to partsupp is hash, not NL") {
+    val p = plan(Relational.tpchQ9Profit(spark, SparkSpec.sfTiny))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tpch_q11's scalar threshold joins as a 1-row broadcast, never a cartesian") {
+    val p = plan(Relational.tpchQ11Stock(spark, SparkSpec.sfTiny))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tpch_q20's IN-subquery plans as a left semi join into supplier") {
+    val p = plan(Relational.tpchQ20Promotion(spark, SparkSpec.sfTiny))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("decontaminate broadcasts the eval shingles; corpus never shuffles on the shingle") {
     val p = plan(graft.operators.Documents.docDecontaminate(spark, SparkSpec.sfTiny))
     assert(p.contains("LeftSemi"), p.take(2000))
