@@ -216,6 +216,7 @@ object SparkEntry {
     "embed_pca_planted" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Embeddings.embedPcaPlanted(s, d)),
     "embed_ann_auto" -> (Embeddings.embedAnnAuto _),
+    "embed_ann_auto_clustered" -> (Embeddings.embedAnnAutoClustered _),
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "embed_outliers" -> (Embeddings.embedOutliersQ _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
@@ -1894,6 +1895,14 @@ object SparkEntry {
     // shares the query's top-1 cell, which every probe visits, and no
     // background vector comes near cosine 1.0 — rank 1 is closed-form.
     "embed_ann_ivf_planted" ->
+      """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
+        |       1.0::DOUBLE AS sim, 1::INT AS rnk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
+    // The auto-router's IVF branch: the clustered-twin corpus flips the
+    // route to IVF (EmbeddingsSpec pins the probe >= the cut), and the
+    // planted clone is the closed-form rank-1 answer through that
+    // branch's full fit -> assign -> probe -> score pipeline.
+    "embed_ann_auto_clustered" ->
       """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
         |       1.0::DOUBLE AS sim, 1::INT AS rnk
         |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,

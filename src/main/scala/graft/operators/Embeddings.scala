@@ -671,9 +671,50 @@ object Embeddings {
     * margin and routes to the sketch path, so the output — and the
     * oracle SQL — are exactly `embed_ann_lsh`'s; if a corpus change
     * ever flips the route, the oracle compare surfaces it as a red
-    * row instead of silently shifting recall. */
+    * row instead of silently shifting recall. The router's OTHER
+    * branch runs under [[embedAnnAutoClustered]]'s driver oracle. */
   def embedAnnAuto(spark: SparkSession, dir: String): DataFrame =
     annAuto(Tables.load(spark, dir, "embeddings"), col("vec_id") < 10, k = 10)
+
+  /** Deterministically clustered twin of an embeddings corpus: each
+    * vector keeps its original embedding as in-cluster noise around a
+    * strong axis anchor (+4.0 on dimension `vec_id mod 8`). Eight
+    * norm-4 anchors against unit-scale noise put every member at
+    * cosine ≈0.97 to its cluster direction, so [[probeClusteredness]]
+    * measures tightness ≥0.9 — decisively across [[annAuto]]'s 0.75
+    * cut from the OPPOSITE side than the raw driver corpus
+    * (0.48–0.55). Pure per-row arithmetic on the driver tables: no
+    * bespoke fixture file, and the k-means fit still runs on real
+    * vectors, not synthetic ones. */
+  def clusteredTwin(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x.cast("double") +
+          when(i === pmod(col("vec_id"), lit(8)).cast("int"), lit(4.0))
+            .otherwise(lit(0.0))).as("embedding"))
+
+  /** Registered query (HARD oracle, planted-structure recipe): the
+    * auto-router's IVF BRANCH under a driver oracle — the one shipping
+    * path round 9 left uncovered, because the driver corpus always
+    * routes to the sketch. The corpus is [[clusteredTwin]] of the
+    * embeddings table (measured tightness ≥0.9 ⇒ the probe routes to
+    * IVF; EmbeddingsSpec pins the route by asserting the same probe ≥
+    * the cut with buffer), with an exact clone of each query planted
+    * under `vec_id + 10M`. The clone shares the query's argmax cell,
+    * every probe set includes the query's own top-1 cell, and nothing
+    * non-identical comes within 0.04 of cosine 1.0 on this geometry —
+    * so rank 1 is the clone, closed-form, for ANY IVF geometry: a
+    * routing, posting-list, probe, or scoring bug all turn the row
+    * red. */
+  def embedAnnAutoClustered(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredTwin(Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+    val clones = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    annAuto(corpus.union(clones), col("vec_id") < 10, k = 10)
+      .filter(col("rnk") === 1)
+      .orderBy("q_id")
+  }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings" —

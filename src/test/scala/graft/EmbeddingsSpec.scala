@@ -238,6 +238,33 @@ class EmbeddingsSpec extends SparkSuite {
     assert(autoC === ivfC, "clustered corpus must route to the IVF path")
   }
 
+  test("embed_ann_auto_clustered: the twin pins the IVF route and the clone is rank 1") {
+    // THE route pin for the registered query: the same probe + cut the
+    // router evaluates, with buffer, on the same derived corpus. If a
+    // table or probe change ever drops this under 0.75, the registered
+    // row would silently verify the sketch branch instead — this
+    // assertion makes that a test failure, not a coverage hole.
+    val twin = Embeddings.clusteredTwin(emb)
+    val probe = Embeddings.probeClusteredness(twin)
+    assert(probe.tightness >= 0.85,
+      s"clustered twin tightness ${probe.tightness} must clear the 0.75 cut with buffer")
+    val rows = Embeddings.embedAnnAutoClustered(spark, SparkSpec.sfTiny).collect()
+    val nq = emb.filter(col("vec_id") < 10).count().toInt
+    assert(rows.length === nq, "one rank-1 row per query")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("q_id") + 10000000L,
+        "rank 1 must be the planted clone")
+      assert(r.getAs[Double]("sim") === 1.0)
+    }
+    // and the auto output on this corpus IS the IVF output, row for row
+    val clones = twin.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    val corpus = twin.union(clones)
+    val auto = Embeddings.annAuto(corpus, col("vec_id") < 10, k = 10).collect().toSeq
+    val ivf = Embeddings.annIvf(corpus, col("vec_id") < 10, k = 10).collect().toSeq
+    assert(auto === ivf, "clustered twin must route to the IVF path")
+  }
+
   test("annIvf (k-means) recall@10 >= 0.9 on the DRIVER corpus with registered params") {
     // The round-3 label-derived quantizer capped recall at ~0.45 here
     // (labels ≈ random w.r.t. cosine geometry); seeded Lloyd k-means
