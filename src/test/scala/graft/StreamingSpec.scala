@@ -147,6 +147,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming shard manifest equals the batch manifest after N micro-batches, any order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ManifestIngest
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      .select("doc_id", "text")
+    val batch = graft.operators.Documents.shardManifest(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // DELIBERATELY shuffled replay (reverse doc_id order), uneven
+    // micro-batches: xor/count/sum merges make the standing manifest
+    // order-independent — the stronger-than-ordered-replay contract.
+    val rows = docs.orderBy(col("doc_id").desc)
+      .as[(Long, String)].collect()
+      .map { case (id, text) => ManifestIngest.Doc(id, text) }
+    val stream = MemoryStream[ManifestIngest.Doc]
+    val q = ManifestIngest.maintainManifest(stream.toDS())
+      .writeStream.format("memory").queryName("manifest_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      Seq(rows.take(7), rows.slice(7, 100), rows.drop(100)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // latest row per shard = the standing manifest (n_docs grows
+      // monotonically per shard, so max-by-count is the latest row
+      // without leaning on the memory sink's row order)
+      val streamed = spark.table("manifest_test")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      assert(streamed === batch,
+        "the standing manifest must equal shardManifest(corpus) after the stream drained")
+    } finally q.stop()
+  }
+
   test("streaming histogram equals the batch histogram on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "en"))
