@@ -9,12 +9,16 @@ import org.apache.spark.sql.execution.ExplainMode
   * that makes it scale (the same properties PlanSpec asserts — this
   * file is the human-readable audit trail, the spec is the gate).
   *
-  * Usage: `runMain graft.tools.DumpPlans [sfDir]` (default sf0.001 —
-  * plan SHAPE is scale-invariant; AQE re-plans sizes at runtime).
+  * Usage: `runMain graft.tools.DumpPlans [sfDir] [outPath]` (default
+  * sf0.001 — plan SHAPE is scale-invariant; AQE re-plans sizes at
+  * runtime). `outPath` (default PLANS.md) lets `tools/plan_gate.py`
+  * dump the CURRENT plans to a scratch file and diff their normalized
+  * shapes against the committed PLANS.md without touching it.
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outPath = args.lift(1).getOrElse("PLANS.md")
     val spark = graft.GraftSession.local(4)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,7 +66,9 @@ object DumpPlans {
       "embed_ann_auto" -> "clusteredness-routed: this corpus routes to the sketch path (Hamming pre-filter + exact rerank); the probe's fit is memoized with the IVF quantizer",
       "dedup_semantic" -> "planted-clone union; centroid-cell self-join compares cosines only within cells — Σ(cell choose 2), never all-pairs",
       "embed_bitext_mine" -> "queries broadcast vs the target side, candidates broadcast back for reverse neighborhoods — two corpus scans, no self-join",
-      "tpch_q21_waiting" -> "EXISTS/NOT EXISTS chain as multiplicity-preserving semi + anti joins; nation broadcast")
+      "tpch_q21_waiting" -> "EXISTS/NOT EXISTS chain as multiplicity-preserving semi + anti joins; nation broadcast",
+      "tpch_q9_profit" -> "derived partsupp joins the fact on the (partkey, suppkey) pair; part/nation broadcast; per-line cents summed as BIGINT",
+      "embed_ann_auto_clustered" -> "clustered-twin corpus routes to the IVF branch: posting lists persisted cid-partitioned, queries broadcast into probed cells")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
@@ -75,8 +81,8 @@ object DumpPlans {
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
       graft.Caches.release(spark)
     }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[dumpplans] wrote PLANS.md (${picks.size} queries)")
+    Files.writeString(Paths.get(outPath), sb.toString)
+    println(s"[dumpplans] wrote $outPath (${picks.size} queries)")
     spark.stop()
   }
 }
