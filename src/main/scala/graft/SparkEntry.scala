@@ -165,6 +165,7 @@ object SparkEntry {
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
+    "text_quality_model" -> (Documents.textQualityModel _),
     "text_gopher_rules" -> (Documents.textGopherRules _),
     "text_normalize" -> (Documents.textNormalize _),
     "text_repetition" -> (Documents.textRepetition _),
@@ -212,6 +213,8 @@ object SparkEntry {
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
     "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
     "embed_ann_ivf_planted" -> (Embeddings.embedAnnIvfPlanted _),
+    "embed_ann_ivfpq" -> (Embeddings.embedAnnIvfPq _),
+    "embed_ann_ivfpq_planted" -> (Embeddings.embedAnnIvfPqPlanted _),
     "embed_pq_planted" -> (Embeddings.embedPqPlanted _),
     "embed_pca_planted" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Embeddings.embedPcaPlanted(s, d)),
@@ -1601,6 +1604,22 @@ object SparkEntry {
         |  floor((alpha_frac * 0.3 + distinct_frac * 0.3 + len_frac * 0.2
         |        + least(stop_ratio * 5, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Feature-hashed linear scorer: integer formula weights keep the
+    // per-doc sum BIGINT-exact; quality is one division of exact
+    // integers — the identical double in both engines.
+    "text_quality_model" ->
+      """WITH w AS (SELECT i AS bucket, (i * 37 + 11) % 101 - 50 AS wt
+        |           FROM (SELECT unnest(range(1024)) AS i)),
+        |tok AS (SELECT doc_id,
+        |          ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS bucket
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |              FROM documents)),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |             sum(wt)::BIGINT AS score_sum
+        |      FROM tok JOIN w USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_tokens, score_sum,
+        |       CAST(score_sum AS DOUBLE) / n_tokens AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id,
@@ -1895,6 +1914,13 @@ object SparkEntry {
     // shares the query's top-1 cell, which every probe visits, and no
     // background vector comes near cosine 1.0 — rank 1 is closed-form.
     "embed_ann_ivf_planted" ->
+      """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
+        |       1.0::DOUBLE AS sim, 1::INT AS rnk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
+    // Same closed form through the composite IVF-PQ index: the clone's
+    // codes equal the query's, its cells are a prefix of the probe
+    // list, and the >=0.4 ADC margin carries it through the prerank.
+    "embed_ann_ivfpq_planted" ->
       """SELECT vec_id AS q_id, (vec_id + 10000000)::BIGINT AS vec_id,
         |       1.0::DOUBLE AS sim, 1::INT AS rnk
         |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,

@@ -202,6 +202,78 @@ object VectorExpressions {
       copy(left = newFirst, right = newSecond, gate = newThird)
   }
 
+  /** `pq_adc(codes, lut)` — asymmetric-distance computation, the inner
+    * loop of an IVFPQ scan (Jégou et al. 2011 §IV): with a per-QUERY
+    * lookup table `lut[s·k + c] = ⟨q_s, codeword_{s,c}⟩` already built,
+    * a corpus vector's dot against the query reconstructs from its m
+    * code bytes as Σ_s lut[s·k + codes[s]] — m table adds per pair
+    * instead of a d-element dot (8 vs 64 here). The LUT build is
+    * m·k·(d/m) = d·k madds ONCE per query; the scan then never touches
+    * float vectors at all. Null codes / a code outside [0, k) poison
+    * to null (the latter means the LUT and codebook disagree — a
+    * caller bug that must surface, not read garbage). */
+  case class PqAdc(codes: Expression, lut: Expression, k: Int)
+      extends BinaryExpression {
+    require(k > 0, s"codebook size must be positive, got $k")
+    override def left: Expression = codes
+    override def right: Expression = lut
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_adc"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (codes.dataType, lut.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other =>
+          TypeCheckResult.TypeCheckFailure(
+            s"need (array<int>, array<double>), got $other")
+      }
+
+    override def nullSafeEval(c: Any, l: Any): Any = {
+      val cd = c.asInstanceOf[ArrayData]
+      val ld = l.asInstanceOf[ArrayData]
+      val m = cd.numElements()
+      if (ld.numElements() != m * k) return null
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        if (cd.isNullAt(s)) return null
+        val code = cd.getInt(s)
+        if (code < 0 || code >= k) return null
+        if (ld.isNullAt(s * k + code)) return null
+        acc += ld.getDouble(s * k + code)
+        s += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) => {
+        val s = ctx.freshName("s")
+        val m = ctx.freshName("m")
+        val code = ctx.freshName("code")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $c.numElements();
+           |double $acc = 0.0;
+           |if ($l.numElements() != $m * $k) { ${ev.isNull} = true; }
+           |for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
+           |  if ($c.isNullAt($s)) { ${ev.isNull} = true; break; }
+           |  int $code = $c.getInt($s);
+           |  if ($code < 0 || $code >= $k ||
+           |      $l.isNullAt($s * $k + $code)) { ${ev.isNull} = true; break; }
+           |  $acc += $l.getDouble($s * $k + $code);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(codes = newLeft, lut = newRight)
+  }
+
   /** `sign_sketch(emb)` — nBits sign-random-projection bits packed
     * into nBits/64 longs: bit p of word w is set iff
     * ⟨emb, signs[w·64+p]⟩ > 0. One pass over the embedding (outer loop
@@ -802,6 +874,10 @@ object VectorExpressions {
   def gatedVecDot(a: Column, b: Column, gate: Column, prefix: Int = 16): Column =
     ColumnBridge.column(GatedVecDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b), ColumnBridge.expression(gate), prefix))
+
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), k))
 
   def signSketch(emb: Column, signs: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignSketch(ColumnBridge.expression(emb), signs))

@@ -884,6 +884,43 @@ object Documents {
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Feature-hashed LINEAR quality scorer — the fastText/CCNet serving
+    * shape for a LEARNED document-quality classifier (hash each token
+    * into D buckets, look the bucket's trained weight up, average over
+    * the document), complementing [[qualityScore]]'s hand-set
+    * heuristics: in production the weight table comes out of training,
+    * and scoring a corpus is exactly this plan. The weights here are a
+    * deterministic formula over the bucket id ((b·37+11) mod 101 − 50)
+    * standing in for trained values — swapping the 1024-row frame for
+    * a real weight table changes nothing in the plan — and they are
+    * INTEGERS, so the per-doc aggregate is BIGINT-exact and the final
+    * quality (= score_sum/n_tokens, one division of exact integers) is
+    * the identical double in both engines.
+    *
+    * Scale shape: the token explode is a narrow Generate; the weight
+    * table broadcasts (D rows, hinted); the per-doc aggregate's
+    * map-side partials collapse each document's tokens BEFORE the
+    * exchange (a doc's tokens never cross tasks — explode keeps them
+    * in the scan task), so the shuffle carries doc-count rows, not
+    * token-count. */
+  def qualityModelScore(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    val weights = broadcast(docs.sparkSession.range(0, nBuckets)
+      .select(col("id").as("bucket"), ((col("id") * 37 + 11) % 101 - 50).as("wt")))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % nBuckets).as("bucket"))
+      .join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        (col("score_sum").cast("double") / col("n_tokens")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def textQualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityModelScore(Tables.load(spark, dir, "documents"))
+
   /** Gopher-style HARD quality rules (Rae et al. 2021, App. A) — the
     * other half of quality filtering: [[qualityScore]] ranks, this
     * GATES. Each rule is a named boolean so a curation run can report

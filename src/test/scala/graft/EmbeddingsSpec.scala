@@ -48,6 +48,38 @@ class EmbeddingsSpec extends SparkSuite {
     assert(recall >= 0.9, s"mean recall@10 $recall (per-query: ${recalls.toSeq.sorted})")
   }
 
+  test("annIvfPq: composite recall@10 vs brute force; planted clone is rank 1") {
+    val emb = Tables.load(spark, SparkSpec.sfSmall, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Embeddings.annIvfPq(emb, col("vec_id") < 10, k = 10,
+      nCentroids = 16, nProbe = 5, nAssign = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      truth.count(approx.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    // the composite pays BOTH losses on this structureless corpus: the
+    // IVF cell miss (~0.93 alone at 16/5/3) and the PQ prerank miss
+    // (exact rerank restores ranking but not candidates the ADC never
+    // surfaced) — the honest bar is below either half's own
+    assert(recall >= 0.8, s"mean recall@10 $recall (per-query: ${recalls.toSeq.sorted})")
+
+    // planted clone: codes identical, cells a prefix of the probe
+    // list, ADC margin >= 0.4 -> rank 1 at cosine exactly 1.0
+    val rows = Embeddings.embedAnnIvfPqPlanted(spark, SparkSpec.sfTiny).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("q_id") + 10000000L)
+      assert(r.getAs[Double]("sim") === 1.0)
+    }
+  }
+
   /** IVF needs a corpus whose clusters align with cosine geometry —
     * on the driver's embeddings table only 11% of true top-10
     * neighbors share the query's label (measured via DuckDB), so no

@@ -87,6 +87,33 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("pqAdc equals the reconstruction dot it shortcuts; bad codes poison to null") {
+    // m=2 subspaces, k=4 codewords of sub=3 dims; q fixed; lut built
+    // the same way annIvfPq builds it: lut[s*4+c] = <q_s, codeword>
+    val books: Seq[Seq[Seq[Double]]] = Seq(
+      (0 until 4).map(c => Seq(c + 0.5, c - 1.0, 0.25 * c)),
+      (0 until 4).map(c => Seq(1.0 - c, 0.5 * c, c + 0.125)))
+    val q = Seq(0.3, -1.2, 2.0, 0.7, 0.9, -0.4)
+    val lut: Seq[Double] = books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.map(cw => cw.zip(q.slice(s * 3, s * 3 + 3)).map { case (a, b) => a * b }.sum)
+    }
+    val rows = Seq((0L, Seq(1, 3)), (1L, Seq(2, 0)), (2L, Seq(3, 3)))
+    val out = rows.toDF("id", "codes")
+      .select(col("id"),
+        VectorExpressions.pqAdc(col("codes"), typedlit(lut), 4).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, codes) =>
+      val recon = books(0)(codes(0)) ++ books(1)(codes(1))
+      val full = recon.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(out(id) - full) < 1e-12,
+        s"adc ${out(id)} must equal the reconstruction dot $full")
+    }
+    val bad = Seq((0L, Seq(1, 9)), (1L, Seq(1, 3, 2))).toDF("id", "codes")
+      .select(VectorExpressions.pqAdc(col("codes"), typedlit(lut), 4)).collect()
+    assert(bad.forall(_.isNullAt(0)),
+      "out-of-range code and m/lut length mismatch must both poison to null")
+  }
+
   test("signSketch matches the interpreted sign-projection fold") {
     val nBits = 128
     val rng = new scala.util.Random(42)
