@@ -196,6 +196,7 @@ object SparkEntry {
     "corpus_epoch_schedule" -> (Documents.corpusEpochSchedule _),
     "corpus_length_buckets" -> (Documents.corpusLengthBuckets _),
     "corpus_shard_manifest" -> (Documents.corpusShardManifest _),
+    "corpus_release_diff" -> (Documents.corpusReleaseDiff _),
     "text_pmi" -> (Documents.textPmi _),
     "corpus_histogram" -> (Documents.corpusHistogramQ _),
     "doc_overlap_report" -> (Documents.docOverlapReport _),
@@ -1445,6 +1446,28 @@ object SparkEntry {
         |       sum(n_tokens)::BIGINT AS n_tokens,
         |       bit_xor(content_h)::BIGINT AS checksum
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The derived previous release makes the diff closed-form: every
+    // 50th doc missing (added), every 30th edited (changed), every
+    // 70th also present under a phantom id (removed).
+    "corpus_release_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 30 = 0 THEN text || ' legacy'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, source, text FROM documents
+        |  WHERE doc_id % 70 = 0),
+        |c AS (SELECT doc_id, source AS src_c, md5(text) AS h_c FROM documents),
+        |p AS (SELECT doc_id, source AS src_p, md5(text) AS h_p FROM prev),
+        |j AS (SELECT coalesce(src_c, src_p) AS source,
+        |        CASE WHEN h_p IS NULL THEN 'added'
+        |             WHEN h_c IS NULL THEN 'removed'
+        |             WHEN h_c <> h_p THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM c FULL OUTER JOIN p USING (doc_id))
+        |SELECT source, status, count(*)::BIGINT AS n
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |toks AS (SELECT unnest(t) AS tok FROM t),

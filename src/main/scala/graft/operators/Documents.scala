@@ -2071,6 +2071,45 @@ object Documents {
   def corpusShardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifest(Tables.load(spark, dir, "documents"))
 
+  /** Release diff — the other half of the audit story next to
+    * [[shardManifest]]: when two corpus releases' manifests DISAGREE,
+    * this reports what moved, as per-(source, status) counts over
+    * added / removed / changed / unchanged documents (content compared
+    * by md5, membership by doc_id). Scale shape: each release is
+    * reduced map-side to (doc_id, source, 32-byte hash) — the text
+    * never crosses the wire — then ONE doc_id-keyed full outer join
+    * and a counts aggregate with map-side partials. */
+  def releaseDiff(cur: DataFrame, prev: DataFrame): DataFrame =
+    cur.select(col("doc_id"), col("source").as("src_c"),
+      md5(col("text").cast("binary")).as("h_c"))
+      .join(prev.select(col("doc_id"), col("source").as("src_p"),
+        md5(col("text").cast("binary")).as("h_p")), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_c"), col("src_p")).as("source"),
+        when(col("h_p").isNull, "added")
+          .when(col("h_c").isNull, "removed")
+          .when(col("h_c") =!= col("h_p"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n"))
+      .orderBy("source", "status")
+
+  /** Registered query: the previous release is derived deterministically
+    * from the current one — every 50th doc missing (→ added), every
+    * 30th doc carrying edited text (→ changed), every 70th doc also
+    * present under a phantom id (→ removed) — so both engines build
+    * the identical fixture and the diff is closed-form checkable. */
+  def corpusReleaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val prev = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 30 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 70 === 0)
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          col("source"), col("text")))
+    releaseDiff(docs, prev)
+  }
+
   /** PMI collocations — pointwise mutual information over adjacent
     * token pairs: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from
     * the bigram stream (duplicates preserved — [[kgramSql]] k=2) and
