@@ -108,5 +108,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, s"mode_count expects 1 argument, got ${args.length}")
         VectorExpressions.ModeCount(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("gated_vec_dot"),
+      info("gated_vec_dot",
+        "gated_vec_dot(a, b, bound[, prefix]) - vec_dot that returns NULL unless the " +
+          "prefix-dot reaches bound (lossless Cauchy-Schwarz prune for threshold joins)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          s"gated_vec_dot expects 3 or 4 arguments, got ${args.length}")
+        val prefix = if (args.length == 3) 16 else args(3) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"gated_vec_dot prefix must be an integer literal, got $other")
+        }
+        VectorExpressions.GatedVecDot(args.head, args(1), args(2), prefix)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      info("pq_adc",
+        "pq_adc(codes, lut, k) - asymmetric PQ distance: sum of lut[s*k + codes[s]] " +
+          "over the m code bytes, against a per-query codeword dot table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"pq_adc expects 3 arguments, got ${args.length}")
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"pq_adc k must be an integer literal, got $other")
+        }
+        VectorExpressions.PqAdc(args.head, args(1), k)
+      }))
   }
 }

@@ -305,6 +305,15 @@ class FunctionsSpec extends SparkSuite {
       .as[Seq[Long]].head()
     assert(sigMd5.length === 4)
     assert(sigMd5.forall(v => v >= 0 && v < 2147483647L), "KM perms live in [0, P)")
+    val gated = spark.sql(
+      "SELECT gated_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), CAST(-100.0 AS DOUBLE), 1) AS d")
+      .as[Double].head()
+    assert(gated === 11.0, "passing gate returns the full dot")
+    val adc = spark.sql(
+      "SELECT pq_adc(array(1, 0), array(CAST(0.5 AS DOUBLE), CAST(1.5 AS DOUBLE), " +
+        "CAST(2.5 AS DOUBLE), CAST(3.5 AS DOUBLE)), 2) AS a").as[Double].head()
+    assert(adc === 1.5 + 2.5, "lut[0*2+1] + lut[1*2+0]")
   }
 
   test("vector expressions run inside whole-stage codegen") {
