@@ -900,16 +900,17 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
     "tpch_q22_opportunity" ->
-      """WITH cust AS (SELECT c_custkey, c_acctbal,
+      """WITH cust AS (SELECT c_custkey,
+        |                CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
         |                c_nationkey % 10 AS cntrycode
         |              FROM customer
         |              WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)),
-        |ab AS (SELECT round(avg(c_acctbal), 2) AS avg_bal FROM cust
-        |       WHERE c_acctbal > 0.0)
+        |ab AS (SELECT CAST(sum(bal_cents)::BIGINT AS DOUBLE) / count(*) AS avg_cents
+        |       FROM cust WHERE bal_cents > 0)
         |SELECT cntrycode, count(*)::BIGINT AS numcust,
-        |       round(sum(c_acctbal), 2) AS totacctbal
+        |       sum(bal_cents)::BIGINT / 100.0 AS totacctbal
         |FROM cust, ab
-        |WHERE c_acctbal > avg_bal
+        |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = cust.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')

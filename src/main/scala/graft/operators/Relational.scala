@@ -1644,24 +1644,30 @@ object Relational {
     * be vacuously empty and verify nothing; dormancy keeps the
     * anti-join live at every SF. Idle-but-wealthy customers — above
     * the positive-balance average, dormant (left anti) — counted per
-    * code. The scalar average threshold is rounded to cents in BOTH
-    * engines before the comparison, so an accumulation-order ulp
-    * can't flip a row. */
+    * code. Balances are 2-decimal values, so each row converts to
+    * EXACT integer cents (floor(x·100+0.5), a per-row IEEE-identical
+    * op); the average threshold is then a division of exact integers —
+    * the identical double in both engines — and the comparison and the
+    * totacctbal sum cannot be flipped by accumulation order (the q15
+    * rule: a rounded order-dependent double feeding a comparison is
+    * the intermittent-red-row shape). */
   def tpchQ22Opportunity(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
       .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)))
       .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
-    val avgBal = customer.filter(col("c_acctbal") > 0.0)
-      .agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+      .withColumn("bal_cents", floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long"))
+    val avgBal = customer.filter(col("bal_cents") > 0L)
+      .agg((sum("bal_cents").cast("double") / count(lit(1))).as("avg_cents"))
     val orders = Tables.load(spark, dir, "orders")
       .filter(col("o_orderdate") >= ts("1999-01-01 00:00:00"))
       .select("o_custkey")
     customer
       .crossJoin(broadcast(avgBal))
-      .filter(col("c_acctbal") > col("avg_bal"))
+      .filter(col("bal_cents").cast("double") > col("avg_cents"))
       .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
       .groupBy("cntrycode")
-      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum("bal_cents") / lit(100.0)).as("totacctbal"))
       .orderBy("cntrycode")
   }
 
