@@ -921,6 +921,28 @@ object Documents {
   def textQualityModel(spark: SparkSession, dir: String): DataFrame =
     qualityModelScore(Tables.load(spark, dir, "documents"))
 
+  /** Streaming-composable form of [[qualityModelScore]]: the entire
+    * score folds map-side inside one projection (HOF over the token
+    * array with the weight FORMULA inlined), so it runs identically
+    * over a bounded frame or a `readStream` micro-batch — no state
+    * store, no shuffle, the same stateless-gate contract as
+    * [[scrubDocs]]. Integer weights summed in element order are
+    * order-free, so StreamingSpec pins row-for-row equality with the
+    * batch operator's explode→join→aggregate plan. In production the
+    * formula becomes a broadcast map lookup; the plan shape is
+    * unchanged. */
+  def scoreDocsStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(
+        """aggregate(transform(split(text, ' '),
+          |  t -> ((CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
+          |         % 1024) * 37 + 11) % 101 - 50),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+        .as("score_sum"))
+      .withColumn("quality",
+        col("score_sum").cast("double") / col("n_tokens"))
+
   /** Gopher-style HARD quality rules (Rae et al. 2021, App. A) — the
     * other half of quality filtering: [[qualityScore]] ranks, this
     * GATES. Each rule is a named boolean so a curation run can report

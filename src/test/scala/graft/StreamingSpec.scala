@@ -180,6 +180,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality-model scores equal the batch operator's, doc for doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      .select("doc_id", "text")
+    val batch = graft.operators.Documents.qualityModelScore(
+      Tables.load(spark, SparkSpec.sfTiny, "documents"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val rows = docs.as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Documents
+      .scoreDocsStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qmodel_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      Seq(rows.take(100), rows.drop(100)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("qmodel_test")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        "the stateless streaming projection must reproduce the batch explode->join->agg scores")
+    } finally q.stop()
+  }
+
   test("streaming histogram equals the batch histogram on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "en"))
