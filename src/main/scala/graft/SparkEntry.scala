@@ -162,6 +162,7 @@ object SparkEntry {
     "text_stats" -> (Documents.textStats _),
     "text_tokens" -> (Documents.textTokens _),
     "text_token_count" -> (Documents.textTokenCount _),
+    "text_bpe_merges" -> (Documents.textBpeMerges _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -1810,6 +1811,17 @@ object SparkEntry {
         |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
         |       floor(n_bpe_tokens::DOUBLE / n_ws_tokens * 10000 + 0.5) / 10000 AS bpe_ratio
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1
+        |), pos AS (
+        |  SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM words
+        |)
+        |SELECT substr(w, i, 2) AS pair, sum(c)::BIGINT AS cnt
+        |FROM pos GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),

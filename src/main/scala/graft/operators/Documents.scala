@@ -727,6 +727,38 @@ object Documents {
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.load(spark, dir, "documents"))
 
+  /** First-iteration BPE merge mining — the argmax step of BPE
+    * tokenizer training, computed the way production trainers compute
+    * it: over the WORD HISTOGRAM, never the raw token stream. Stage 1
+    * is a plain word count (map-side partial agg; the only
+    * corpus-sized pass, and its shuffle carries at most |vocab| rows
+    * per partition). Stage 2 explodes each DISTINCT word into its
+    * adjacent character pairs weighted by the word's corpus frequency,
+    * so the pair stage costs O(|vocab| · avg word length) regardless
+    * of corpus size — at 100 TB it is exactly as big as at 1 GB once
+    * the histogram exists. Top-k by (count DESC, pair ASC), the
+    * deterministic tie-break both engines share; counts are BIGINT on
+    * both sides (the `::BIGINT` oracle rule). Words are lowercased
+    * and split on non-letters, the usual BPE pre-tokenization
+    * normalization; single-letter words carry no pair and are
+    * dropped up front. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    words
+      .select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(spark, dir)
+
   /** Language-ID by stopword-profile scoring: count hits against a
     * tiny per-language marker lexicon, predict the argmax (ties break
     * alphabetically, 'unk' when nothing matches). A real pipeline

@@ -216,6 +216,34 @@ class CorpusSpec extends SparkSuite {
     assert(r(3L)._2 === 2 && r(3L)._3 === 6 && r(3L)._4 === 3.0)
   }
 
+  test("BPE merge mining equals a local brute-force over the word histogram") {
+    val got = Documents.bpeMerges(spark, dir, k = 30)
+      .as[(String, Long)].collect()
+    // local replay of the whole contract: lowercase, split on
+    // non-letters, count words, explode each distinct word's adjacent
+    // char pairs weighted by frequency, top-30 by (count desc, pair asc)
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val wordCounts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 2)
+        .foreach(w => wordCounts(w) = wordCounts.getOrElse(w, 0L) + 1L)
+    }
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+    }
+    val want = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+    assert(got.toSeq === want)
+    // the pair stage must run on the histogram, not the corpus: every
+    // pair's count can exceed the document count only via weighting
+    assert(got.map(_._2).max > texts.length,
+      "top pair should aggregate across repeated words")
+  }
+
   test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
     val got = Documents.docPackSequences(spark, dir)
