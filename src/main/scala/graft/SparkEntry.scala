@@ -163,6 +163,7 @@ object SparkEntry {
     "text_tokens" -> (Documents.textTokens _),
     "text_token_count" -> (Documents.textTokenCount _),
     "text_bpe_merges" -> (Documents.textBpeMerges _),
+    "text_bpe_train" -> (Documents.textBpeTrain _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -1822,6 +1823,60 @@ object SparkEntry {
         |)
         |SELECT substr(w, i, 2) AS pair, sum(c)::BIGINT AS cnt
         |FROM pos GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    // Unrolled 3-round greedy BPE training over the word histogram.
+    // The double-space segmentation encoding makes a single literal
+    // replace equal the greedy pairwise merge fold in BOTH engines
+    // (shared scan-original / continue-after-match semantics) — see
+    // Documents.bpeTrain's Scaladoc.
+    "text_bpe_train" ->
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1
+        |), seg0 AS (
+        |  SELECT ' ' || array_to_string(
+        |           list_transform(range(1, length(w) + 1), i -> w[i]), '  ')
+        |         || ' ' AS seg, c
+        |  FROM words
+        |), p1 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg0))
+        |  GROUP BY 1, 2
+        |), b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg1 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg0 s, b1 b
+        |), p2 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg1))
+        |  GROUP BY 1, 2
+        |), b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg2 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg1 s, b2 b
+        |), p3 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg2))
+        |  GROUP BY 1, 2
+        |), b3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+        |SELECT step, lhs, rhs, lhs || rhs AS merged, cnt FROM (
+        |  SELECT 1 AS step, * FROM b1
+        |  UNION ALL SELECT 2, * FROM b2
+        |  UNION ALL SELECT 3, * FROM b3
+        |) ORDER BY step""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),

@@ -759,6 +759,83 @@ object Documents {
   def textBpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(spark, dir)
 
+  /** ITERATIVE BPE training — k greedy merge steps, each the argmax
+    * adjacent-token pair over the corpus re-counted AFTER the previous
+    * merge is applied (what [[bpeMerges]]' single histogram pass cannot
+    * see: merge 2's counts depend on merge 1's rewrite). All iterations
+    * run on the WORD HISTOGRAM: the corpus is touched exactly once (the
+    * word count); each of the k rounds is a vocab-sized aggregate plus
+    * a vocab-sized narrow rewrite, so training cost is independent of
+    * corpus row count — the property that makes BPE trainable at
+    * 100 TB at all. The per-round argmax is a 1-row driver collect
+    * (the same bounded materialization as k-means centroids), and the
+    * winning pair is folded back in as a LITERAL, keeping every
+    * distributed stage a pure column expression.
+    *
+    * Merge application uses a replace-safe segmentation encoding:
+    * tokens joined with a DOUBLE space, single boundary space at each
+    * end (`' t1  t2  ... tn '`). A literal `replace(seg, " a  b ",
+    * " ab ")` then consumes no character the next adjacent match
+    * needs, so one linear replace pass equals the greedy
+    * left-to-right pairwise merge fold — including runs (`aaaa` with
+    * merge (a,a) → `aa aa`), where a single-space encoding's shared
+    * boundary would drop every other merge. The spec property-tests
+    * this equivalence against a direct fold on random token lists;
+    * the DuckDB oracle unrolls the same k rounds as CTEs over the
+    * identical encoding (DuckDB's `replace` shares the
+    * scan-original / continue-after-match semantics). Tie-break
+    * (cnt DESC, lhs ASC, rhs ASC) is bytewise-identical on the
+    * [a-z]+ token alphabet; counts are BIGINT both sides. */
+  def bpeTrain(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    def canon(tokens: Column): Column =
+      concat(lit(" "), array_join(tokens, "  "), lit(" "))
+    val toks = expr("filter(split(seg, ' +'), x -> x <> '')")
+    var seg = graft.Caches.persist(
+      words.select(canon(expr("filter(split(w, ''), x -> x <> '')")).as("seg"),
+        col("c")))
+    val steps = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val best = seg
+        .select(toks.as("t"), col("c"))
+        // fully-merged single-token words carry no pair — and MUST be
+        // dropped before sequence(): Spark's sequence(1, 0) is a
+        // DESCENDING [1, 0], not empty like DuckDB's range(1, 1)
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "j -> struct(element_at(t, j) AS lhs, element_at(t, j + 1) AS rhs))"))
+          .as("p"), col("c"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        steps += ((i, a, b, a + b, cnt))
+        // replace on the double-space encoding == greedy merge fold
+        // (see Scaladoc); re-canonicalize so the invariant holds for
+        // the next round's match
+        seg = graft.Caches.persist(
+          seg.select(
+            replace(col("seg"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("seg"),
+            col("c"))
+            .select(canon(toks).as("seg"), col("c")))
+      }
+    }
+    steps.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
+
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir)
+
   /** Language-ID by stopword-profile scoring: count hits against a
     * tiny per-language marker lexicon, predict the argmax (ties break
     * alphabetically, 'unk' when nothing matches). A real pipeline

@@ -198,7 +198,8 @@ object BigBenchLlm {
       "corpus_temperature_sample", "corpus_token_budget", "embed_ann_auto",
       "embed_bitext_mine", "corpus_epoch_schedule", "corpus_length_buckets",
       "dedup_source_matrix", "corpus_shard_manifest",
-      "embed_ann_ivfpq", "text_quality_model", "corpus_release_diff")
+      "embed_ann_ivfpq", "text_quality_model", "corpus_release_diff",
+      "text_bpe_merges", "text_bpe_train")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

@@ -244,6 +244,44 @@ class CorpusSpec extends SparkSuite {
       "top pair should aggregate across repeated words")
   }
 
+  test("iterative BPE training matches a local greedy replay over the word histogram") {
+    val got = Documents.bpeTrain(spark, dir, k = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // independent replay: word histogram keyed by TOKEN LIST, pair
+    // counts re-derived after each merge, greedy left-to-right merge
+    // application (the fold bpeTrain's replace encoding must equal)
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val wc = scala.collection.mutable.Map.empty[List[String], Long]
+    texts.foreach { t =>
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 2).foreach { w =>
+        val ts = w.map(_.toString).toList
+        wc(ts) = wc.getOrElse(ts, 0L) + 1L
+      }
+    }
+    var hist = wc.toMap
+    val want = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    for (i <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      hist.foreach { case (ts, c) =>
+        ts.zip(ts.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      val ((a, b), cnt) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      want += ((i, a, b, a + b, cnt))
+      hist = hist.map { case (ts, c) =>
+        ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+          else acc :+ t
+        }.toList -> c
+      }
+    }
+    assert(got === want.toSeq)
+    // the point of iterating: later merges must see rewritten counts —
+    // step 2's pair involves step 1's merged token or at least its
+    // count differs from the static histogram's rank-2 pair
+    assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
+  }
+
   test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
     val got = Documents.docPackSequences(spark, dir)

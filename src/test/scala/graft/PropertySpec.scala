@@ -313,4 +313,31 @@ class PropertySpec extends SparkSuite {
         cloneRows.forall { case (_, _, s) => s == 1.0 }
     }, n = 6)
   }
+
+  test("BPE merge: replace on the double-space encoding equals the greedy pairwise fold") {
+    // the correctness core of Documents.bpeTrain: one literal
+    // replace(' a  b ' -> ' ab ') over the double-space token encoding
+    // must merge exactly the occurrences a greedy left-to-right
+    // pairwise fold merges — including runs ([a,a,a,a] with pair
+    // (a,a) -> [aa,aa]) and near-miss tokens like 'ab' that contain
+    // the pair's characters contiguously. The fold never re-matches a
+    // freshly merged token because merged = a+b can't equal a (b is
+    // nonempty), so a plain last-element fold IS greedy BPE.
+    val tok = Gen.oneOf("a", "b", "ab", "ba", "aa", "bb")
+    val word = Gen.nonEmptyListOf(tok).map(_.take(12))
+    val words = Gen.nonEmptyListOf(word).map(_.take(30))
+    val pair = Gen.zip(Gen.oneOf("a", "b", "ab", "aa"), Gen.oneOf("a", "b", "ab", "aa"))
+    check(Prop.forAll(Gen.zip(words, pair)) { case (ws, (a, b)) =>
+      def greedy(ts: List[String]): Vector[String] =
+        ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+          else acc :+ t
+        }
+      val got = ws.map(ts => " " + ts.mkString("  ") + " ").toDF("seg")
+        .select(replace(col("seg"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("seg"))
+        .as[String].collect()
+        .map(_.split(" +").filter(_.nonEmpty).toVector).toList
+      got == ws.map(greedy)
+    }, n = 8)
+  }
 }
