@@ -164,6 +164,7 @@ object SparkEntry {
     "text_token_count" -> (Documents.textTokenCount _),
     "text_bpe_merges" -> (Documents.textBpeMerges _),
     "text_bpe_train" -> (Documents.textBpeTrain _),
+    "text_bpe_encode" -> (Documents.textBpeEncode _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -1877,6 +1878,93 @@ object SparkEntry {
         |  UNION ALL SELECT 2, * FROM b2
         |  UNION ALL SELECT 3, * FROM b3
         |) ORDER BY step""".stripMargin,
+    // Same unrolled 3-round training (words/b1/b2/b3 CTEs identical to
+    // text_bpe_train), then the ENCODE half: each DISTINCT corpus word
+    // (single-letter words included — training needs pairs, encoding
+    // doesn't) through the same three double-space literal replaces,
+    // token counts joined back to the (doc_id, word) stream.
+    "text_bpe_encode" ->
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1
+        |), seg0 AS (
+        |  SELECT ' ' || array_to_string(
+        |           list_transform(range(1, length(w) + 1), i -> w[i]), '  ')
+        |         || ' ' AS seg, c
+        |  FROM words
+        |), p1 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg0))
+        |  GROUP BY 1, 2
+        |), b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg1 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg0 s, b1 b
+        |), p2 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg1))
+        |  GROUP BY 1, 2
+        |), b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg2 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg1 s, b2 b
+        |), p3 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg2))
+        |  GROUP BY 1, 2
+        |), b3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |dw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''
+        |), e0 AS (
+        |  SELECT w, ' ' || array_to_string(
+        |           list_transform(range(1, length(w) + 1), i -> w[i]), '  ')
+        |         || ' ' AS seg
+        |  FROM (SELECT DISTINCT w FROM dw)
+        |), e1 AS (
+        |  SELECT w, ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(e.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg
+        |  FROM e0 e, b1 b
+        |), e2 AS (
+        |  SELECT w, ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(e.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg
+        |  FROM e1 e, b2 b
+        |), e3 AS (
+        |  SELECT w, ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(e.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg
+        |  FROM e2 e, b3 b
+        |), wt AS (
+        |  SELECT w, len(list_filter(regexp_split_to_array(seg, ' +'),
+        |                            x -> x <> ''))::BIGINT AS w_toks
+        |  FROM e3
+        |)
+        |SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+        |       sum(wt.w_toks)::BIGINT AS n_bpe_tokens
+        |FROM dw JOIN wt USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),

@@ -788,15 +788,25 @@ object Documents {
     * [a-z]+ token alphabet; counts are BIGINT both sides. */
   def bpeTrain(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
+    bpeMergeSteps(spark, dir, k).toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** [[bpeTrain]]'s replace-safe segmentation encoding: tokens joined
+    * with a DOUBLE space, one boundary space at each end. */
+  private def bpeCanon(tokens: Column): Column =
+    concat(lit(" "), array_join(tokens, "  "), lit(" "))
+
+  /** The k greedy merge steps of [[bpeTrain]] as a driver-side list —
+    * shared with [[bpeEncode]], which folds them back in as literals. */
+  private def bpeMergeSteps(spark: SparkSession, dir: String,
+                            k: Int): Seq[(Int, String, String, String, Long)] = {
     val words = Tables.load(spark, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("c"))
-    def canon(tokens: Column): Column =
-      concat(lit(" "), array_join(tokens, "  "), lit(" "))
     val toks = expr("filter(split(seg, ' +'), x -> x <> '')")
     var seg = graft.Caches.persist(
-      words.select(canon(expr("filter(split(w, ''), x -> x <> '')")).as("seg"),
+      words.select(bpeCanon(expr("filter(split(w, ''), x -> x <> '')")).as("seg"),
         col("c")))
     val steps = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
@@ -827,14 +837,59 @@ object Documents {
           seg.select(
             replace(col("seg"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("seg"),
             col("c"))
-            .select(canon(toks).as("seg"), col("c")))
+            .select(bpeCanon(toks).as("seg"), col("c")))
       }
     }
-    steps.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+    steps.result()
   }
 
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(spark, dir)
+
+  /** BPE ENCODING — the inference half of [[bpeTrain]]: apply the k
+    * trained merges, in training order, to every word of the corpus
+    * and report per-document post-merge token counts (the number a
+    * training-data budget actually bills). The expensive step — the k
+    * greedy merge rewrites — runs once per DISTINCT word, not per
+    * occurrence: the vocabulary frame is encoded with the same
+    * double-space literal-replace fold the trainer uses (each merge a
+    * pure column expression, and the k chained projections collapse
+    * into one under Catalyst's CollapseProject), then joined back to
+    * the exploded (doc_id, word) stream via a measured broadcast
+    * ([[Ops.broadcastIfFits]]) — the vocabulary-join shape the other
+    * text operators here share. At 100 TB: one corpus-sized word
+    * explode, O(|vocab| · k) actual BPE work, a broadcast hash join,
+    * and the final per-doc aggregate — nothing else shuffles the
+    * corpus. Single-letter words (excluded from TRAINING's histogram,
+    * which needs pairs) are still encoded — trivially to one token.
+    * If fewer than k merges exist the fold applies what was learned.
+    * Counts are BIGINT on both engines. */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val merges = bpeMergeSteps(spark, dir, k)
+    val docWords = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val toks = expr("filter(split(seg, ' +'), x -> x <> '')")
+    val vocab = docWords.select("w").distinct()
+      .select(col("w"),
+        bpeCanon(expr("filter(split(w, ''), x -> x <> '')")).as("seg"))
+    val encoded = merges.foldLeft(vocab) { case (v, (_, a, b, m, _)) =>
+      v.select(col("w"),
+        replace(col("seg"), lit(s" $a  $b "), lit(s" $m ")).as("seg"))
+        .select(col("w"), bpeCanon(toks).as("seg"))
+    }
+    val wordTokens = encoded.select(col("w"), size(toks).as("w_toks"))
+    docWords
+      .join(Ops.broadcastIfFits(wordTokens), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_toks").cast("long")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
 
   /** Language-ID by stopword-profile scoring: count hits against a
     * tiny per-language marker lexicon, predict the argmax (ties break

@@ -282,6 +282,32 @@ class CorpusSpec extends SparkSuite {
     assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
   }
 
+  test("BPE encoding matches a local per-word greedy replay of the trained merges") {
+    val merges = Documents.bpeTrain(spark, dir, k = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .map { case (_, a, b, _, _) => (a, b) }
+    val got = Documents.bpeEncode(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    def encode(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector) { case (ts, (a, b)) =>
+        ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+          else acc :+ t
+        }
+      }.size
+    val want = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        val ws = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(encode(_).toLong).sum, ws.map(_.length.toLong).sum)
+      }
+      .filter(_._2 > 0).sortBy(_._1)
+    assert(got === want.map(w => (w._1, w._2, w._3)))
+    // the merges must actually compress: post-merge token total is
+    // strictly below the character total (= the zero-merge encoding)
+    assert(got.map(_._3).sum < want.map(_._4).sum)
+  }
+
   test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
     val got = Documents.docPackSequences(spark, dir)
