@@ -190,6 +190,7 @@ object SparkEntry {
     "corpus_temperature_sample" -> (Documents.corpusTemperatureSample _),
     "corpus_token_budget" -> (Documents.corpusTokenBudget _),
     "doc_split" -> (Documents.docSplit _),
+    "corpus_split_leakage" -> (Documents.corpusSplitLeakage _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
     "doc_chunk" -> (Documents.docChunk _),
@@ -1732,6 +1733,31 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The dedup_ngram_jaccard pair CTE joined to the doc_split map:
+    // near-dup pairs whose endpoints fall in different splits.
+    "corpus_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |        floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+        |      FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents)
+        |SELECT j.d1, j.d2,
+        |       least(a.split, b.split) AS split_a,
+        |       greatest(a.split, b.split) AS split_b,
+        |       j.jaccard
+        |FROM j JOIN sp a ON j.d1 = a.doc_id JOIN sp b ON j.d2 = b.doc_id
+        |WHERE a.split <> b.split
+        |ORDER BY j.jaccard DESC, j.d1, j.d2""".stripMargin,
     "corpus_trim" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
         |           FROM documents),

@@ -1950,6 +1950,37 @@ object Documents {
   def docSplit(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.load(spark, dir, "documents"))
 
+  /** Train/eval LEAKAGE AUDIT — near-duplicate pairs straddling a
+    * split boundary. [[splitAssign]] is content-keyed precisely so an
+    * EXACT duplicate can never land in a different split than its
+    * copy; what content hashing cannot prevent is NEAR-duplicates
+    * (one-word edits, template variants) falling on opposite sides —
+    * the contamination that quietly inflates eval scores. This is the
+    * audit view: it rides the SAME persisted inverted-index pair pass
+    * as [[jaccardPairs]] (zero additional corpus work when the dedup
+    * family already ran — the pair frame is registry-cached), joins
+    * the ≤|pairs| rows to the docs-sized split map by doc_id twice
+    * (the map is never broadcast; the joins key the tiny pair side),
+    * keeps only split-straddling pairs, and lists the worst offenders
+    * first. At 100 TB the marginal cost over the standing pair pass
+    * is two hash joins on a near-dup-volume frame. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold)
+    val sp = splitAssign(docs).select("doc_id", "split")
+    pairs
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("d1"), col("d2"),
+        least(col("split1"), col("split2")).as("split_a"),
+        greatest(col("split1"), col("split2")).as("split_b"),
+        col("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+  }
+
+  def corpusSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.load(spark, dir, "documents"))
+
   // --------------------------------------------------------------------
   // Exact substring dedup (duplicated k-token passages)
   // --------------------------------------------------------------------

@@ -308,6 +308,27 @@ class CorpusSpec extends SparkSuite {
     assert(got.map(_._3).sum < want.map(_._4).sum)
   }
 
+  test("split leakage lists exactly the split-straddling near-dup pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    // both inputs have their own oracle + replay specs; this test pins
+    // the COMPOSITION: filter, split ordering within a pair, sort order
+    val pairs = Documents.jaccardPairs(docs, 0.6)
+      .as[(Long, Long, Double)].collect().toSeq
+    val splits = Documents.docSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = pairs
+      .filter { case (a, b, _) => splits(a) != splits(b) }
+      .map { case (a, b, j) =>
+        val (x, y) = (splits(a), splits(b))
+        (a, b, if (x < y) x else y, if (x < y) y else x, j)
+      }
+      .sortBy { case (a, b, _, _, j) => (-j, a, b) }
+    val got = Documents.corpusSplitLeakage(spark, dir)
+      .as[(Long, Long, String, String, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must exercise straddling pairs")
+  }
+
   test("sequence packing matches a local replay of the greedy assignment") {
     val budget = 512
     val got = Documents.docPackSequences(spark, dir)
