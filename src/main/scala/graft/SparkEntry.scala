@@ -165,6 +165,7 @@ object SparkEntry {
     "text_bpe_merges" -> (Documents.textBpeMerges _),
     "text_bpe_train" -> (Documents.textBpeTrain _),
     "text_bpe_encode" -> (Documents.textBpeEncode _),
+    "text_bpe_vocab" -> (Documents.textBpeVocab _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -1904,6 +1905,64 @@ object SparkEntry {
         |  UNION ALL SELECT 2, * FROM b2
         |  UNION ALL SELECT 3, * FROM b3
         |) ORDER BY step""".stripMargin,
+    // Train CTEs as in text_bpe_train, one more rewrite (seg3 = b3
+    // applied), then the token inventory weighted by word counts.
+    "text_bpe_vocab" ->
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1
+        |), seg0 AS (
+        |  SELECT ' ' || array_to_string(
+        |           list_transform(range(1, length(w) + 1), i -> w[i]), '  ')
+        |         || ' ' AS seg, c
+        |  FROM words
+        |), p1 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg0))
+        |  GROUP BY 1, 2
+        |), b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg1 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg0 s, b1 b
+        |), p2 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg1))
+        |  GROUP BY 1, 2
+        |), b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg2 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg1 s, b2 b
+        |), p3 AS (
+        |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+        |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+        |                                 x -> x <> '') AS t, c FROM seg2))
+        |  GROUP BY 1, 2
+        |), b3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg3 AS (
+        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                   ' ' || b.lhs || b.rhs || ' '),
+        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
+        |  FROM seg2 s, b3 b
+        |)
+        |SELECT tok, sum(c)::BIGINT AS cnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(seg, ' +'),
+        |                            x -> x <> '')) AS tok, c
+        |  FROM seg3)
+        |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
     // Same unrolled 3-round training (words/b1/b2/b3 CTEs identical to
     // text_bpe_train), then the ENCODE half: each DISTINCT corpus word
     // (single-letter words included — training needs pairs, encoding

@@ -799,7 +799,14 @@ object Documents {
   /** The k greedy merge steps of [[bpeTrain]] as a driver-side list —
     * shared with [[bpeEncode]], which folds them back in as literals. */
   private def bpeMergeSteps(spark: SparkSession, dir: String,
-                            k: Int): Seq[(Int, String, String, String, Long)] = {
+                            k: Int): Seq[(Int, String, String, String, Long)] =
+    bpeFit(spark, dir, k)._1
+
+  /** [[bpeTrain]]'s full fit state: the merge steps AND the word
+    * histogram's final segmentation (still weighted by corpus counts)
+    * — the frame [[bpeVocab]] reads its token inventory from. */
+  private def bpeFit(spark: SparkSession, dir: String, k: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val words = Tables.load(spark, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -840,11 +847,34 @@ object Documents {
             .select(bpeCanon(toks).as("seg"), col("c")))
       }
     }
-    steps.result()
+    (steps.result(), seg)
   }
 
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(spark, dir)
+
+  /** The SHIPPED ARTIFACT of BPE training: the subword vocabulary
+    * after the k merges, with corpus frequencies — what a tokenizer
+    * release actually packages next to the merge list. Read straight
+    * off the fit's final word-histogram segmentation: each distinct
+    * word's tokens weighted by the word's corpus count, so the token
+    * explode and the frequency aggregate are both VOCAB-sized (the
+    * corpus was touched once, by the histogram). Like the trainer
+    * itself it counts over the pair-bearing histogram (words of ≥2
+    * letters — the table production BPE trainers operate on). Top-k
+    * by (count DESC, token ASC), BIGINT counts both engines. */
+  def bpeVocab(spark: SparkSession, dir: String, k: Int = 3,
+               top: Int = 50): DataFrame = {
+    val (_, seg) = bpeFit(spark, dir, k)
+    seg.select(explode(expr("filter(split(seg, ' +'), x -> x <> '')")).as("tok"),
+        col("c"))
+      .groupBy("tok").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(top)
+  }
+
+  def textBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocab(spark, dir)
 
   /** BPE ENCODING — the inference half of [[bpeTrain]]: apply the k
     * trained merges, in training order, to every word of the corpus

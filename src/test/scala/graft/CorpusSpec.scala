@@ -282,6 +282,42 @@ class CorpusSpec extends SparkSuite {
     assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
   }
 
+  test("BPE vocabulary matches the local post-merge token inventory") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val wc = scala.collection.mutable.Map.empty[List[String], Long]
+    texts.foreach { t =>
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 2).foreach { w =>
+        val ts = w.map(_.toString).toList
+        wc(ts) = wc.getOrElse(ts, 0L) + 1L
+      }
+    }
+    var hist = wc.toMap
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      hist.foreach { case (ts, c) =>
+        ts.zip(ts.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      val ((a, b), _) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      hist = hist.map { case (ts, c) =>
+        ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+          else acc :+ t
+        }.toList -> c
+      }
+    }
+    val tokCnt = scala.collection.mutable.Map.empty[String, Long]
+    hist.foreach { case (ts, c) =>
+      ts.foreach(t => tokCnt(t) = tokCnt.getOrElse(t, 0L) + c)
+    }
+    val want = tokCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+    val got = Documents.bpeVocab(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === want)
+    // merged multi-char subwords must appear in the shipped vocabulary
+    assert(got.exists(_._1.length >= 2))
+  }
+
   test("BPE encoding matches a local per-word greedy replay of the trained merges") {
     val merges = Documents.bpeTrain(spark, dir, k = 3)
       .as[(Int, String, String, String, Long)].collect().toSeq
