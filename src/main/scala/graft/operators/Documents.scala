@@ -465,7 +465,17 @@ object Documents {
     * Feeds [[graft.streaming.NearDupIngest]]; also the batch shape for
     * "which of these candidate docs near-duplicate the lake". */
   def simhashProbe(newSigs: DataFrame, indexSigs: DataFrame,
-                   maxHamming: Int, bandBits: Int = 0): DataFrame = {
+                   maxHamming: Int, bandBits: Int = 0): DataFrame =
+    simhashProbePairs(newSigs, indexSigs, maxHamming, bandBits)
+      .select(col("doc_id")).distinct()
+
+  /** [[simhashProbe]] keeping the matched PAIRS — (new `doc_id`,
+    * standing `matched_id`), distinct — instead of collapsing to the
+    * matched new ids: the AUDIT shape (who matched whom), which the
+    * streaming split-leakage monitor joins back to both sides'
+    * metadata. Same banding, same cost. */
+  def simhashProbePairs(newSigs: DataFrame, indexSigs: DataFrame,
+                        maxHamming: Int, bandBits: Int = 0): DataFrame = {
     require(Set(0, 8, 16, 32).contains(bandBits),
       s"bandBits must be 0 (auto) or 8/16/32, got $bandBits")
     val bw = if (bandBits == 0) autoSimhashBandBits(maxHamming) else bandBits
@@ -478,7 +488,7 @@ object Documents {
     banded(newSigs).as("a")
       .join(banded(indexSigs).as("b"), col("a.bv") === col("b.bv"))
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .select(col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("matched_id"))
       .distinct()
   }
 
@@ -1972,10 +1982,16 @@ object Documents {
   def splitAssign(docs: DataFrame,
                   trainBelow: String = "cc", valBelow: String = "e6"): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      when(substring(md5(col("text").cast("binary")), 1, 2) < trainBelow, "train")
-        .when(substring(md5(col("text").cast("binary")), 1, 2) < valBelow, "val")
-        .otherwise("test").as("split"))
+      splitExpr(trainBelow, valBelow).as("split"))
       .orderBy("doc_id")
+
+  /** [[splitAssign]]'s content-keyed split rule as a bare expression
+    * over a `text` column — for callers attaching the assignment to an
+    * arbitrary frame (the streaming leakage audit). */
+  def splitExpr(trainBelow: String = "cc", valBelow: String = "e6"): Column =
+    when(substring(md5(col("text").cast("binary")), 1, 2) < trainBelow, lit("train"))
+      .when(substring(md5(col("text").cast("binary")), 1, 2) < valBelow, lit("val"))
+      .otherwise(lit("test"))
 
   def docSplit(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.load(spark, dir, "documents"))

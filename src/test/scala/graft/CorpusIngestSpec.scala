@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, split}
 import graft.operators.Documents
-import graft.streaming.{CorpusIngest, NearDupIngest}
+import graft.streaming.{CorpusIngest, LeakageIngest, NearDupIngest}
 
 /** The unbounded-horizon dedup ledger: duplicates are dropped across
   * micro-batches AND across query restarts, because the seen set lives
@@ -215,6 +215,70 @@ class CorpusIngestSpec extends SparkSuite {
         .select("doc_id").as[Long].collect().sorted
       assert(afterExpire === Array(1L, 2L, 4L, 7L, 8L),
         s"expired signatures must be forgotten: ${afterExpire.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming leakage audit alerts on split-straddling near-dups, admits everything") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/leakage-ingest-spec")
+    rm(base)
+    var seed = 11L
+    def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
+    def freshText(prefix: String) =
+      (0 until 60).map(_ => s"$prefix${nextInt(100000)}").mkString(" ")
+    // the spec computes each text's split LOCALLY (same md5-prefix rule
+    // as Documents.splitExpr) and picks near-dup variants of `a` on
+    // both sides of a split boundary — content-keyed assignment means
+    // the fixture must search, not choose
+    def splitOf(t: String): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    def variant(t: String, i: Int) = {
+      val toks = t.split(" "); toks(7) = s"zulu$i"; toks(31) = s"yankee$i"
+      toks.mkString(" ")
+    }
+    val a = freshText("apple")
+    val straddle = (0 until 400).map(variant(a, _))
+      .find(v => splitOf(v) != splitOf(a)).get
+    val same = (0 until 400).map(variant(a, _))
+      .find(v => splitOf(v) == splitOf(a)).get
+    val far = freshText("berry")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = LeakageIngest.ingestLeakageAudit(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      s"$base/index", s"$base/alerts", s"$base/ckpt",
+      maxHamming = 12) // loose bar: short docs flip many bits per edit
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), a),
+        (2L, ts("2024-01-01 10:00:01"), far)))
+      q.processAllAvailable() // cold start: no index, no in-batch pair
+      stream.addData(Seq(
+        (3L, ts("2024-01-01 10:30:00"), straddle), // near a, OTHER split → alert
+        (4L, ts("2024-01-01 10:30:01"), same)))    // near a, SAME split → index-quiet;
+      q.processAllAvailable()                      //   but straddles 3 IN-BATCH → alert
+      val alerts = spark.read.parquet(s"$base/alerts")
+        .select("doc_id", "matched_id", "split_new", "split_old")
+        .as[(Long, Long, String, String)].collect().toSeq.sorted
+      assert(alerts === Seq(
+        (3L, 1L, splitOf(straddle), splitOf(a)),
+        (4L, 3L, splitOf(same), splitOf(straddle))), s"got $alerts")
+      // an audit admits EVERYTHING — alerting is observation, not dedup
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").as[Long].collect().sorted
+      assert(indexed === Array(1L, 2L, 3L, 4L))
+      // beyond the horizon the straddling near-dup is NOT alerted —
+      // probe state is bounded by the watermark (the batch audit over
+      // the lake is the unbounded answer). The re-arrived `straddle`
+      // text WOULD alert against doc 1 (splits differ, hamming ≤ bar)
+      // were the 10:00 index entries still probed
+      stream.addData(Seq((7L, ts("2024-01-01 14:00:00"), straddle)))
+      q.processAllAvailable()
+      val after = spark.read.parquet(s"$base/alerts")
+        .select("doc_id").as[Long].collect().sorted
+      assert(after === Array(3L, 4L), s"horizon must bound alerts: ${after.toSeq}")
     } finally q.stop()
   }
 }
