@@ -192,6 +192,7 @@ object SparkEntry {
     "corpus_token_budget" -> (Documents.corpusTokenBudget _),
     "doc_split" -> (Documents.docSplit _),
     "corpus_split_leakage" -> (Documents.corpusSplitLeakage _),
+    "corpus_split_leakfree" -> (Documents.corpusSplitLeakFree _),
     "doc_pack_sequences" -> (Documents.docPackSequences _),
     "doc_decontaminate" -> (Documents.docDecontaminate _),
     "doc_chunk" -> (Documents.docChunk _),
@@ -1759,6 +1760,33 @@ object SparkEntry {
         |FROM j JOIN sp a ON j.d1 = a.doc_id JOIN sp b ON j.d2 = b.doc_id
         |WHERE a.split <> b.split
         |ORDER BY j.jaccard DESC, j.d1, j.d2""".stripMargin,
+    // dedup_clusters' recursive CC chain; every member takes the
+    // min-id root's split, the `moved` flag marks actual relocations.
+    "corpus_split_leakfree" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        |          WHERE e2.v <> r.u),
+        |cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+        |       FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS own_split
+        |       FROM documents)
+        |SELECT m.doc_id, rs.own_split AS split,
+        |       ms.own_split <> rs.own_split AS moved
+        |FROM cl m JOIN sp ms ON m.doc_id = ms.doc_id
+        |          JOIN sp rs ON m.cluster = rs.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     "corpus_trim" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
         |           FROM documents),

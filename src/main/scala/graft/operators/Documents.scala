@@ -1993,6 +1993,36 @@ object Documents {
       .when(substring(md5(col("text").cast("binary")), 1, 2) < valBelow, lit("val"))
       .otherwise(lit("test"))
 
+  /** LEAK-FREE split assignment — the FIX for what [[splitLeakage]]
+    * finds: every member of a near-dup cluster inherits the split of
+    * the cluster's canonical (min doc_id) member, so NO near-dup pair
+    * can straddle a boundary, by construction (a qualifying pair is an
+    * edge, edges put both ends in one component, and a component has
+    * one root). Exact duplicates already co-locate under the content
+    * hash; this closes the near-dup gap the audit measures. Cost: the
+    * same connected-components pass as [[dedupClusters]] (riding the
+    * registry-cached pair frame) plus two doc_id-keyed joins to carry
+    * the root's split to the members; singletons keep their own
+    * assignment (root = self). `moved` flags the docs the rebalance
+    * actually relocated, making the fix auditable row-by-row. */
+  def splitLeakFree(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val cc = connectedComponents(
+      jaccardPairs(docs, threshold).select("d1", "d2"))
+    val own = docs.select(col("doc_id"), splitExpr().as("own_split"))
+    val withCluster = own.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("own_split"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    withCluster.as("m")
+      .join(own.as("r"), col("m.cluster") === col("r.doc_id"))
+      .select(col("m.doc_id").as("doc_id"),
+        col("r.own_split").as("split"),
+        (col("r.own_split") =!= col("m.own_split")).as("moved"))
+      .orderBy("doc_id")
+  }
+
+  def corpusSplitLeakFree(spark: SparkSession, dir: String): DataFrame =
+    splitLeakFree(Tables.load(spark, dir, "documents"))
+
   def docSplit(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.load(spark, dir, "documents"))
 

@@ -282,6 +282,29 @@ class CorpusSpec extends SparkSuite {
     assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
   }
 
+  test("leak-free split closes every straddling near-dup pair, moves only cluster members") {
+    val docs = Tables.load(spark, dir, "documents")
+    val fixed = Documents.corpusSplitLeakFree(spark, dir)
+      .as[(Long, String, Boolean)].collect().toSeq
+    val splitOf = fixed.map(r => r._1 -> r._2).toMap
+    // the defining property: no qualifying near-dup pair straddles
+    val pairs = Documents.jaccardPairs(docs, 0.6)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.nonEmpty && pairs.forall { case (a, b, _) => splitOf(a) == splitOf(b) })
+    // relocations happen (the audit found straddlers), are flagged, and
+    // hit only docs connected to a pair
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val own = Documents.docSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val moved = fixed.filter(_._3).map(_._1).toSet
+    assert(moved.nonEmpty && moved.subsetOf(inPairs))
+    fixed.foreach { case (id, s, m) =>
+      assert(m === (s != own(id)), s"moved flag wrong for $id")
+    }
+    // untouched docs keep their content-hash assignment
+    assert(fixed.filterNot(_._3).forall { case (id, s, _) => s == own(id) })
+  }
+
   test("BPE vocabulary matches the local post-merge token inventory") {
     val texts = Tables.load(spark, dir, "documents")
       .select("text").as[String].collect()
