@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_simhash_wide" -> (Documents.dedupSimhashWide _),
     "dedup_clusters" -> (Documents.dedupClusters _),
     "dedup_cluster_keep" -> (Documents.dedupClusterKeep _),
+    "dedup_cluster_stats" -> (Documents.dedupClusterStats _),
     "dedup_incremental" -> (Documents.dedupIncrementalQ _),
     "text_dup_passages" -> (Documents.textDupPassages _),
     "dedup_substr_strip" -> (Documents.dedupSubstrStrip _),
@@ -1335,6 +1336,26 @@ object SparkEntry {
         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
         |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the clusters chain, then size histogram: sum(n_docs) = |corpus|
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        |          WHERE e2.v <> r.u),
+        |cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+        |       FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id),
+        |sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |       (cluster_size * count(*))::BIGINT AS n_docs
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_incremental" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -2023,6 +2023,29 @@ object Documents {
   def corpusSplitLeakFree(spark: SparkSession, dir: String): DataFrame =
     splitLeakFree(Tables.load(spark, dir, "documents"))
 
+  /** Near-dup cluster SIZE DISTRIBUTION — the dedup health metric:
+    * how much of the corpus is duplicated, and in what shapes (many
+    * pairs? a few giant template clusters?). Singletons are counted
+    * too, so `sum(n_docs)` = |corpus| — the full accounting that turns
+    * the histogram into a dedup coverage report. Rides the cached
+    * pair frame + the same connected-components pass as
+    * [[dedupClusters]]; the two stacked aggregates after it are
+    * cluster-count-sized, then size-count-sized — nothing corpus-scale
+    * shuffles twice. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cc = connectedComponents(
+      jaccardPairs(docs, threshold = 0.6).select("d1", "d2"))
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   def docSplit(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.load(spark, dir, "documents"))
 

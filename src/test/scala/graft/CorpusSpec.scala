@@ -282,6 +282,20 @@ class CorpusSpec extends SparkSuite {
     assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
   }
 
+  test("cluster-size histogram folds the cluster map and accounts for every doc") {
+    val stats = Documents.dedupClusterStats(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val clusters = Documents.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = clusters.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .map { case (size, n) => (size, n, size * n) }.sortBy(_._1)
+    assert(stats === want)
+    assert(stats.map(_._3).sum === clusters.length.toLong,
+      "sum(n_docs) must equal the corpus size")
+    assert(stats.exists(_._1 >= 2), "fixture must contain real dup clusters")
+  }
+
   test("leak-free split closes every straddling near-dup pair, moves only cluster members") {
     val docs = Tables.load(spark, dir, "documents")
     val fixed = Documents.corpusSplitLeakFree(spark, dir)
