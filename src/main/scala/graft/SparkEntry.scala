@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_clusters" -> (Documents.dedupClusters _),
     "dedup_cluster_keep" -> (Documents.dedupClusterKeep _),
     "dedup_cluster_stats" -> (Documents.dedupClusterStats _),
+    "corpus_dedup_savings" -> (Documents.corpusDedupSavings _),
     "dedup_incremental" -> (Documents.dedupIncrementalQ _),
     "text_dup_passages" -> (Documents.textDupPassages _),
     "dedup_substr_strip" -> (Documents.dedupSubstrStrip _),
@@ -1356,6 +1357,35 @@ object SparkEntry {
         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
         |       (cluster_size * count(*))::BIGINT AS n_docs
         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the clusters chain; dropped = doc_id <> its cluster root, token
+    // savings grouped by source under the floor-rounding contract
+    "corpus_dedup_savings" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |      WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM e UNION SELECT d2, d1 FROM e),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        |          WHERE e2.v <> r.u),
+        |cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+        |       FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id),
+        |t AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |      FROM documents)
+        |SELECT t.source,
+        |       count(*)::BIGINT AS n_docs,
+        |       count(CASE WHEN cl.cluster <> t.doc_id THEN 1 END)::BIGINT AS n_dropped,
+        |       sum(t.n_tokens)::BIGINT AS tokens,
+        |       coalesce(sum(CASE WHEN cl.cluster <> t.doc_id THEN t.n_tokens END), 0)::BIGINT
+        |         AS tokens_dropped,
+        |       floor(coalesce(sum(CASE WHEN cl.cluster <> t.doc_id THEN t.n_tokens END), 0)::DOUBLE
+        |             / sum(t.n_tokens) * 10000 + 0.5) / 10000 AS drop_frac
+        |FROM t JOIN cl ON t.doc_id = cl.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_incremental" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -1402,6 +1402,38 @@ object Documents {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Per-source DEDUP SAVINGS report — what the keep-min-id dedup
+    * ([[dedupClusterKeep]]) would actually delete, priced in the unit
+    * that matters: tokens. The number every mix decision starts from
+    * ("dedup shrinks source X by 38%, source Y barely moves"), but
+    * computing it ad hoc means re-running detection — here it rides
+    * the SAME cached pair frame + CC pass as the cluster family and
+    * adds one docs-sized projection (dropped ⇔ doc_id ≠ cluster root)
+    * and a source-count-sized aggregate. `drop_frac` uses the engine-
+    * exact floor-rounding contract; `count(CASE)` keeps the integer
+    * columns BIGINT on both engines. */
+  def corpusDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cc = connectedComponents(
+      jaccardPairs(docs, threshold = 0.6).select("d1", "d2"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        (coalesce(col("cluster"), col("doc_id")) =!= col("doc_id")).as("dropped"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dropped"), lit(1))).as("n_dropped"),
+        sum(col("n_tokens")).as("tokens"),
+        coalesce(sum(when(col("dropped"), col("n_tokens"))), lit(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("tokens"),
+        col("tokens_dropped"),
+        Ops.r4(col("tokens_dropped").cast("double") / col("tokens"))
+          .as("drop_frac"))
+      .orderBy("source")
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val urlRe = "https?://[^ ]+"
   private val numRe = "[0-9]{6,}"

@@ -282,6 +282,24 @@ class CorpusSpec extends SparkSuite {
     assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
   }
 
+  test("dedup savings report replays the keep-min-id decision with token weights") {
+    val got = Documents.corpusDedupSavings(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val clusterOf = Documents.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val want = rows.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val toks = ds.map(d => (d._1, d._3.split(" ", -1).length.toLong))
+      val dropped = toks.filter { case (id, _) => clusterOf(id) != id }
+      val (tot, drp) = (toks.map(_._2).sum, dropped.map(_._2).sum)
+      (src, ds.length.toLong, dropped.length.toLong, tot, drp,
+        math.floor(drp.toDouble / tot * 10000 + 0.5) / 10000)
+    }.sortBy(_._1)
+    assert(got === want)
+    assert(got.map(_._5).sum > 0, "fixture must contain droppable tokens")
+  }
+
   test("cluster-size histogram folds the cluster map and accounts for every doc") {
     val stats = Documents.dedupClusterStats(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
