@@ -43,6 +43,7 @@ object DumpPlans {
       "text_bpe_merges" -> "pair stage runs on the word HISTOGRAM (one corpus-sized word-count agg, then a vocab-sized pair agg); top-k via TakeOrderedAndProject",
       "text_bpe_encode" -> "k merge rewrites collapse to ONE projection over the distinct-word frame; token counts rejoin the corpus by measured broadcast; per-doc agg is map-side partial",
       "corpus_split_leakage" -> "rides the cached jaccardPairs frame; two doc_id joins on the near-dup-volume pair side; the docs-sized split map auto-broadcasts only while Catalyst's size estimate fits (shuffled join past the threshold)",
+      "corpus_dedup_savings" -> "cluster map joined once to the token projection; dropped is a pure column test (doc_id <> root); final agg is source-count-sized with map-side partials",
       "dedup_incremental" -> "batch shingles probe the standing s-partitioned corpus index — no corpus self-join",
       "dedup_minhash" -> "codegen minhash_sig_md5 map-side; band self-join shuffles 24-byte rows; exact verify only on candidates",
       "events_resample" -> "grid exploded map-side from per-user spans; fill window reuses the user_id clustering",
