@@ -1954,11 +1954,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg1 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg0 s, b1 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg0 s LEFT JOIN b1 b ON true
         |), p2 AS (
         |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
         |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
@@ -1967,11 +1967,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg2 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg1 s, b2 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg1 s LEFT JOIN b2 b ON true
         |), p3 AS (
         |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
         |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
@@ -2005,11 +2005,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg1 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg0 s, b1 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg0 s LEFT JOIN b1 b ON true
         |), p2 AS (
         |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
         |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
@@ -2018,11 +2018,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg2 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg1 s, b2 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg1 s LEFT JOIN b2 b ON true
         |), p3 AS (
         |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
         |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
@@ -2031,11 +2031,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg3 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg2 s, b3 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg2 s LEFT JOIN b3 b ON true
         |)
         |SELECT tok, sum(c)::BIGINT AS cnt FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(seg, ' +'),
@@ -2066,11 +2066,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg1 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg0 s, b1 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg0 s LEFT JOIN b1 b ON true
         |), p2 AS (
         |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
         |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
@@ -2079,11 +2079,11 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |seg2 AS (
-        |  SELECT ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg, s.c
-        |  FROM seg1 s, b2 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+        |  FROM seg1 s LEFT JOIN b2 b ON true
         |), p3 AS (
         |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
         |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
@@ -2103,23 +2103,23 @@ object SparkEntry {
         |         || ' ' AS seg
         |  FROM (SELECT DISTINCT w FROM dw)
         |), e1 AS (
-        |  SELECT w, ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT w, coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(e.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg
-        |  FROM e0 e, b1 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', e.seg) AS seg
+        |  FROM e0 e LEFT JOIN b1 b ON true
         |), e2 AS (
-        |  SELECT w, ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT w, coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(e.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg
-        |  FROM e1 e, b2 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', e.seg) AS seg
+        |  FROM e1 e LEFT JOIN b2 b ON true
         |), e3 AS (
-        |  SELECT w, ' ' || array_to_string(list_filter(regexp_split_to_array(
+        |  SELECT w, coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
         |           replace(e.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
         |                   ' ' || b.lhs || b.rhs || ' '),
-        |           ' +'), x -> x <> ''), '  ') || ' ' AS seg
-        |  FROM e2 e, b3 b
+        |           ' +'), x -> x <> ''), '  ') || ' ', e.seg) AS seg
+        |  FROM e2 e LEFT JOIN b3 b ON true
         |), wt AS (
         |  SELECT w, len(list_filter(regexp_split_to_array(seg, ' +'),
         |                            x -> x <> ''))::BIGINT AS w_toks

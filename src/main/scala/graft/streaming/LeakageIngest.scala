@@ -31,7 +31,16 @@ import graft.operators.Documents
   * fails the micro-batch so the checkpoint retries it. A near-dup
   * arriving beyond the horizon is NOT alerted — bounded state is the
   * streaming contract; run the batch audit over the lake for the
-  * unbounded answer. */
+  * unbounded answer.
+  *
+  * Replay safety: both sinks are partitioned by `batch_id` and written
+  * with dynamic partition OVERWRITE, so a checkpoint retry of batch N
+  * replaces exactly the partitions batch N wrote the first time —
+  * a failure between the alert write and the index write (or after
+  * both) cannot double-append rows, and the standing-alert metadata
+  * join never sees duplicated index rows. Empty micro-batches are
+  * skipped outright (Kafka rebalances deliver them routinely); the
+  * previous max(ts)-of-nothing would have NPE'd the batch forever. */
 object LeakageIngest {
 
   def ingestLeakageAudit(docs: DataFrame, indexDir: String, alertDir: String,
@@ -39,7 +48,7 @@ object LeakageIngest {
                          watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val sims = batch
           .withColumn("simhash",
@@ -47,7 +56,7 @@ object LeakageIngest {
           .withColumn("split", Documents.splitExpr())
           .select("doc_id", "ts", "simhash", "split")
         sims.persist()
-        try {
+        try if (!sims.isEmpty) {
           val indexPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
           def hasData = {
@@ -89,11 +98,18 @@ object LeakageIngest {
             .select("doc_id", "matched_id", "split_new", "split_old", "ts")
           val alerts = standingAlerts
             .map(_.unionByName(inBatchAlerts)).getOrElse(inBatchAlerts)
-          alerts.write.mode(SaveMode.Append).parquet(alertDir)
-          // admit EVERYTHING — the audit never drops
+          alerts.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(alertDir)
+          // admit EVERYTHING — the audit never drops. `d` stays the
+          // LEADING partition so expireIndex's date-directory retention
+          // and the cutoff filter's partition pruning are unchanged.
           sims.select(col("doc_id"), col("simhash"), col("split"), col("ts"),
-              to_date(col("ts")).as("d"))
-            .write.mode(SaveMode.Append).partitionBy("d").parquet(indexDir)
+              to_date(col("ts")).as("d"), lit(batchId).as("batch_id"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d", "batch_id").parquet(indexDir)
         } finally sims.unpersist()
       }
       .start()

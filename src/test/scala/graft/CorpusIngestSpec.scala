@@ -279,6 +279,13 @@ class CorpusIngestSpec extends SparkSuite {
       val after = spark.read.parquet(s"$base/alerts")
         .select("doc_id").as[Long].collect().sorted
       assert(after === Array(3L, 4L), s"horizon must bound alerts: ${after.toSeq}")
+      // an EMPTY micro-batch against a non-empty index must be a no-op,
+      // not a max(ts)-of-nothing NPE that poisons the checkpoint retry
+      stream.addData(Seq.empty[(Long, java.sql.Timestamp, String)])
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"empty batch must not fail: ${q.exception}")
+      assert(spark.read.parquet(s"$base/alerts")
+        .select("doc_id").as[Long].collect().sorted === Array(3L, 4L))
     } finally q.stop()
   }
 }

@@ -55,7 +55,17 @@ def parse(path):
             in_code = not in_code
             in_tree = in_code  # a fenced block starts with the tree
             continue
-        if not (in_code and in_tree and name):
+        if not (in_code and name):
+            continue
+        # formatted explain appends "===== Subqueries =====" sections;
+        # each "Subquery:N Hosting operator ..." header starts another
+        # tree (the scalar-subquery shapes Q11/Q22 exercise) — without
+        # re-entering tree mode a shuffle or join-strategy regression
+        # inside a subquery would be invisible to the gate
+        if re.match(r"^Subquery:?\d*\s", line):
+            in_tree = True
+            continue
+        if not in_tree:
             continue
         if re.match(r"^\(\d+\) ", line):  # node details begin; tree over
             in_tree = False
