@@ -218,11 +218,11 @@ object SparkEntry {
     "embed_matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Embeddings.embedMatryoshka(s, d)),
     "embed_pca" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
-      Embeddings.embedPca(s, d)),
+      Embeddings.embedPcaGate(s, d)),
     "embed_ann_lsh" -> (Embeddings.embedAnnLsh _),
-    "embed_ann_ivf" -> (Embeddings.embedAnnIvf _),
+    "embed_ann_ivf" -> (Embeddings.embedAnnIvfGate _),
     "embed_ann_ivf_planted" -> (Embeddings.embedAnnIvfPlanted _),
-    "embed_ann_ivfpq" -> (Embeddings.embedAnnIvfPq _),
+    "embed_ann_ivfpq" -> (Embeddings.embedAnnIvfPqGate _),
     "embed_ann_ivfpq_planted" -> (Embeddings.embedAnnIvfPqPlanted _),
     "embed_pq_planted" -> (Embeddings.embedPqPlanted _),
     "embed_pca_planted" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -232,7 +232,7 @@ object SparkEntry {
     "embed_centroid" -> (Embeddings.embedCentroid _),
     "embed_outliers" -> (Embeddings.embedOutliersQ _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
-    "embed_pq" -> (Embeddings.embedPq _),
+    "embed_pq" -> (Embeddings.embedPqGate _),
     "dedup_embed_cosine" -> (Embeddings.dedupEmbedCosine _),
     "dedup_embed_cosine_exact" -> (Embeddings.dedupEmbedCosineExact _),
     // LLM-pipeline: multimodal binary columns
@@ -1131,13 +1131,19 @@ object SparkEntry {
          |      / 1152921504606846976.0)), 4), 4) AS score
          |FROM dsir
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
-    // ---- LLM-pipeline oracles (embed_ann_lsh / embed_ann_ivf are
-    // rows-only: they depend on LSH/quantizer internals the oracle
-    // can't reproduce; their quality bars live in the ScalaTest
-    // specs). dedup_minhash and dedup_simhash ARE hard oracle rows
-    // since round 7: their hash family is md5, which DuckDB
-    // reproduces exactly, so the oracle replays signature → banding
-    // → candidates → verify. ----
+    // ---- LLM-pipeline oracles. dedup_minhash and dedup_simhash ARE
+    // hard oracle rows since round 7: their hash family is md5, which
+    // DuckDB reproduces exactly, so the oracle replays signature →
+    // banding → candidates → verify. The learned-retrieval rows
+    // (embed_ann_ivf / embed_pq / embed_ann_ivfpq / embed_pca) are
+    // driver-checkable since round 11 via closed-form GATES
+    // (Embeddings.recallGate / embedPcaGate): the Spark side reduces
+    // the learned path to corpus-independent constants (shape counts
+    // + invariant booleans), which the oracle states literally —
+    // n_queries it derives from the parquet, the booleans are
+    // mathematical truths of any correct implementation, and the raw
+    // top-k semantics stay pinned by the planted-clone twins below
+    // plus EmbeddingsSpec's recall floors. ----
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -2253,6 +2259,28 @@ object SparkEntry {
       """SELECT vec_id AS id_a, (vec_id + 10000000)::BIGINT AS id_b,
         |       1.0::DOUBLE AS sim
         |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a, id_b""".stripMargin,
+    // Recall/invariant GATES for the learned-retrieval rows: every
+    // emitted value is a corpus-independent constant (see the comment
+    // at the head of this oracle block). n_queries/n_vectors come from
+    // the parquet so the oracle is data-derived where it can be; the
+    // booleans are stated constants whose Spark-side computation joins
+    // the learned path against the hard-oracled brute-force fold.
+    "embed_ann_ivf" ->
+      """SELECT 10 AS k,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 10)::BIGINT AS n_queries,
+        |  true AS complete, true AS recall_ge_080""".stripMargin,
+    "embed_pq" ->
+      """SELECT 10 AS k,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 10)::BIGINT AS n_queries,
+        |  true AS complete, true AS recall_ge_050""".stripMargin,
+    "embed_ann_ivfpq" ->
+      """SELECT 10 AS k,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 10)::BIGINT AS n_queries,
+        |  true AS complete, true AS recall_ge_050""".stripMargin,
+    "embed_pca" ->
+      """SELECT 16 AS d, (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+        |  true AS basis_orthonormal, true AS centered,
+        |  true AS spectrum_nonincreasing, true AS var_captured_ge_uniform""".stripMargin,
     // Same planted-clone recipe through the IVF quantizer: the clone
     // shares the query's top-1 cell, which every probe visits, and no
     // background vector comes near cosine 1.0 — rank 1 is closed-form.

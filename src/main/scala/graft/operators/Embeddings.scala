@@ -1460,6 +1460,137 @@ object Embeddings {
     knnBrute(proj, queries, k = 10).filter(col("rnk") === 1).orderBy("q_id")
   }
 
+  /** Closed-form recall GATE for a learned-retrieval path — the
+    * recipe that makes the learned rows driver-checkable: join the
+    * approximate result against the exact brute-force top-k (the
+    * same computation as the hard-oracled `embed_knn` row), reduce
+    * to ONE row whose every value is a corpus-independent constant,
+    * and let the DuckDB oracle state those constants. The learned
+    * fits are deterministic (hash-sampled, seeded by the data), so
+    * mean recall is a fixed number per corpus; each bar sits under
+    * the tri-scale measured minimum with margin (tools.GateProbe:
+    * ivf 0.93/0.93/0.94, pq 0.89/0.92/0.68, ivfpq 0.91/0.88/0.69 at
+    * sf0.001/0.01/0.1), while a cell-routing, codebook, LUT, or
+    * rerank bug crushes recall toward k/n ≈ 0.005 and flips the
+    * boolean. `complete` pins the result SHAPE: exactly k rows for
+    * every expected query. The raw top-k rows stay inspectable via
+    * the un-gated operators ([[annIvf]] et al.), the planted-clone
+    * rows, and the recall floors in EmbeddingsSpec. */
+  def recallGate(exact: DataFrame, approx: DataFrame, k: Int,
+                 bar: Double, barName: String): DataFrame = {
+    val a = approx.select(col("q_id"), col("vec_id"))
+    val shape = a.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("q_id")).as("n_qs"))
+    val perQ = exact.select(col("q_id"), col("vec_id"))
+      .join(a.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left_outer")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+    perQ.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("mr"))
+      .crossJoin(broadcast(shape))
+      .select(lit(k).as("k"), col("n_queries"),
+        (col("n_rows") === col("n_queries") * k &&
+          col("n_qs") === col("n_queries")).as("complete"),
+        (col("mr") >= lit(bar)).as(barName))
+  }
+
+  /** Registered query (HARD oracle via [[recallGate]]): the honest-
+    * recall IVF path reduced to its driver-checkable gate — recall
+    * ≥ 0.80 vs brute force with the registered 16-cell/5-probe/
+    * 3-assign geometry (measured 0.93–0.94 tri-scale). */
+  def embedAnnIvfGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    recallGate(knnBrute(emb, queries, k = 10),
+      annIvf(emb, col("vec_id") < 10, k = 10,
+        nCentroids = 16, nProbe = 5, nAssign = 3),
+      k = 10, bar = 0.80, barName = "recall_ge_080")
+  }
+
+  /** Registered query (HARD oracle via [[recallGate]]): the PQ
+    * asymmetric-scan + exact-rerank path gated at recall ≥ 0.50 —
+    * under the 0.68 measured at sf0.1, where 32× code compression on
+    * a structureless 2000-vector corpus genuinely costs recall (the
+    * honest number, documented rather than hidden); a codebook or
+    * rerank bug lands near 0.005. */
+  def embedPqGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    recallGate(knnBrute(emb, queries, k = 10),
+      annPq(emb, col("vec_id") < 10, k = 10),
+      k = 10, bar = 0.50, barName = "recall_ge_050")
+  }
+
+  /** Registered query (HARD oracle via [[recallGate]]): the composite
+    * IVF-PQ index gated at recall ≥ 0.50 (measured 0.69 at sf0.1 —
+    * the compounded IVF cell miss × PQ prerank miss floor). */
+  def embedAnnIvfPqGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    recallGate(knnBrute(emb, queries, k = 10),
+      annIvfPq(emb, col("vec_id") < 10, k = 10,
+        nCentroids = 16, nProbe = 5, nAssign = 3),
+      k = 10, bar = 0.50, barName = "recall_ge_050")
+  }
+
+  /** Registered query (HARD oracle): the learned PCA path reduced to
+    * its mathematical invariants, each a boolean whose expected value
+    * is TRUE for any correct PCA of any corpus — so the DuckDB oracle
+    * can state them as constants without replaying the eigensolve:
+    *
+    *  - `basis_orthonormal`: max |⟨e_i,e_j⟩ − δ_ij| over the returned
+    *    basis < 1e-9 (driver-side exact; Jacobi converges far below).
+    *  - `centered`: every projected coordinate has |mean| < 1e-4 —
+    *    the fit mean IS the sample mean, so projections center at 0
+    *    up to the float cast.
+    *  - `spectrum_nonincreasing`: var(proj_1) ≥ … ≥ var(proj_d) up to
+    *    float tolerance — the data-side echo of eigenvalue ordering
+    *    (the variance of the data along component k IS λ_k).
+    *  - `var_captured_ge_uniform`: Σ var(proj) ≥ (d/64)·total
+    *    variance · 0.98 — the top-d eigenvalues of a sample
+    *    covariance always capture at least the dimension-average
+    *    share (with 2% float slack); picking wrong or bottom
+    *    components breaks it.
+    *
+    * A recall bar is deliberately absent: 16/64 dims of this
+    * hash-uniform corpus retains only 0.11–0.27 recall@10 (GateProbe,
+    * the honest cost of truncating structureless data), so retrieval
+    * quality is pinned by EmbeddingsSpec's planted-subspace fixture
+    * and the `embed_pca_planted` clone row instead. */
+  def embedPcaGate(spark: SparkSession, dir: String, d: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (mean, basis) = memoFit(emb, d, 64)
+    val orthoErr = (for (i <- basis.indices; j <- i until basis.length) yield
+      math.abs(basis(i).zip(basis(j)).map { case (x, y) => x * y }.sum -
+        (if (i == j) 1.0 else 0.0))).max
+    val proj = pcaProject(emb, mean, basis)
+    val comps = (0 until d).map(i =>
+      element_at(col("embedding"), i + 1).cast("double").as(s"p$i"))
+    val aggs = (0 until d).flatMap(i => Seq(
+      var_pop(col(s"p$i")).as(s"v$i"), avg(col(s"p$i")).as(s"m$i"))) :+
+      count(lit(1)).as("n_vectors")
+    val stats = proj.select(comps: _*).agg(aggs.head, aggs.tail: _*)
+    val meanNorm2 = mean.map(x => x * x).sum
+    val tot = emb.agg(
+      (avg(VectorExpressions.vecDot(col("embedding"), col("embedding"))) -
+        lit(meanNorm2)).as("total_var"))
+    val maxAbsMean = greatest((0 until d).map(i => abs(col(s"m$i"))): _*)
+    val nonInc = (0 until d - 1).map(i =>
+      col(s"v${i + 1}") <= col(s"v$i") * lit(1.0 + 1e-6) + lit(1e-9))
+      .reduce(_ && _)
+    val sumVar = (0 until d).map(i => col(s"v$i")).reduce(_ + _)
+    stats.crossJoin(broadcast(tot)).select(
+      lit(d).as("d"), col("n_vectors"),
+      lit(orthoErr < 1e-9).as("basis_orthonormal"),
+      (maxAbsMean < lit(1e-4)).as("centered"),
+      nonInc.as("spectrum_nonincreasing"),
+      (sumVar >= col("total_var") * lit(d.toDouble / 64.0 * 0.98))
+        .as("var_captured_ge_uniform"))
+  }
+
   /** Mean recall of `approx` against `exact` (both `(q_id, vec_id)`
     * top-k frames). Driver-side collect — a measurement utility for
     * the quality specs and `tools.PqProbe`, shared so the bar-setting

@@ -38,7 +38,7 @@ object DumpPlans {
       "filter_in_subquery" -> "IN (subquery) rewritten to a broadcast left semi join",
       "events_retention" -> "cohort table broadcast into the distinct-activity stream",
       "text_surprisal" -> "vocabulary broadcasts when its measured size fits; shuffle-join fallback for web-scale vocabularies",
-      "embed_pq" -> "corpus pass over 8-byte PQ codes; exact rerank only on top-C survivors",
+      "embed_pq" -> "recall gate: PQ code pass + exact rerank, joined against the brute-force fold; both 1-row shape/recall aggs broadcast",
       "text_tfidf" -> "ONE doc_id-keyed corpus shuffle shared by the TF aggregate and the ranking window; vocabulary broadcast by measured size",
       "text_bpe_merges" -> "pair stage runs on the word HISTOGRAM (one corpus-sized word-count agg, then a vocab-sized pair agg); top-k via TakeOrderedAndProject",
       "text_bpe_encode" -> "k merge rewrites collapse to ONE projection over the distinct-word frame; token counts rejoin the corpus by measured broadcast; per-doc agg is map-side partial",

