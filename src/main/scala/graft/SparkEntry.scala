@@ -243,6 +243,8 @@ object SparkEntry {
       Multimodal.multimodalThumbnail(s, d)),
     "multimodal_audio_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalAudioSample(s, d)),
+    "multimodal_dedup_phash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupPhash(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -2435,6 +2437,15 @@ object SparkEntry {
         |  ((nf + 3) // 4)::INT AS n_frames_out,
         |  sum((31 * fr + 17 * c + doc_id) % 65536 - 32768)::BIGINT AS sample_sum
         |FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // Perceptual image dedup, planted-structure closed form: each
+    // doc_id < 10 image is re-encoded at 2x resolution under
+    // doc_id + 10M; the nearest-neighbor floor identity makes the
+    // clone's dHash EXACTLY the original's (Hamming 0), while the
+    // nearest non-planted pair sits at measured Hamming 14 — far
+    // above the <= 4 gate — so the planted pairs ARE the answer.
+    "multimodal_dedup_phash" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     "dedup_embed_cosine_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
         |           FROM embeddings WHERE vec_id < 1000)

@@ -389,6 +389,40 @@ object Multimodal {
       b.array()
     }
 
+    /** splitmix64 finalizer (public-domain constants) — the avalanche
+      * mix behind [[bmpTexture]]'s per-pixel content. */
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** 24-bit BMP with hash-textured content: channels at (x, y) are
+      * bytes of mix64(id, x, y). Unlike [[bmpGradient]] (whose linear
+      * ramp makes most dHash comparison patterns IDENTICAL across ids
+      * — measured background min Hamming 0, useless for dedup
+      * fixtures), distinct ids here get independent 64-bit dHashes, so
+      * the nearest background pair among n images sits near the
+      * binomial tail (measured: Hamming 14 over 500 images). */
+    def bmpTexture(w: Int, h: Int, id: Long): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = mix64(id * 0x100000001L + y.toLong * 65536 + x)
+          val o = (y * w + x) * 3
+          px(o) = (m & 0xff).toByte
+          px(o + 1) = ((m >>> 8) & 0xff).toByte
+          px(o + 2) = ((m >>> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(px, w, h)
+    }
+
     /** 16-bit PCM WAV with a deterministic ramp — sample at (frame f,
       * channel c) = ((31f + 17c + id) mod 65536) − 32768 — so every
       * decimated sample has a closed form in (doc_id, f, c). */
@@ -533,6 +567,92 @@ object Multimodal {
     * counts. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decodeStub(pack(spark, dir)).toDF().orderBy("doc_id")
+
+  /** 64-bit dHash (difference hash) of top-down BGR triples — the
+    * standard perceptual image signature: nearest-neighbor downscale
+    * to a 9×8 luminance grid, one bit per horizontally-adjacent
+    * comparison. All-integer math (luminance = B+G+R, the same
+    * nearest-neighbor index arithmetic as [[MediaTransform
+    * .resizeNearest]]), so the hash is bit-identical across JVMs and
+    * replayable arithmetically. Scale-invariance is exact for power-
+    * of-two rescales (floor(floor(2a)/2) = floor(a): a 2×-upscaled
+    * re-encode hits the IDENTICAL 9×8 grid) and approximate for
+    * crops/noise — the usual dHash contract. */
+  def dHash64(px: Array[Byte], w: Int, h: Int): Long = {
+    val lum = new Array[Int](9 * 8)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 9) {
+        val sx = x * w / 9
+        val o = (sy * w + sx) * 3
+        lum(y * 9 + x) = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (lum((i / 8) * 9 + i % 8 + 1) > lum((i / 8) * 9 + i % 8)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Registered query (HARD oracle, planted-structure recipe):
+    * PERCEPTUAL image dedup — the canonical multimodal-corpus op. Each
+    * doc's gradient BMP is decoded and dHashed; for doc_id < 10 a
+    * genuine near-duplicate is planted under doc_id + 10M by
+    * re-encoding the SAME image at 2× resolution (a real resize +
+    * re-encode through the byte codecs, not a signature copy). The 2×
+    * nearest-neighbor upscale provably preserves the 9×8 dHash grid
+    * (floor-of-floor identity above), so each planted pair sits at
+    * Hamming 0 — closed-form rank for the oracle — while the measured
+    * background separation is wide: the nearest non-planted pair among
+    * the hash-textured images is Hamming 14 (tools.GateProbe; the
+    * doc_id-only fixture is identical at every sf), so the ≤ 4 gate
+    * cannot admit a false pair on any driver corpus.
+    *
+    * Pair generation reuses [[Documents.simhashPairs]]' banded Hamming
+    * join unchanged — a dHash IS a 64-bit locality signature, so the
+    * image tier inherits the text tier's scale path: shuffle on
+    * (band, value), pigeonhole recall guarantee, never n². At 100 TB
+    * the decode+hash stage is the embarrassingly-parallel map
+    * ([[decodeStub]]'s partition-batched seam) and the join cost is
+    * the text SimHash economics at 8 bytes/image. */
+  def multimodalDedupPhash(spark: SparkSession, dir: String,
+                           limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(phashSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=dHash64) signature frame behind
+    * [[multimodalDedupPhash]]: generate → decode → hash, with the 2×
+    * re-encoded clones planted for doc_id < 10. Exposed so the
+    * separation probe and the spec measure the SAME signatures the
+    * registered query joins. */
+  def phashSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val (dw, dh, px) = MediaTransform.bmpPixels(
+            MediaTransform.bmpTexture(w, h, id)).get
+          val base = (id, dHash64(px, dw, dh))
+          if (id < 10) {
+            val up = MediaTransform.encodeBmp(
+              MediaTransform.resizeNearest(px, dw, dh, dw * 2, dh * 2),
+              dw * 2, dh * 2)
+            val (uw, uh, upx) = MediaTransform.bmpPixels(up).get
+            Iterator(base, (id + 10000000L, dHash64(upx, uw, uh)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
 
   /** Registered query (HARD oracle): generate → decode over REAL
     * format headers, so all four [[MediaDecoder]] branches (BMP, PNG,

@@ -35,6 +35,16 @@ object GateProbe {
       println("  gate pq:    " + Embeddings.embedPqGate(spark, dir).collect().mkString)
       println("  gate ivfpq: " + Embeddings.embedAnnIvfPqGate(spark, dir).collect().mkString)
       println("  gate pca:   " + Embeddings.embedPcaGate(spark, dir).collect().mkString)
+      // dHash background separation: exact all-pairs min Hamming among
+      // NON-planted image pairs (the bar multimodal_dedup_phash's
+      // maxHamming must sit strictly under)
+      val sigs = graft.operators.Multimodal.phashSigs(spark, dir)
+        .filter(col("doc_id") < 10000000L)
+      val ph = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+        .agg(min("h"), count(lit(1))).collect()
+      println("  phash background (min hamming, n pairs): " + ph.mkString)
     }
     spark.stop()
   }

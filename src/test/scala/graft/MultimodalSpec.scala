@@ -225,4 +225,35 @@ class MultimodalSpec extends SparkSuite {
     assert(out.count() === math.min(nDocs, nEmb))
     assert(out.filter(col("dim") =!= 64).count() === 0)
   }
+
+  test("multimodal_dedup_phash finds exactly the planted 2x re-encodes, at Hamming 0") {
+    val out = Multimodal.multimodalDedupPhash(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+  }
+
+  test("dHash64: scale-invariant under 2x/4x re-encode, far apart across images, near under noise") {
+    import Multimodal.MediaTransform._
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val (w, h) = (23, 17)
+    val (_, _, px) = bmpPixels(bmpTexture(w, h, 42L)).get
+    val base = Multimodal.dHash64(px, w, h)
+    for (s <- Seq(2, 4)) {
+      val (uw, uh, upx) = bmpPixels(
+        encodeBmp(resizeNearest(px, w, h, w * s, h * s), w * s, h * s)).get
+      assert(Multimodal.dHash64(upx, uw, uh) === base,
+        s"${s}x re-encode must preserve the dHash exactly")
+    }
+    // distinct images: independent hashes, expected Hamming ~32
+    val (_, _, px2) = bmpPixels(bmpTexture(w, h, 43L)).get
+    assert(hamming(base, Multimodal.dHash64(px2, w, h)) >= 10)
+    // perceptual (not cryptographic): perturbing ONE pixel's channels
+    // moves at most the two comparisons that sample it
+    val noisy = px.clone()
+    noisy(0) = (noisy(0) ^ 0x7f).toByte
+    assert(hamming(base, Multimodal.dHash64(noisy, w, h)) <= 2)
+  }
 }
