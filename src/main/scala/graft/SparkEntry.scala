@@ -168,6 +168,7 @@ object SparkEntry {
     "text_bpe_train" -> (Documents.textBpeTrain _),
     "text_bpe_encode" -> (Documents.textBpeEncode _),
     "text_bpe_vocab" -> (Documents.textBpeVocab _),
+    "text_unigram_train" -> (Documents.textUnigramTrain _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -2137,6 +2138,71 @@ object SparkEntry {
         |       sum(wt.w_toks)::BIGINT AS n_bpe_tokens
         |FROM dw JOIN wt USING (w)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Unigram-LM trainer replay: the oracle ENUMERATES every
+    // segmentation of every histogram word with a recursive CTE
+    // (affordable: the corpus vocabulary is 30 words of <= 8 chars)
+    // and takes the same integer-scored argmax as the Spark Viterbi
+    // DP — quantized micro-nat lp, tie-break (score DESC, pieces ASC,
+    // seg ASC) — through 2 unrolled hard-EM rounds. All-integer
+    // scoring makes the argmax engine-exact; ln's shared ulp behavior
+    // is the only float, verified by the tri-scale hash compare.
+    "text_unigram_train" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1
+        |), pos AS (
+        |  SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM words
+        |), sub AS (
+        |  SELECT w, c, i, unnest(range(1, least(3, length(w) - i + 1) + 1)) AS l FROM pos
+        |), seed AS (
+        |  SELECT substr(w, i, l) AS tok, sum(c)::BIGINT AS cnt FROM sub GROUP BY 1
+        |), t0 AS (
+        |  SELECT (sum(cnt) + count(*))::DOUBLE AS total FROM seed
+        |), v0 AS (
+        |  SELECT tok, CAST(floor(ln((cnt + 1)::DOUBLE / t0.total) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM seed, t0
+        |), r1 AS (
+        |  SELECT w, c, 0 AS pos, 0::BIGINT AS score, 0 AS k, '' AS seg FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.c, r.pos + length(v.tok), r.score + v.lp, r.k + 1,
+        |         CASE WHEN r.seg = '' THEN v.tok ELSE r.seg || ' ' || v.tok END
+        |  FROM r1 r JOIN v0 v ON v.tok = substr(r.w, r.pos + 1, length(v.tok))
+        |  WHERE r.pos < length(r.w)
+        |), b1 AS (
+        |  SELECT w, c, seg FROM (
+        |    SELECT w, c, seg,
+        |           row_number() OVER (PARTITION BY w ORDER BY score DESC, k ASC, seg ASC) AS rn
+        |    FROM r1 WHERE pos = length(w)) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT tok, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b1) GROUP BY 1
+        |), t1 AS (
+        |  SELECT ((SELECT sum(cnt) FROM c1) + (SELECT count(*) FROM seed))::DOUBLE AS total
+        |), v1 AS (
+        |  SELECT s.tok,
+        |         CAST(floor(ln((coalesce(c1.cnt, 0) + 1)::DOUBLE / t1.total) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM seed s LEFT JOIN c1 ON s.tok = c1.tok, t1
+        |), r2 AS (
+        |  SELECT w, c, 0 AS pos, 0::BIGINT AS score, 0 AS k, '' AS seg FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.c, r.pos + length(v.tok), r.score + v.lp, r.k + 1,
+        |         CASE WHEN r.seg = '' THEN v.tok ELSE r.seg || ' ' || v.tok END
+        |  FROM r2 r JOIN v1 v ON v.tok = substr(r.w, r.pos + 1, length(v.tok))
+        |  WHERE r.pos < length(r.w)
+        |), b2 AS (
+        |  SELECT w, c, seg FROM (
+        |    SELECT w, c, seg,
+        |           row_number() OVER (PARTITION BY w ORDER BY score DESC, k ASC, seg ASC) AS rn
+        |    FROM r2 WHERE pos = length(w)) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT tok, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b2) GROUP BY 1
+        |)
+        |SELECT tok, cnt, rnk FROM (
+        |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk FROM c2)
+        |WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),

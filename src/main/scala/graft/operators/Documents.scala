@@ -931,6 +931,132 @@ object Documents {
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(spark, dir)
 
+  /** UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
+    * `unigram` model) — the other trainer a training-data pipeline
+    * ships beside [[bpeTrain]], via Viterbi hard-EM over the WORD
+    * HISTOGRAM (the same corpus-row-independence as BPE: one corpus
+    * pass builds the histogram; every EM round is vocab-sized).
+    *
+    *  - Seed vocabulary: ALL substrings of histogram words up to
+    *    `maxPieceLen` chars, scored by occurrence count weighted by
+    *    word frequency (the standard suffix-array seeding, exact at
+    *    this piece length). Single chars are therefore always in
+    *    vocabulary, so every word stays segmentable.
+    *  - E-step: per DISTINCT word, the Viterbi-best segmentation
+    *    under the current token scores; M-step: token counts from the
+    *    chosen segmentations, re-normalized. Hard (Viterbi) EM rather
+    *    than forward-backward: same fixed points in the
+    *    high-confidence regime, and the argmax is exactly replayable.
+    *  - EXACT cross-engine scoring: token log-probs are quantized to
+    *    integer micro-nats, lp(t) = floor(ln((cnt+1)/(total+|V|)) ·
+    *    1e6 + 0.5) (add-one smoothing over the fixed seed vocabulary
+    *    keeps every lp finite). Viterbi then maximizes an INTEGER sum
+    *    with the deterministic tie-break (score DESC, pieces ASC,
+    *    segmentation string ASC) — all-integer DP, so Spark and the
+    *    DuckDB oracle (which enumerates every segmentation of every
+    *    histogram word with a recursive CTE and takes the same argmax
+    *    — affordable because the oracle corpus vocabulary is tiny)
+    *    agree bit-for-bit. The only float is ln itself, shared ulp
+    *    semantics verified by the tri-scale hash compare.
+    *
+    * 100-TB shape: the corpus is touched once (the word histogram
+    * agg); seed counting, each E-step, and the M-step aggregate are
+    * flatMap/agg over the DISTINCT-WORD frame; the lp model collected
+    * per round is vocab-sized (the k-means-centroid materialization
+    * class). The DP is per-word imperative logic with no Catalyst
+    * equivalent — a typed flatMap over the histogram Dataset, the
+    * same seam class as the media byte codecs. */
+  def unigramTrain(spark: SparkSession, dir: String, maxPieceLen: Int = 3,
+                   rounds: Int = 2, top: Int = 30): DataFrame = {
+    import spark.implicits._
+    val words = graft.Caches.persist(unigramWords(spark, dir))
+    val seedDF = words.as[(String, Long)]
+      .flatMap { case (w, c) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield (w.substring(i, i + l), c)
+      }
+      .groupBy(col("_1").as("tok")).agg(sum(col("_2")).as("cnt"))
+      .select("tok", "cnt")
+    val seed = seedDF.as[(String, Long)].collect().toMap
+    var lp = unigramLp(seed, seed.keySet)
+    var cntDF: DataFrame = null
+    for (r <- 1 to rounds) {
+      val lpB = spark.sparkContext.broadcast(lp)
+      cntDF = words.as[(String, Long)]
+        .flatMap { case (w, c) =>
+          unigramViterbi(w, lpB.value, maxPieceLen).map(t => (t, c)) }
+        .groupBy(col("_1").as("tok")).agg(sum(col("_2")).as("cnt"))
+        .select("tok", "cnt")
+      if (r < rounds) {
+        val used = cntDF.as[(String, Long)].collect().toMap
+        lp = unigramLp(seed.keySet.map(t => t -> used.getOrElse(t, 0L)).toMap,
+          seed.keySet)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    cntDF.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= top)
+      .select("tok", "cnt", "rnk")
+      .orderBy("rnk")
+  }
+
+  /** The ≥2-letter word histogram shared by the BPE and unigram
+    * trainers — the single corpus-sized pass of tokenizer training. */
+  private def unigramWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Integer micro-nat scores: lp(t) = floor(ln((cnt+1)/(total+|V|))
+    * · 1e6 + 0.5), smoothing over the FIXED seed vocabulary so unused
+    * tokens keep a finite score. The identical expression runs in the
+    * oracle SQL; every downstream comparison is integer-exact. */
+  private[graft] def unigramLp(counts: Map[String, Long],
+                               vocab: Set[String]): Map[String, Long] = {
+    val total = (counts.valuesIterator.sum + vocab.size).toDouble
+    vocab.iterator.map { t =>
+      val cnt = counts.getOrElse(t, 0L)
+      t -> math.floor(math.log((cnt + 1).toDouble / total) * 1e6 + 0.5).toLong
+    }.toMap
+  }
+
+  /** Viterbi-best segmentation of one word under integer token scores:
+    * maximize Σ lp, ties to fewer pieces, then to the lexicographically
+    * smallest segmentation string — decomposable because tied
+    * candidates cover the same chars with the same piece count, so
+    * their strings have equal length and appending a common suffix
+    * preserves their order. */
+  private[graft] def unigramViterbi(w: String, lp: Map[String, Long],
+                                    maxPieceLen: Int): Seq[String] = {
+    // best(i): (score, pieces, seg string) for w's first i chars
+    val best = new Array[(Long, Int, String)](w.length + 1)
+    best(0) = (0L, 0, "")
+    for (i <- 1 to w.length) {
+      var b: (Long, Int, String) = null
+      for (l <- 1 to math.min(maxPieceLen, i)) {
+        val t = w.substring(i - l, i)
+        val prev = best(i - l)
+        if (prev != null) lp.get(t).foreach { p =>
+          val cand = (prev._1 + p, prev._2 + 1,
+            if (prev._3.isEmpty) t else prev._3 + " " + t)
+          if (b == null || cand._1 > b._1 ||
+              (cand._1 == b._1 && (cand._2 < b._2 ||
+                (cand._2 == b._2 && cand._3 < b._3)))) b = cand
+        }
+      }
+      best(i) = b
+    }
+    require(best(w.length) != null, s"unigramViterbi: '$w' unsegmentable")
+    best(w.length)._3.split(' ').toSeq
+  }
+
+  def textUnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    unigramTrain(spark, dir)
+
   /** Language-ID by stopword-profile scoring: count hits against a
     * tiny per-language marker lexicon, predict the argmax (ties break
     * alphabetically, 'unk' when nothing matches). A real pipeline

@@ -340,4 +340,53 @@ class PropertySpec extends SparkSuite {
       got == ws.map(greedy)
     }, n = 8)
   }
+
+  test("unigram hard-EM: E-step argmax exact, smoothed likelihood non-decreasing per round") {
+    // The Kudo-style trainer's convergence contract on arbitrary
+    // corpora: each E-step's Viterbi segmentation scores at least the
+    // previous round's segmentation under the CURRENT model (exact —
+    // integer scores, argmax by construction), and the add-1-smoothed
+    // corpus objective F(seg, θ(seg)) never decreases across rounds
+    // (hard-EM monotonicity; tolerance covers the micro-nat
+    // quantization of the lp scores, ±0.5e-6 per token use).
+    import graft.operators.Documents.{unigramLp, unigramViterbi}
+    val word = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(8).mkString)
+    val hist = Gen.nonEmptyListOf(Gen.zip(word, Gen.chooseNum(1L, 20L)))
+      .map(_.take(25).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+    check(Prop.forAll(hist) { h =>
+      val maxLen = 3
+      val vocab = h.keySet.flatMap(w =>
+        for { i <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - i) }
+          yield w.substring(i, i + l))
+      val seed = vocab.map(t => t -> h.iterator.map { case (w, c) =>
+        c * (0 to w.length - t.length).count(i => w.startsWith(t, i)) }.sum).toMap
+      // exact objective under given counts-model, UNQUANTIZED ln
+      def fObj(segs: Map[String, Seq[String]], cnt: Map[String, Long]): Double = {
+        val total = (vocab.toSeq.map(t => cnt.getOrElse(t, 0L)).sum + vocab.size).toDouble
+        def lnp(t: String) = math.log((cnt.getOrElse(t, 0L) + 1).toDouble / total)
+        segs.iterator.map { case (w, ts) => h(w) * ts.map(lnp).sum }.sum +
+          vocab.iterator.map(lnp).sum // the add-1 prior term the M-step maximizes
+      }
+      var lp = unigramLp(seed, vocab)
+      var prevSegs: Map[String, Seq[String]] = null
+      var prevF = Double.NegativeInfinity
+      var ok = true
+      for (_ <- 1 to 4 if ok) {
+        val segs = h.keys.map(w => w -> unigramViterbi(w, lp, maxLen)).toMap
+        if (prevSegs != null) {
+          // (a) E-step exactness: new seg >= old seg under CURRENT lp
+          ok &= h.keys.forall { w =>
+            segs(w).map(lp).sum >= prevSegs(w).map(lp).sum }
+        }
+        val cnt = segs.toSeq.flatMap { case (w, ts) => ts.map(_ -> h(w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val f = fObj(segs, cnt)
+        // (b) hard-EM monotonicity of the smoothed objective
+        ok &= f >= prevF - 1e-3
+        prevSegs = segs; prevF = f
+        lp = unigramLp(vocab.map(t => t -> cnt.getOrElse(t, 0L)).toMap, vocab)
+      }
+      ok
+    }, n = 15)
+  }
 }
