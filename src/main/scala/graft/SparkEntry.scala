@@ -311,7 +311,7 @@ object SparkEntry {
     * (l_partkey, l_suppkey) pairs with availqty/supplycost synthesized
     * by the SAME integer modular arithmetic — supplycost in BIGINT
     * cents so every downstream min/sum/comparison is integer-exact. */
-  private val partsuppCte: String =
+  private[graft] val partsuppCte: String =
     """partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
       |         ((l_partkey * 7 + l_suppkey * 11) % 100 + 1)::INT AS ps_availqty,

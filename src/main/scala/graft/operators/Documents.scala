@@ -118,40 +118,54 @@ object Documents {
     * documents are dropped from the shingle universe entirely (both
     * the pair counts and the per-doc sizes — standard stop-shingle
     * semantics), bounding every bucket at (maxDocFreq choose 2) pairs.
-    * The DF filter is one extra aggregation on the already
-    * shingle-partitioned stream (no new shuffle). `None` keeps the
-    * exact Jaccard over all shingles, which the DuckDB oracle
-    * reproduces. */
+    * The DF filter is a size test on the bucket frame the inverted
+    * index aggregates anyway (no new shuffle).
+    *
+    * `None` — the default every registered row and pair-riding
+    * consumer uses — resolves to [[autoDocFreqCap]] (4·√n_docs,
+    * floor 10), so a 100-TB user gets bounded buckets without knowing
+    * the knob, the same auto-sizing contract as `annIvf`'s 4·√n list
+    * count. On every driver corpus the auto cap sits far above the
+    * observed max df (88–284 vs 9–25 measured), so the output is
+    * bit-identical to exact Jaccard and the uncapped DuckDB oracles
+    * replay it unchanged; on a boilerplate-heavy corpus the cap is
+    * the difference between Σ(bucket choose 2) and n². */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(docs)
-    // per-doc set sizes: in the uncapped case |set| = size(sh) straight
-    // from the shingle array — a 1-row-per-doc projection, not an
-    // aggregation over the exploded (38×bigger) shingle stream; the
-    // capped case must count post-cap survivors, so it aggregates.
-    val (sh, n) = maxDocFreq match {
-      case Some(cap) =>
-        val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("s")
-        val kept = sh0.join(hot, Seq("s"), "left_anti")
-        (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n")))
-      case None =>
-        (sh0, shingleArray(docs)
-          .select(col("doc_id"), size(col("sh")).as("n"))
-          .filter(col("n") > 0))
-    }
+    val cap = maxDocFreq.getOrElse(autoDocFreqCap(docs.count()))
     // Inverted index: bucket doc lists per shingle, emit ordered pairs
-    // from each bucket — one shuffle (co-partitioned with `shingles`'
-    // repartition), no self-join, pair volume = Σ (bucket choose 2).
-    val pairs = sh.groupBy("s")
-      .agg(sort_array(collect_list("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+    // from each qualifying bucket — one shuffle (co-partitioned with
+    // `shingles`' repartition), no self-join, pair volume =
+    // Σ (bucket choose 2) bounded by the cap. The bucket frame is
+    // PERSISTED (registry-scoped) because it has two consumers — pair
+    // expansion and the hot-hit size correction — and is itself the
+    // dominant aggregation (the containment twin measured 126 s vs
+    // 66 s at 1M docs without the persist).
+    val buckets0 = graft.Caches.persist(shingles(docs).groupBy("s")
+      .agg(sort_array(collect_list("doc_id")).as("ds")))
+    val pairs = buckets0
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= cap)
       .select(explode(expr(
         """flatten(transform(ds,
           |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
           |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
+    // Per-doc SURVIVOR set sizes = map-side totals MINUS per-doc
+    // hot-shingle hits (never a recount of the kept stream: the hit
+    // frame is sized by boilerplate volume — empty on a clean corpus,
+    // where a full recount shuffle measured +14% at 1M docs for
+    // nothing — and joins by measured-size broadcast).
+    val base = shingleArray(docs)
+      .select(col("doc_id"), size(col("sh")).as("n"))
+      .filter(col("n") > 0)
+    val hotHits = buckets0.filter(size(col("ds")) > cap)
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val n = Ops.joinBroadcastIfFits(base, hotHits, "doc_id", joinType = "left")
+      .select(col("doc_id"),
+        (col("n") - coalesce(col("hits"), lit(0))).as("n"))
+      .filter(col("n") > 0)
     // n is one 16-byte row per DOCUMENT — small vs the pair stream at
     // test scale, but it grows with the corpus, so the broadcast is a
     // MEASURED decision (Ops.broadcastIfFits), not a hard hint: at
@@ -175,9 +189,24 @@ object Documents {
     // shingle/inverted-index chain from the scan up.
   }
 
-  /** Registered query: exact 3-gram Jaccard ≥ 0.6 pairs, uncapped so
-    * the DuckDB oracle reproduces it bit-for-bit. The capped variant
-    * (the production skew guard) is exercised by the skew spec. */
+  /** AUTO df cap: 4·⌈√n_docs⌉ with a floor of 10 — the annIvf 4·√n
+    * precedent applied to stop-shingles. Rationale: a shingle in more
+    * than ~√n documents contributes ≳ n candidate pairs from ONE
+    * bucket (the quadratic term) while adding at most 1 to any
+    * |A∩B| — boilerplate by construction, no similarity signal. The
+    * cap bounds each bucket at (4√n choose 2) ≈ 8n pairs. Measured
+    * headroom on the driver corpora: caps 88/88/284 vs observed max
+    * df 9/7/25 at sf0.001/0.01/0.1 — the cap never binds there, so
+    * capped ≡ exact and the uncapped oracles stay bit-green. */
+  def autoDocFreqCap(nDocs: Long): Int =
+    math.max(10L, 4L * math.round(math.sqrt(nDocs.toDouble))).toInt
+
+  /** Registered query: 3-gram Jaccard ≥ 0.6 pairs under the AUTO df
+    * cap ([[autoDocFreqCap]] — the family default). The cap sits far
+    * above the corpus's observed max df, so the result equals exact
+    * Jaccard bit-for-bit and the uncapped DuckDB oracle replays it;
+    * a BINDING cap is exercised by `dedup_containment_capped`'s
+    * oracle row and the skew spec. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
@@ -225,41 +254,36 @@ object Documents {
     * candidate volume — the scale-determining term — is identical. */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        maxDocFreq: Option[Int] = None): DataFrame = {
-    // The stop-shingle cap (same semantics as [[jaccardPairs]]): a
+    // The stop-shingle cap (same semantics and AUTO default as
+    // [[jaccardPairs]] — `None` resolves via [[autoDocFreqCap]]): a
     // shingle in more than `cap` documents carries no containment
     // signal but contributes (bucket choose 2) candidate pairs — the
-    // quadratic term at scale. The capped path PERSISTS the bucket
-    // frame because it has two consumers (pair expansion + the hot-hit
-    // size correction); without the persist the inverted-index
+    // quadratic term at scale. The bucket frame is PERSISTED because
+    // it has two consumers (pair expansion + the hot-hit size
+    // correction); without the persist the inverted-index
     // aggregation — the dominant cost — runs once per consumer
     // (measured 126 s vs 66 s at 1M docs).
-    val buckets0raw = shingles(docs).groupBy("s")
-      .agg(sort_array(collect_list("doc_id")).as("ds"))
-    val buckets0 =
-      maxDocFreq.map(_ => graft.Caches.persist(buckets0raw)).getOrElse(buckets0raw)
-    val buckets = maxDocFreq.fold(buckets0)(cap =>
-      buckets0.filter(size(col("ds")) <= cap))
+    val cap = maxDocFreq.getOrElse(autoDocFreqCap(docs.count()))
+    val buckets0 = graft.Caches.persist(shingles(docs).groupBy("s")
+      .agg(sort_array(collect_list("doc_id")).as("ds")))
+    val buckets = buckets0.filter(size(col("ds")) <= cap)
     val base = shingleArray(docs)
       .select(col("doc_id"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
-    val n = maxDocFreq match {
-      case Some(cap) =>
-        // survivor sizes = map-side totals MINUS per-doc hot-shingle
-        // hits, not a recount of the kept stream: the hit frame is
-        // sized by boilerplate volume (empty on a clean corpus, where
-        // a full-corpus recount shuffle measured +14% at 1M docs for
-        // nothing) and joins by measured-size broadcast, degrading to
-        // a shuffle join only when boilerplate genuinely touches a
-        // broadcast-unsafe share of the corpus.
-        val hotHits = buckets0.filter(size(col("ds")) > cap)
-          .select(explode(col("ds")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-        Ops.joinBroadcastIfFits(base, hotHits, "doc_id", joinType = "left")
-          .select(col("doc_id"),
-            (col("n") - coalesce(col("hits"), lit(0))).as("n"))
-          .filter(col("n") > 0)
-      case None => base
-    }
+    // survivor sizes = map-side totals MINUS per-doc hot-shingle
+    // hits, not a recount of the kept stream: the hit frame is
+    // sized by boilerplate volume (empty on a clean corpus, where
+    // a full-corpus recount shuffle measured +14% at 1M docs for
+    // nothing) and joins by measured-size broadcast, degrading to
+    // a shuffle join only when boilerplate genuinely touches a
+    // broadcast-unsafe share of the corpus.
+    val hotHits = buckets0.filter(size(col("ds")) > cap)
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val n = Ops.joinBroadcastIfFits(base, hotHits, "doc_id", joinType = "left")
+      .select(col("doc_id"),
+        (col("n") - coalesce(col("hits"), lit(0))).as("n"))
+      .filter(col("n") > 0)
     val pairs = buckets
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
@@ -281,6 +305,9 @@ object Documents {
       .orderBy("d1", "d2")
   }
 
+  /** Registered query: containment ≥ 0.8 pairs under the AUTO df cap
+    * (non-binding on the driver corpora — see [[autoDocFreqCap]] —
+    * so the uncapped oracle replays it exactly). */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.load(spark, dir, "documents"), threshold = 0.8)
 

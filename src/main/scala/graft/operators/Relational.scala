@@ -1687,7 +1687,14 @@ object Relational {
     * distinct over the fact table — a fixture build, paid per query
     * here for bench isolation (each query stands alone). */
   def partsupp(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
+    partsuppFrom(Tables.load(spark, dir, "lineitem"))
+
+  /** The reconstruction itself over any lineitem-shaped frame —
+    * factored out so PropertySpec can pin it engine-independent
+    * against the oracle CTE's constants on arbitrary key sets
+    * (both engines' `%` agree on the positive key domain). */
+  def partsuppFrom(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .distinct()
       .withColumn("ps_availqty",

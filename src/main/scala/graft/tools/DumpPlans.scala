@@ -28,7 +28,7 @@ object DumpPlans {
       "filter_and" -> "predicates inside PushedFilters, pruned ReadSchema",
       "join_skew_salted" -> "salted key spreads the hot key across partitions",
       "join_asof" -> "union + window: zero join nodes for an as-of match",
-      "dedup_ngram_jaccard" -> "inverted-index: one shuffle keyed by hashed shingle, no self-join",
+      "dedup_ngram_jaccard" -> "inverted-index: one shuffle keyed by hashed shingle, no self-join; auto df cap bounds buckets (non-binding here), survivor sizes = base minus broadcast hot-hits",
       "dedup_simhash" -> "band self-join reads the persisted signature frame twice",
       "embed_ann_lsh" -> "Hamming pre-filter over 32-byte sketches; exact rerank on survivors",
       "text_repetition" -> "pure map — per-doc mode via codegen mode_count, no hash exchange",

@@ -389,4 +389,32 @@ class PropertySpec extends SparkSuite {
       ok
     }, n = 15)
   }
+
+  test("derived partsupp: Spark reconstruction equals the oracle CTE's closed form on arbitrary key sets") {
+    // Q2/Q9/Q11/Q16/Q20 all ride Relational.partsuppFrom AND the
+    // SparkEntry.partsuppCte oracle string; a refactor that changes
+    // one side's modular constants (or drops the DISTINCT) would
+    // silently diverge all five rows. The expected values here are
+    // computed from constants PARSED OUT OF THE ORACLE CTE, so either
+    // side drifting breaks this property. DuckDB's % and Spark's %
+    // agree on the positive key domain the fixture generates.
+    val cte = SparkEntry.partsuppCte
+    val f = raw"\(l_partkey \* (\d+) \+ l_suppkey \* (\d+)\) % (\d+) \+ (\d+)".r
+    val List(availC, costC) = f.findAllMatchIn(cte).toList.map(m =>
+      (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
+    assert(cte.contains("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"),
+      "oracle CTE must derive from the DISTINCT observed pairs")
+    val pairs = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 2000L), Gen.chooseNum(1L, 100L))).map(_.take(80))
+    check(Prop.forAll(pairs) { ps =>
+      def syn(k: Long, s: Long, c: (Long, Long, Long, Long)): Long =
+        (k * c._1 + s * c._2) % c._3 + c._4
+      val expect = ps.distinct.map { case (k, s) =>
+        (k, s, syn(k, s, availC).toInt, syn(k, s, costC)) }.toSet
+      val got = graft.operators.Relational
+        .partsuppFrom(ps.toDF("l_partkey", "l_suppkey"))
+        .as[(Long, Long, Int, Long)].collect().toSet
+      got == expect
+    }, n = 6)
+  }
 }
