@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, split}
 import graft.operators.Documents
-import graft.streaming.{CorpusIngest, LeakageIngest, NearDupIngest}
+import graft.streaming.{CorpusIngest, LeakageIngest, NearDupIngest, ReleaseDiffIngest}
 
 /** The unbounded-horizon dedup ledger: duplicates are dropped across
   * micro-batches AND across query restarts, because the seen set lives
@@ -287,5 +287,60 @@ class CorpusIngestSpec extends SparkSuite {
       assert(spark.read.parquet(s"$base/alerts")
         .select("doc_id").as[Long].collect().sorted === Array(3L, 4L))
     } finally q.stop()
+  }
+
+  test("streaming release diff equals the batch diff under shuffled arrival and arbitrary slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/release-diff-spec")
+    rm(base)
+    // the registered corpus_release_diff fixture, on the real table:
+    // prev = cur minus every 50th (added), every 30th edited (changed),
+    // every 70th duplicated under a phantom id (removed)
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      .select("doc_id", "source", "text")
+    val prev = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.when(col("doc_id") % 30 === 0,
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 70 === 0)
+        .select((col("doc_id") + org.apache.spark.sql.functions.lit(20000000L)).as("doc_id"),
+          col("source"), col("text")))
+    ReleaseDiffIngest.indexRelease(prev, s"$base/index")
+
+    val expect = Documents.releaseDiff(docs, prev)
+      .as[(String, String, Long)].collect().toSeq
+
+    // current release arrives SHUFFLED (deterministic md5 order — the
+    // opposite of doc_id order) and sliced into 3 uneven micro-batches
+    val cur = docs.as[(Long, String, String)].collect()
+      .sortBy { case (id, _, _) => java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString }
+    val slices = Seq(cur.take(7), cur.slice(7, 211), cur.drop(211))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = ReleaseDiffIngest.ingestReleaseDiff(
+      stream.toDF().toDF("doc_id", "source", "text"),
+      s"$base/index", s"$base/ledger", s"$base/ckpt")
+    try {
+      // mid-stream, the running diff over-reports ONLY `removed`
+      // (not-yet-seen docs) — every other status is final per doc
+      stream.addData(slices.head)
+      q.processAllAvailable()
+      val mid = ReleaseDiffIngest.diff(spark, s"$base/index", s"$base/ledger")
+        .as[(String, String, Long)].collect().toSeq
+      val midMap = mid.groupBy(t => (t._1, t._2)).view.mapValues(_.head._3)
+      for ((src, st, n) <- expect if st != "removed" && st != "unchanged" && st != "changed")
+        assert(midMap.getOrElse((src, st), 0L) <= n, s"mid-stream $src/$st over-counts")
+      slices.tail.foreach { s => stream.addData(s); q.processAllAvailable() }
+      val got = ReleaseDiffIngest.diff(spark, s"$base/index", s"$base/ledger")
+        .as[(String, String, Long)].collect().toSeq
+      assert(got === expect, s"stream diff must equal batch diff\n got $got\n exp $expect")
+    } finally q.stop()
+    // manifest-level triage: a release diffed against itself is quiet;
+    // against the edited prev, the changed shards surface
+    val mCur = Documents.shardManifest(docs)
+    assert(ReleaseDiffIngest.shardTriage(mCur, mCur).count() === 0)
+    assert(ReleaseDiffIngest.shardTriage(mCur, Documents.shardManifest(prev)).count() > 0)
   }
 }
