@@ -133,24 +133,9 @@ object Documents {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     val cap = maxDocFreq.getOrElse(autoDocFreqCap(docs.count()))
-    // Inverted index: bucket doc lists per shingle, emit ordered pairs
-    // from each qualifying bucket — one shuffle (co-partitioned with
-    // `shingles`' repartition), no self-join, pair volume =
-    // Σ (bucket choose 2) bounded by the cap. The bucket frame is
-    // PERSISTED (registry-scoped) because it has two consumers — pair
-    // expansion and the hot-hit size correction — and is itself the
-    // dominant aggregation (the containment twin measured 126 s vs
-    // 66 s at 1M docs without the persist).
-    val buckets0 = graft.Caches.persist(shingles(docs).groupBy("s")
-      .agg(sort_array(collect_list("doc_id")).as("ds")))
-    val pairs = buckets0
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= cap)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("common"))
+    val counts = bucketCounts(shingles(docs), cap)
+    val pairs = counts.filter(col("d2") >= 0)
+      .select(col("d1"), col("d2"), col("cnt").as("common"))
     // Per-doc SURVIVOR set sizes = map-side totals MINUS per-doc
     // hot-shingle hits (never a recount of the kept stream: the hit
     // frame is sized by boilerplate volume — empty on a clean corpus,
@@ -159,10 +144,7 @@ object Documents {
     val base = shingleArray(docs)
       .select(col("doc_id"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
-    val hotHits = buckets0.filter(size(col("ds")) > cap)
-      .select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    val n = Ops.joinBroadcastIfFits(base, hotHits, "doc_id", joinType = "left")
+    val n = Ops.joinBroadcastIfFits(base, hotHitsOf(counts), "doc_id", joinType = "left")
       .select(col("doc_id"),
         (col("n") - coalesce(col("hits"), lit(0))).as("n"))
       .filter(col("n") > 0)
@@ -188,6 +170,40 @@ object Documents {
     // dedup_cluster_keep), and without the cache each re-runs the full
     // shingle/inverted-index chain from the scan up.
   }
+
+  /** ONE-PASS candidate counting for the inverted-index pair family —
+    * the frame both [[jaccardPairs]] and [[containmentPairs]] consume.
+    * Buckets (doc lists per shingle, one shuffle co-partitioned with
+    * `shingles`' repartition, no self-join) expand in a single tagged
+    * projection: a bucket within the df cap emits its ordered pairs
+    * (d1 < d2), a HOT bucket emits one (doc_id, −1) marker per member
+    * — so the pair counts (`common` per pair) and the per-doc
+    * hot-shingle hit counts (the size correction) come out of ONE
+    * downstream aggregation, and the bucket frame itself is consumed
+    * exactly once and never persisted. (Round 11: persisting the
+    * 380M-row bucket frame for a second hot-hits read spilled to disk
+    * and nearly doubled the 10M-doc pass — 500 s vs 260 s; what gets
+    * persisted now is only this candidate-count frame, which is
+    * real-dup volume, not bucket volume.) Hot rows use d2 = −1, safe
+    * because doc ids are non-negative. */
+  private def bucketCounts(sh: DataFrame, cap: Int): DataFrame =
+    graft.Caches.persist(
+      sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          s"""IF(size(ds) > $cap,
+             |   transform(ds, x -> struct(x AS d1, CAST(-1 AS BIGINT) AS d2)),
+             |   flatten(transform(ds,
+             |     (x, i) -> transform(slice(ds, i + 2, size(ds)),
+             |               y -> struct(x AS d1, y AS d2)))))""".stripMargin)).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** The hot-hit rows of a [[bucketCounts]] frame: how many
+    * over-cap shingles each document carried (its size correction). */
+  private def hotHitsOf(counts: DataFrame): DataFrame =
+    counts.filter(col("d2") === -1)
+      .select(col("d1").as("doc_id"), col("cnt").as("hits"))
 
   /** AUTO df cap: 4·⌈√n_docs⌉ with a floor of 10 — the annIvf 4·√n
     * precedent applied to stop-shingles. Rationale: a shingle in more
@@ -258,15 +274,11 @@ object Documents {
     // [[jaccardPairs]] — `None` resolves via [[autoDocFreqCap]]): a
     // shingle in more than `cap` documents carries no containment
     // signal but contributes (bucket choose 2) candidate pairs — the
-    // quadratic term at scale. The bucket frame is PERSISTED because
-    // it has two consumers (pair expansion + the hot-hit size
-    // correction); without the persist the inverted-index
-    // aggregation — the dominant cost — runs once per consumer
-    // (measured 126 s vs 66 s at 1M docs).
+    // quadratic term at scale. Pair counts and the hot-hit size
+    // correction both come out of [[bucketCounts]]' single tagged
+    // pass (see its Scaladoc for the measured history).
     val cap = maxDocFreq.getOrElse(autoDocFreqCap(docs.count()))
-    val buckets0 = graft.Caches.persist(shingles(docs).groupBy("s")
-      .agg(sort_array(collect_list("doc_id")).as("ds")))
-    val buckets = buckets0.filter(size(col("ds")) <= cap)
+    val counts = bucketCounts(shingles(docs), cap)
     val base = shingleArray(docs)
       .select(col("doc_id"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
@@ -277,21 +289,12 @@ object Documents {
     // nothing) and joins by measured-size broadcast, degrading to
     // a shuffle join only when boilerplate genuinely touches a
     // broadcast-unsafe share of the corpus.
-    val hotHits = buckets0.filter(size(col("ds")) > cap)
-      .select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    val n = Ops.joinBroadcastIfFits(base, hotHits, "doc_id", joinType = "left")
+    val n = Ops.joinBroadcastIfFits(base, hotHitsOf(counts), "doc_id", joinType = "left")
       .select(col("doc_id"),
         (col("n") - coalesce(col("hits"), lit(0))).as("n"))
       .filter(col("n") > 0)
-    val pairs = buckets
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("common"))
+    val pairs = counts.filter(col("d2") >= 0)
+      .select(col("d1"), col("d2"), col("cnt").as("common"))
     // measured broadcast, same rationale as [[jaccardPairs]]: per-doc
     // sizes scale with the corpus, so the hint must be earned by size
     val nSized = Ops.broadcastIfFits(n)
