@@ -69,12 +69,35 @@ object Documents {
     * it shuffles exactly once) and a materialization boundary: after
     * the shuffle, `s` is a concrete column, so no optimizer rewrite
     * can push a predicate below it and re-run shingle construction
-    * per probe. */
-  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
-    shingleArray(docs, k)
+    * per probe.
+    *
+    * `numPartitions` > 0 overrides the session shuffle-partition count
+    * — see [[pairShufflePartitions]] for why the pair family MUST
+    * scale it with the corpus. */
+  def shingles(docs: DataFrame, k: Int = 3, numPartitions: Int = 0): DataFrame = {
+    val hashed = shingleArray(docs, k)
       .select(col("doc_id"), explode(col("sh")).as("s_raw"))
       .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
-      .repartition(col("s"))
+    if (numPartitions > 0) hashed.repartition(numPartitions, col("s"))
+    else hashed.repartition(col("s"))
+  }
+
+  /** Shuffle-partition count for the inverted-index pair passes:
+    * ~150k docs (≈ 6M shingle groups) per partition, clamped to
+    * [session default, 4096]. The session's static shuffle-partition
+    * setting is the scale bug this fixes: at 30M docs the 32-partition
+    * default put ~35M groups in each bucket-aggregation task, whose
+    * UnsafeExternalSorter spill then wrote (and re-merged) the whole
+    * stream several times over — measured filling a 67 GB disk before
+    * failing, while the properly-sized run aggregates in-memory with
+    * zero spill and completes. AQE can only coalesce small partitions,
+    * not split an oversized aggregation, so this must be sized at plan
+    * time from the corpus row count the caller already measured (the
+    * same count that derives [[autoDocFreqCap]]). At the sf scales the
+    * clamp keeps the session default, so driver plans are unchanged. */
+  def pairShufflePartitions(spark: SparkSession, nDocs: Long): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, nDocs / 150000L + 1L).toInt)
 
   /** Exact dedup: canonical representative (min doc_id) per distinct
     * text. Hash-aggregate on the text — one shuffle keyed by text; at
@@ -132,8 +155,11 @@ object Documents {
     * the difference between Σ(bucket choose 2) and n². */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
-    val cap = maxDocFreq.getOrElse(autoDocFreqCap(docs.count()))
-    val counts = bucketCounts(shingles(docs), cap)
+    val nDocs = docs.count()
+    val cap = maxDocFreq.getOrElse(autoDocFreqCap(nDocs))
+    val counts = bucketCounts(
+      shingles(docs, numPartitions = pairShufflePartitions(docs.sparkSession, nDocs)),
+      cap)
     val pairs = counts.filter(col("d2") >= 0)
       .select(col("d1"), col("d2"), col("cnt").as("common"))
     // Per-doc SURVIVOR set sizes = map-side totals MINUS per-doc
@@ -277,8 +303,11 @@ object Documents {
     // quadratic term at scale. Pair counts and the hot-hit size
     // correction both come out of [[bucketCounts]]' single tagged
     // pass (see its Scaladoc for the measured history).
-    val cap = maxDocFreq.getOrElse(autoDocFreqCap(docs.count()))
-    val counts = bucketCounts(shingles(docs), cap)
+    val nDocs = docs.count()
+    val cap = maxDocFreq.getOrElse(autoDocFreqCap(nDocs))
+    val counts = bucketCounts(
+      shingles(docs, numPartitions = pairShufflePartitions(docs.sparkSession, nDocs)),
+      cap)
     val base = shingleArray(docs)
       .select(col("doc_id"), size(col("sh")).as("n"))
       .filter(col("n") > 0)

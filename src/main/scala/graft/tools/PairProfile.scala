@@ -19,6 +19,13 @@ object PairProfile {
       df.write.format("noop").mode("overwrite").save()
 
     timeIt("docs.count")(docs.count())
+    var jp: org.apache.spark.sql.DataFrame = null
+    timeIt("jaccardPairs CONSTRUCTION (docs.count + hotHits/n measure jobs)") {
+      jp = graft.operators.Documents.jaccardPairs(docs, 0.6)
+    }
+    timeIt("jaccardPairs EXECUTION (noop)")(noop(jp))
+    timeIt("jaccardPairs EXECUTION again (warm)")(noop(jp))
+    graft.Caches.release(spark)
     // raw bucket agg + OLD-style expansion (no tag, no cap)
     val sh = graft.operators.Documents.shingles(docs)
     timeIt("old-style: bucket agg + pair expand + count") {

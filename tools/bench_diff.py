@@ -86,7 +86,11 @@ def load_warm(path):
     return out
 
 
-def main_warm(old_path, new_path, ratio):
+def main_warm(old_path, new_path, ratio, expect=()):
+    # `expect`: queries whose SEMANTICS intentionally changed this round
+    # (e.g. a raw-output row becoming a heavier verification gate) — a
+    # ratio breach there is reported as EXPECTED-CHANGE, not a failure.
+    # Pass them explicitly per run; the list is not persistent config.
     old, new = load_warm(old_path), load_warm(new_path)
     regressions = []
     for key in sorted(set(old) | set(new), key=str):
@@ -112,8 +116,11 @@ def main_warm(old_path, new_path, ratio):
                 # ratio breach that also moves ≥2 s is a real signal
                 if b > ratio * a and b - a > 2.0:
                     r = b / a if a > 0 else float("inf")
-                    print(f"   {name:32} {a:8.2f} {b:8.2f} {r:6.2f}x  REGRESSION")
-                    regressions.append((key, name, a, b))
+                    if name in expect:
+                        print(f"   {name:32} {a:8.2f} {b:8.2f} {r:6.2f}x  EXPECTED-CHANGE")
+                    else:
+                        print(f"   {name:32} {a:8.2f} {b:8.2f} {r:6.2f}x  REGRESSION")
+                        regressions.append((key, name, a, b))
                 elif a > ratio * b and a - b > 2.0:
                     r = b / a if a > 0 else float("inf")
                     print(f"   {name:32} {a:8.2f} {b:8.2f} {r:6.2f}x  improved")
@@ -128,8 +135,14 @@ if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--warm":
         if len(sys.argv) < 4:
             sys.exit(__doc__)
-        sys.exit(main_warm(sys.argv[2], sys.argv[3],
-                           float(sys.argv[4]) if len(sys.argv) > 4 else 1.5))
+        expect = ()
+        args = sys.argv[2:]
+        if "--expect" in args:
+            i = args.index("--expect")
+            expect = tuple(args[i + 1].split(","))
+            args = args[:i] + args[i + 2:]
+        sys.exit(main_warm(args[0], args[1],
+                           float(args[2]) if len(args) > 2 else 1.5, expect))
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     sys.exit(main(sys.argv[1], sys.argv[2],
