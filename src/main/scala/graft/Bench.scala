@@ -120,7 +120,10 @@ object Bench {
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"load_s":$loadS,"runs":"2-3","errors":$errJson,"sf":${jstr(sfDir)}}"""
+    // `runs` stays NUMERIC (minimum timed runs — r11 briefly shipped the
+    // string "2-3", breaking int-parsing consumers); the adaptive
+    // scheme is named in `run_scheme` instead.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"load_s":$loadS,"runs":2,"run_scheme":"adaptive_min2_med3","errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(line)
     // Stdout-tail capture truncated round 6's line mid-JSON, losing the
     // per-query timings; persist the full line so round-over-round
@@ -147,7 +150,7 @@ object Bench {
     // dropped, the full file has the names). If an outlier run ever
     // pushes past the window, degrade to as many named entries as fit.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val fixed = s""""n_queries":${results.length},"errors":${errors.size},"load_s":${f3(loadS)},"runs":"2-3","full":"target/bench_latest.json","sf":${jstr(sfDir)}}"""
+    val fixed = s""""n_queries":${results.length},"errors":${errors.size},"load_s":${f3(loadS)},"runs":2,"run_scheme":"adaptive_min2_med3","full":"target/bench_latest.json","sf":${jstr(sfDir)}}"""
     val medians = results.toMap
     val valuesByName = headlineAll.sorted
       .map(n => medians.get(n).map(f3).getOrElse("null"))

@@ -1479,10 +1479,18 @@ object Embeddings {
   def recallGate(exact: DataFrame, approx: DataFrame, k: Int,
                  bar: Double, barName: String): DataFrame = {
     val a = approx.select(col("q_id"), col("vec_id"))
+    // n_pairs (distinct) beside n_rows: a buggy ANN emitting k rows
+    // with REPEATS would otherwise pass `complete` while each repeat
+    // of a true hit fans out the left join below and inflates
+    // per-query recall past hits/k. `complete` now requires the rows
+    // to be k DISTINCT pairs per query, and the join side is
+    // deduplicated so recall is exactly |exact ∩ approx| / k.
     val shape = a.agg(count(lit(1)).as("n_rows"),
-      countDistinct(col("q_id")).as("n_qs"))
+      countDistinct(col("q_id")).as("n_qs"),
+      countDistinct(col("q_id"), col("vec_id")).as("n_pairs"))
     val perQ = exact.select(col("q_id"), col("vec_id"))
-      .join(a.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left_outer")
+      .join(a.distinct().withColumn("hit", lit(1)),
+        Seq("q_id", "vec_id"), "left_outer")
       .groupBy("q_id")
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
         .as("recall"))
@@ -1490,6 +1498,7 @@ object Embeddings {
       .crossJoin(broadcast(shape))
       .select(lit(k).as("k"), col("n_queries"),
         (col("n_rows") === col("n_queries") * k &&
+          col("n_pairs") === col("n_rows") &&
           col("n_qs") === col("n_queries")).as("complete"),
         (col("mr") >= lit(bar)).as(barName))
   }

@@ -38,7 +38,10 @@ import graft.operators.Documents
   * replaces exactly the partitions batch N wrote the first time —
   * a failure between the alert write and the index write (or after
   * both) cannot double-append rows, and the standing-alert metadata
-  * join never sees duplicated index rows. Empty micro-batches are
+  * join never sees duplicated index rows. The standing-index probe
+  * additionally reads only `batch_id < N`, so a retry after both
+  * writes succeeded sees exactly the pre-batch index state rather than
+  * its own first-attempt rows. Empty micro-batches are
   * skipped outright (Kafka rebalances deliver them routinely); the
   * previous max(ts)-of-nothing would have NPE'd the batch forever. */
 object LeakageIngest {
@@ -49,6 +52,16 @@ object LeakageIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexDir, alertDir, maxHamming, watermarkMs)
+      }
+      .start()
+
+  /** The per-micro-batch body, callable directly so specs can REPLAY a
+    * committed batchId — the checkpoint-retry path a MemoryStream test
+    * cannot otherwise force. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  indexDir: String, alertDir: String,
+                                  maxHamming: Int, watermarkMs: Long): Unit = {
         val spark = batch.sparkSession
         val sims = batch
           .withColumn("simhash",
@@ -71,9 +84,14 @@ object LeakageIngest {
               val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
               val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
               // ts >= cutoff prunes expired date partitions at planning
-              // time — the index read is the horizon, not the history
+              // time — the index read is the horizon, not the history.
+              // batch_id < batchId excludes THIS batch's own rows: a
+              // checkpoint retry after both writes succeeded would
+              // otherwise probe an index that already contains batch N,
+              // re-deriving same-batch straddles in both directions and
+              // overwriting the alert partition with duplicated rows.
               val index = spark.read.parquet(indexDir)
-                .filter(col("ts") >= lit(cutoff))
+                .filter(col("ts") >= lit(cutoff) && col("batch_id") < lit(batchId))
                 .select(col("doc_id"), col("simhash"), col("split"))
               Some(Documents.simhashProbePairs(
                   sims.select("doc_id", "simhash"),
@@ -111,6 +129,5 @@ object LeakageIngest {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("d", "batch_id").parquet(indexDir)
         } finally sims.unpersist()
-      }
-      .start()
+  }
 }

@@ -35,7 +35,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Replay safety: the ledger is partitioned by `batch_id` and written
   * with dynamic partition OVERWRITE (the [[LeakageIngest]] recipe), so
   * a checkpoint retry replaces exactly its own partition — counts
-  * cannot double. [[ManifestIngest]] stays the cheap triage tier:
+  * cannot double. At-least-once sources may additionally deliver a
+  * doc in MORE THAN ONE micro-batch (distinct batch_ids, so dynamic
+  * overwrite cannot collapse them); [[diff]] deduplicates the ledger
+  * per doc_id at read time, which is exact because classification is
+  * per-doc and content-keyed — any one row per doc is the row. [[ManifestIngest]] stays the cheap triage tier:
   * when two releases' manifests agree per shard, no diff needs to
   * run at all; [[shardTriage]] lists the shards whose (n_docs,
   * n_tokens, checksum) disagree, bounding a targeted re-sweep. */
@@ -78,8 +82,14 @@ object ReleaseDiffIngest {
     * [[graft.operators.Documents.releaseDiff]] once the stream has
     * consumed exactly the current release. */
   def diff(spark: SparkSession, indexDir: String, ledgerDir: String): DataFrame = {
+    // At-least-once sources can deliver a doc in more than one
+    // micro-batch, each appending a ledger row under its own batch_id;
+    // without deduplication those re-deliveries double-count forever.
+    // Classification is per-doc and content-keyed, so ANY one row per
+    // doc_id is the correct row — keep one.
     val ledger = spark.read.parquet(ledgerDir)
       .select("doc_id", "source", "status")
+      .dropDuplicates("doc_id")
     val removed = spark.read.parquet(indexDir)
       .join(ledger.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("src_p").as("source"), lit("removed").as("status"))

@@ -289,6 +289,56 @@ class CorpusIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("leakage audit replay of a committed batch is idempotent (retry after both writes)") {
+    val base = new java.io.File("target/leakage-replay-spec")
+    rm(base)
+    var seed = 11L
+    def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
+    def freshText(prefix: String) =
+      (0 until 60).map(_ => s"$prefix${nextInt(100000)}").mkString(" ")
+    def splitOf(t: String): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    def variant(t: String, i: Int) = {
+      val toks = t.split(" "); toks(7) = s"zulu$i"; toks(31) = s"yankee$i"
+      toks.mkString(" ")
+    }
+    val a = freshText("apple")
+    val straddle = (0 until 400).map(variant(a, _))
+      .find(v => splitOf(v) != splitOf(a)).get
+    val same = (0 until 400).map(variant(a, _))
+      .find(v => splitOf(v) == splitOf(a)).get
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "ts", "text")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      LeakageIngest.processBatch(batch, id, s"$base/index", s"$base/alerts",
+        maxHamming = 12, watermarkMs = 2L * 3600 * 1000)
+    run(df((1L, ts("2024-01-01 10:00:00"), a)), 0L)
+    val batch1 = df((3L, ts("2024-01-01 10:30:00"), straddle),
+      (4L, ts("2024-01-01 10:30:01"), same))
+    run(batch1, 1L)
+    val once = spark.read.parquet(s"$base/alerts")
+      .select("doc_id", "matched_id", "split_new", "split_old")
+      .as[(Long, Long, String, String)].collect().toSeq.sorted
+    assert(once === Seq(
+      (3L, 1L, splitOf(straddle), splitOf(a)),
+      (4L, 3L, splitOf(same), splitOf(straddle))), s"got $once")
+    // the crash window the header claims: a checkpoint RETRY of batch 1
+    // after BOTH writes succeeded. The standing-index probe must see
+    // the pre-batch state (batch_id < 1), not its own first-attempt
+    // rows — otherwise same-batch straddles re-derive in BOTH
+    // directions and the rewritten alert partition carries duplicates
+    run(batch1, 1L)
+    val retried = spark.read.parquet(s"$base/alerts")
+      .select("doc_id", "matched_id", "split_new", "split_old")
+      .as[(Long, Long, String, String)].collect().toSeq.sorted
+    assert(retried === once,
+      s"retry must be idempotent\n got $retried\n exp $once")
+  }
+
   test("streaming release diff equals the batch diff under shuffled arrival and arbitrary slicing") {
     implicit val sqlCtx = spark.sqlContext
     val base = new java.io.File("target/release-diff-spec")
@@ -336,6 +386,15 @@ class CorpusIngestSpec extends SparkSuite {
       val got = ReleaseDiffIngest.diff(spark, s"$base/index", s"$base/ledger")
         .as[(String, String, Long)].collect().toSeq
       assert(got === expect, s"stream diff must equal batch diff\n got $got\n exp $expect")
+      // at-least-once sources RE-DELIVER docs in later micro-batches
+      // (new batch_id, so dynamic overwrite cannot collapse them) —
+      // diff() dedups the ledger per doc_id, so counts must not move
+      stream.addData(slices.head)
+      q.processAllAvailable()
+      val redelivered = ReleaseDiffIngest.diff(spark, s"$base/index", s"$base/ledger")
+        .as[(String, String, Long)].collect().toSeq
+      assert(redelivered === expect,
+        s"re-delivered docs must not double-count\n got $redelivered\n exp $expect")
     } finally q.stop()
     // manifest-level triage: a release diffed against itself is quiet;
     // against the edited prev, the changed shards surface

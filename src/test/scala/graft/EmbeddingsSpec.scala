@@ -570,6 +570,16 @@ class EmbeddingsSpec extends SparkSuite {
     val id = Embeddings.recallGate(exact, exact, k = 10,
       bar = 0.99, barName = "recall_ge_099").head()
     assert(id.getAs[Boolean]("complete") && id.getAs[Boolean]("recall_ge_099"))
+    // repeats: a buggy ANN emitting k rows with DUPLICATES — 5 true
+    // hits each twice — must fail `complete` (n_pairs < n_rows) and
+    // must NOT inflate recall past hits/k via join fan-out
+    val dups = exact.filter(col("rnk") <= 5).select("q_id", "vec_id")
+      .unionAll(exact.filter(col("rnk") <= 5).select("q_id", "vec_id"))
+    val d = Embeddings.recallGate(exact, dups, k = 10,
+      bar = 0.6, barName = "recall_ge_060").head()
+    assert(!d.getAs[Boolean]("complete"), "k rows with repeats is not complete")
+    assert(!d.getAs[Boolean]("recall_ge_060"),
+      "5 distinct hits is recall 0.5 — duplicates must not double it")
   }
 
   test("embedPcaGate invariants hold, and a corrupted basis breaks orthonormality") {
