@@ -73,11 +73,23 @@ object Documents {
     *
     * `numPartitions` > 0 overrides the session shuffle-partition count
     * — see [[pairShufflePartitions]] for why the pair family MUST
-    * scale it with the corpus. */
-  def shingles(docs: DataFrame, k: Int = 3, numPartitions: Int = 0): DataFrame = {
-    val hashed = shingleArray(docs, k)
+    * scale it with the corpus.
+    *
+    * `(wave, waves)` slices the SHINGLE-HASH space for the staged
+    * sweep ([[bucketCounts]]): the slice filter sits BEFORE the
+    * repartition, so only 1/waves of the shingle stream ever enters
+    * the shuffle — filtering after it would shrink nothing. Each
+    * shingle value lands wholly in one wave (the filter keys on the
+    * same hash the buckets group by), so per-wave bucket sizes, df
+    * caps and pair counts are exact, not approximations. */
+  def shingles(docs: DataFrame, k: Int = 3, numPartitions: Int = 0,
+               wave: Int = 0, waves: Int = 1): DataFrame = {
+    val hashed0 = shingleArray(docs, k)
       .select(col("doc_id"), explode(col("sh")).as("s_raw"))
       .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
+    val hashed =
+      if (waves > 1) hashed0.filter(pmod(col("s"), lit(waves.toLong)) === wave)
+      else hashed0
     if (numPartitions > 0) hashed.repartition(numPartitions, col("s"))
     else hashed.repartition(col("s"))
   }
@@ -154,12 +166,11 @@ object Documents {
     * replay it unchanged; on a boilerplate-heavy corpus the cap is
     * the difference between Σ(bucket choose 2) and n². */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
+                   maxDocFreq: Option[Int] = None,
+                   waves: Option[Int] = None): DataFrame = {
     val nDocs = docs.count()
     val cap = maxDocFreq.getOrElse(autoDocFreqCap(nDocs))
-    val counts = bucketCounts(
-      shingles(docs, numPartitions = pairShufflePartitions(docs.sparkSession, nDocs)),
-      cap)
+    val counts = bucketCounts(docs, nDocs, cap, waves)
     val pairs = counts.filter(col("d2") >= 0)
       .select(col("d1"), col("d2"), col("cnt").as("common"))
     // Per-doc SURVIVOR set sizes = map-side totals MINUS per-doc
@@ -211,9 +222,34 @@ object Documents {
     * and nearly doubled the 10M-doc pass — 500 s vs 260 s; what gets
     * persisted now is only this candidate-count frame, which is
     * real-dup volume, not bucket volume.) Hot rows use d2 = −1, safe
-    * because doc ids are non-negative. */
-  private def bucketCounts(sh: DataFrame, cap: Int): DataFrame =
-    graft.Caches.persist(
+    * because doc ids are non-negative.
+    *
+    * STAGED WAVE SWEEP (round 12): past ~25M docs on one box the
+    * single-pass shuffle is the limit — at 100M docs the hashed-shingle
+    * stream is ~3.8B rows (~35–45 GB lz4 shuffle) that must be held
+    * ON DISK all at once, measured dying on `No space left on device`
+    * after 26 min (BIGBENCH.md round-11). The fix is sequential waves
+    * over the shingle-HASH space: wave w processes only shingles with
+    * `pmod(s, waves) = w` (filter BEFORE the repartition — see
+    * [[shingles]]), so peak shuffle footprint is ~1/waves. Each wave's
+    * candidate counts are `localCheckpoint`ed (real-dup volume, tiny
+    * next to the bucket stream), its shuffle files become unreachable
+    * and a GC nudge lets ContextCleaner reclaim the disk before the
+    * next wave starts. Per-pair counts and per-doc hot-hits are plain
+    * SUMS over waves because every shingle lives wholly in one wave —
+    * the summed frame is bit-identical to the single pass (pinned by
+    * DedupSpec's staged-vs-single property and the tri-scale oracles;
+    * waves auto-resolves to 1 at every driver scale, so registered
+    * plans are unchanged). On a real cluster the shuffle spreads over
+    * N executors' disks and staging is rarely needed — this closes the
+    * SINGLE-BOX envelope; `checkpoint` to durable storage is the
+    * drop-in for dynamic executors (same note as
+    * [[connectedComponents]]). */
+  private def bucketCounts(docs: DataFrame, nDocs: Long, cap: Int,
+                           wavesOverride: Option[Int] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val waves = wavesOverride.getOrElse(autoPairWaves(nDocs))
+    def countsOf(sh: DataFrame): DataFrame =
       sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
         .filter(size(col("ds")) >= 2)
         .select(explode(expr(
@@ -223,7 +259,51 @@ object Documents {
              |     (x, i) -> transform(slice(ds, i + 2, size(ds)),
              |               y -> struct(x AS d1, y AS d2)))))""".stripMargin)).as("p"))
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("cnt"))
+    if (waves <= 1)
+      graft.Caches.persist(countsOf(
+        shingles(docs, numPartitions = pairShufflePartitions(spark, nDocs))))
+    else {
+      // each wave carries ~1/waves of the groups, so its shuffle keeps
+      // the same ~150k-docs-per-partition density at 1/waves the count
+      val perWave = math.max(spark.sessionState.conf.numShufflePartitions,
+        pairShufflePartitions(spark, nDocs) / waves)
+      def chkRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+        df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+          case _                                            => None
+        }
+      val waveFrames = (0 until waves).map { w =>
+        val c = countsOf(
+            shingles(docs, numPartitions = perWave, wave = w, waves = waves))
+          .localCheckpoint() // eager: runs the wave NOW, truncates lineage
+        // the wave's shuffle files are dead the moment its counts are
+        // checkpointed; ContextCleaner reclaims them on GC — nudge it
+        // so wave w+1 starts with the disk this sweep exists to free
+        System.gc()
+        c
+      }
+      val summed = graft.Caches.persist(
+        waveFrames.reduce(_ union _)
+          .groupBy("d1", "d2").agg(sum("cnt").as("cnt")))
+      // materialize the summed frame before freeing the wave
+      // checkpoints it is built from — a truncated lineage cannot be
+      // recomputed, so the blocks must outlive this one action
+      summed.count()
+      waveFrames.foreach(f => chkRdd(f).foreach(_.unpersist(blocking = false)))
+      summed
+    }
+  }
+
+  /** AUTO wave count for the staged pair sweep: one wave per ~25M
+    * docs, capped at 16. Calibrated from this box's measurements —
+    * 30M docs completed single-pass within the disk budget (1176 s,
+    * BIGBENCH.md) while 100M's ~40 GB single shuffle did not; 25M per
+    * wave keeps each wave's footprint ~10 GB with margin. Below 25M
+    * docs (every registered corpus) this is 1 and the pass is plan-
+    * identical to round 11. */
+  def autoPairWaves(nDocs: Long): Int =
+    math.min(16L, (math.max(nDocs, 1L) - 1L) / 25000000L + 1L).toInt
 
   /** The hot-hit rows of a [[bucketCounts]] frame: how many
     * over-cap shingles each document carried (its size correction). */
@@ -295,7 +375,8 @@ object Documents {
     * [[jaccardPairs]]; only the normalization differs, so the
     * candidate volume — the scale-determining term — is identical. */
   def containmentPairs(docs: DataFrame, threshold: Double,
-                       maxDocFreq: Option[Int] = None): DataFrame = {
+                       maxDocFreq: Option[Int] = None,
+                       waves: Option[Int] = None): DataFrame = {
     // The stop-shingle cap (same semantics and AUTO default as
     // [[jaccardPairs]] — `None` resolves via [[autoDocFreqCap]]): a
     // shingle in more than `cap` documents carries no containment
@@ -305,9 +386,7 @@ object Documents {
     // pass (see its Scaladoc for the measured history).
     val nDocs = docs.count()
     val cap = maxDocFreq.getOrElse(autoDocFreqCap(nDocs))
-    val counts = bucketCounts(
-      shingles(docs, numPartitions = pairShufflePartitions(docs.sparkSession, nDocs)),
-      cap)
+    val counts = bucketCounts(docs, nDocs, cap, waves)
     val base = shingleArray(docs)
       .select(col("doc_id"), size(col("sh")).as("n"))
       .filter(col("n") > 0)

@@ -163,6 +163,46 @@ class DedupSpec extends SparkSuite {
     assert(expected.subsetOf(found), s"capped run lost planted pairs: $found")
   }
 
+  test("staged wave sweep is bit-identical to the single-pass pair frame") {
+    // The 100M-doc disk-envelope fix (bucketCounts' sequential waves
+    // over the shingle-hash space) must change NOTHING but peak shuffle
+    // footprint: per-pair commons and per-doc hot-hits are plain sums
+    // over waves because each shingle lives wholly in one wave. Pin
+    // exact row-for-row equality — scores included — of waves=3 vs the
+    // explicit single pass, on both normalizations.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    val j1 = rows(Documents.jaccardPairs(planted, 0.6, waves = Some(1)))
+    val j3 = rows(Documents.jaccardPairs(planted, 0.6, waves = Some(3)))
+    assert(j1.nonEmpty, "fixture must produce pairs")
+    assert(j3 === j1, "staged jaccard diverged from single-pass")
+    val c1 = rows(Documents.containmentPairs(planted, 0.6, waves = Some(1))
+      .orderBy("d1", "d2"))
+    val c3 = rows(Documents.containmentPairs(planted, 0.6, waves = Some(3))
+      .orderBy("d1", "d2"))
+    assert(c3 === c1, "staged containment diverged from single-pass")
+    // and under a BINDING df cap (hot-shingle corpus): the hot-hit
+    // size corrections are summed across waves too
+    val boiler = "terms of service apply here"
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    var seed = 4242L
+    def nextInt(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % m).toInt + m) % m }
+    val bases = (0 until 120).map { i =>
+      (i.toLong, boiler + " " + (0 until 40).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = bases.take(5).map { case (i, text) =>
+      val toks = text.split(" "); toks(20) = "zulu"
+      (i + 1000, toks.mkString(" "))
+    }
+    val hotDocs = (bases ++ dups).toDF("doc_id", "text")
+    val h1 = rows(Documents.jaccardPairs(hotDocs, 0.5, maxDocFreq = Some(20),
+      waves = Some(1)))
+    val h3 = rows(Documents.jaccardPairs(hotDocs, 0.5, maxDocFreq = Some(20),
+      waves = Some(3)))
+    assert(h1.nonEmpty, "capped fixture must produce pairs")
+    assert(h3 === h1, "staged capped jaccard diverged from single-pass")
+  }
+
   test("simhashPairsWide on 32-bit bands finds small-edit near-dups, no false pairs") {
     var seed = 99L
     def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
