@@ -169,6 +169,8 @@ object SparkEntry {
     "text_bpe_encode" -> (Documents.textBpeEncode _),
     "text_bpe_vocab" -> (Documents.textBpeVocab _),
     "text_unigram_train" -> (Documents.textUnigramTrain _),
+    "text_unigram_encode" -> (Documents.textUnigramEncode _),
+    "text_unigram_vocab" -> (Documents.textUnigramVocab _),
     "text_langid" -> (Documents.textLangId _),
     "text_langid_confusion" -> (Documents.textLangIdConfusion _),
     "text_quality" -> (Documents.textQuality _),
@@ -317,6 +319,67 @@ object SparkEntry {
       |         ((l_partkey * 7 + l_suppkey * 11) % 100 + 1)::INT AS ps_availqty,
       |         ((l_partkey * 13 + l_suppkey * 17) % 1000 + 100)::BIGINT AS ps_cost_cents
       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
+  /** Shared recursive-CTE replay of the unigram-LM fit — seed
+    * substring counting, v0 scores, E-step 1 (r1/b1), M-step (c1/v1),
+    * E-step 2 (r2/b2), final counts (c2) — the chain the three
+    * text_unigram_* oracles select from. Ends inside the WITH clause
+    * so callers either append their SELECT (train/vocab read c2/v1)
+    * or extend with further CTEs (encode reads b2). */
+  private val unigramFitSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |        FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1
+      |), pos AS (
+      |  SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM words
+      |), sub AS (
+      |  SELECT w, c, i, unnest(range(1, least(3, length(w) - i + 1) + 1)) AS l FROM pos
+      |), seed AS (
+      |  SELECT substr(w, i, l) AS tok, sum(c)::BIGINT AS cnt FROM sub GROUP BY 1
+      |), t0 AS (
+      |  SELECT (sum(cnt) + count(*))::DOUBLE AS total FROM seed
+      |), v0 AS (
+      |  SELECT tok, CAST(floor(ln((cnt + 1)::DOUBLE / t0.total) * 1000000 + 0.5) AS BIGINT) AS lp
+      |  FROM seed, t0
+      |), r1 AS (
+      |  SELECT w, c, 0 AS pos, 0::BIGINT AS score, 0 AS k, '' AS seg FROM words
+      |  UNION ALL
+      |  SELECT r.w, r.c, r.pos + length(v.tok), r.score + v.lp, r.k + 1,
+      |         CASE WHEN r.seg = '' THEN v.tok ELSE r.seg || ' ' || v.tok END
+      |  FROM r1 r JOIN v0 v ON v.tok = substr(r.w, r.pos + 1, length(v.tok))
+      |  WHERE r.pos < length(r.w)
+      |), b1 AS (
+      |  SELECT w, c, seg FROM (
+      |    SELECT w, c, seg,
+      |           row_number() OVER (PARTITION BY w ORDER BY score DESC, k ASC, seg ASC) AS rn
+      |    FROM r1 WHERE pos = length(w)) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT tok, sum(c)::BIGINT AS cnt
+      |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b1) GROUP BY 1
+      |), t1 AS (
+      |  SELECT ((SELECT sum(cnt) FROM c1) + (SELECT count(*) FROM seed))::DOUBLE AS total
+      |), v1 AS (
+      |  SELECT s.tok,
+      |         CAST(floor(ln((coalesce(c1.cnt, 0) + 1)::DOUBLE / t1.total) * 1000000 + 0.5) AS BIGINT) AS lp
+      |  FROM seed s LEFT JOIN c1 ON s.tok = c1.tok, t1
+      |), r2 AS (
+      |  SELECT w, c, 0 AS pos, 0::BIGINT AS score, 0 AS k, '' AS seg FROM words
+      |  UNION ALL
+      |  SELECT r.w, r.c, r.pos + length(v.tok), r.score + v.lp, r.k + 1,
+      |         CASE WHEN r.seg = '' THEN v.tok ELSE r.seg || ' ' || v.tok END
+      |  FROM r2 r JOIN v1 v ON v.tok = substr(r.w, r.pos + 1, length(v.tok))
+      |  WHERE r.pos < length(r.w)
+      |), b2 AS (
+      |  SELECT w, c, seg FROM (
+      |    SELECT w, c, seg,
+      |           row_number() OVER (PARTITION BY w ORDER BY score DESC, k ASC, seg ASC) AS rn
+      |    FROM r2 WHERE pos = length(w)) WHERE rn = 1
+      |), c2 AS (
+      |  SELECT tok, sum(c)::BIGINT AS cnt
+      |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b2) GROUP BY 1
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_join_avg" ->
@@ -2146,63 +2209,41 @@ object SparkEntry {
     // seg ASC) — through 2 unrolled hard-EM rounds. All-integer
     // scoring makes the argmax engine-exact; ln's shared ulp behavior
     // is the only float, verified by the tri-scale hash compare.
+    // The fit chain is SHARED (unigramFitSql) with the vocab and
+    // encode rows, which read v1 (the deployable scores) and b2 (the
+    // final segmentations) off the same replay.
     "text_unigram_train" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT w, count(*)::BIGINT AS c
-        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
-        |        FROM documents)
-        |  WHERE length(w) >= 2 GROUP BY 1
-        |), pos AS (
-        |  SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM words
-        |), sub AS (
-        |  SELECT w, c, i, unnest(range(1, least(3, length(w) - i + 1) + 1)) AS l FROM pos
-        |), seed AS (
-        |  SELECT substr(w, i, l) AS tok, sum(c)::BIGINT AS cnt FROM sub GROUP BY 1
-        |), t0 AS (
-        |  SELECT (sum(cnt) + count(*))::DOUBLE AS total FROM seed
-        |), v0 AS (
-        |  SELECT tok, CAST(floor(ln((cnt + 1)::DOUBLE / t0.total) * 1000000 + 0.5) AS BIGINT) AS lp
-        |  FROM seed, t0
-        |), r1 AS (
-        |  SELECT w, c, 0 AS pos, 0::BIGINT AS score, 0 AS k, '' AS seg FROM words
-        |  UNION ALL
-        |  SELECT r.w, r.c, r.pos + length(v.tok), r.score + v.lp, r.k + 1,
-        |         CASE WHEN r.seg = '' THEN v.tok ELSE r.seg || ' ' || v.tok END
-        |  FROM r1 r JOIN v0 v ON v.tok = substr(r.w, r.pos + 1, length(v.tok))
-        |  WHERE r.pos < length(r.w)
-        |), b1 AS (
-        |  SELECT w, c, seg FROM (
-        |    SELECT w, c, seg,
-        |           row_number() OVER (PARTITION BY w ORDER BY score DESC, k ASC, seg ASC) AS rn
-        |    FROM r1 WHERE pos = length(w)) WHERE rn = 1
-        |), c1 AS (
-        |  SELECT tok, sum(c)::BIGINT AS cnt
-        |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b1) GROUP BY 1
-        |), t1 AS (
-        |  SELECT ((SELECT sum(cnt) FROM c1) + (SELECT count(*) FROM seed))::DOUBLE AS total
-        |), v1 AS (
-        |  SELECT s.tok,
-        |         CAST(floor(ln((coalesce(c1.cnt, 0) + 1)::DOUBLE / t1.total) * 1000000 + 0.5) AS BIGINT) AS lp
-        |  FROM seed s LEFT JOIN c1 ON s.tok = c1.tok, t1
-        |), r2 AS (
-        |  SELECT w, c, 0 AS pos, 0::BIGINT AS score, 0 AS k, '' AS seg FROM words
-        |  UNION ALL
-        |  SELECT r.w, r.c, r.pos + length(v.tok), r.score + v.lp, r.k + 1,
-        |         CASE WHEN r.seg = '' THEN v.tok ELSE r.seg || ' ' || v.tok END
-        |  FROM r2 r JOIN v1 v ON v.tok = substr(r.w, r.pos + 1, length(v.tok))
-        |  WHERE r.pos < length(r.w)
-        |), b2 AS (
-        |  SELECT w, c, seg FROM (
-        |    SELECT w, c, seg,
-        |           row_number() OVER (PARTITION BY w ORDER BY score DESC, k ASC, seg ASC) AS rn
-        |    FROM r2 WHERE pos = length(w)) WHERE rn = 1
-        |), c2 AS (
-        |  SELECT tok, sum(c)::BIGINT AS cnt
-        |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b2) GROUP BY 1
-        |)
+      s"""$unigramFitSql
         |SELECT tok, cnt, rnk FROM (
         |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk FROM c2)
         |WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
+    // Vocab artifact: the final counts (c2) joined to the deployable
+    // integer micro-nat scores (v1) — same fit replay, top 50.
+    "text_unigram_vocab" ->
+      s"""$unigramFitSql
+        |SELECT tok, cnt, lp FROM (
+        |  SELECT c2.tok, c2.cnt, v1.lp,
+        |         row_number() OVER (ORDER BY c2.cnt DESC, c2.tok ASC) AS rn
+        |  FROM c2 JOIN v1 ON c2.tok = v1.tok)
+        |WHERE rn <= 50 ORDER BY cnt DESC, tok ASC""".stripMargin,
+    // Encode replay: b2 already holds every distinct histogram word's
+    // Viterbi-best segmentation under the final scores — per-doc piece
+    // counts are one join from the (>=2-letter) doc-word stream.
+    "text_unigram_encode" ->
+      s"""$unigramFitSql,
+        |ut AS (
+        |  SELECT w, len(string_split(seg, ' '))::BIGINT AS w_toks FROM b2
+        |), udw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2
+        |)
+        |SELECT udw.doc_id, count(*)::BIGINT AS n_words,
+        |       sum(ut.w_toks)::BIGINT AS n_unigram_tokens
+        |FROM udw JOIN ut USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),

@@ -1106,6 +1106,37 @@ object Documents {
     * same seam class as the media byte codecs. */
   def unigramTrain(spark: SparkSession, dir: String, maxPieceLen: Int = 3,
                    rounds: Int = 2, top: Int = 30): DataFrame = {
+    val (_, _, cntDF) = unigramFit(spark, dir, maxPieceLen, rounds)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    cntDF.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= top)
+      .select("tok", "cnt", "rnk")
+      .orderBy("rnk")
+  }
+
+  /** Hard caps on the trainer's DRIVER-side materializations. The
+    * seed vocabulary (and each round's used-count map) is collected
+    * to the driver — provably ≤ 18,278 entries at the default
+    * `maxPieceLen` = 3 (Σ_{l≤3} 26^l over the [a-z] alphabet), but at
+    * a realistic SentencePiece 6–8 the bound becomes corpus-vocab ×
+    * maxPieceLen with NO alphabet ceiling: an unguarded collect is a
+    * silent driver OOM. Past the alphabet-bounded regime the seed is
+    * COUNTED first (one vocab-sized aggregate) and a too-large vocab
+    * fails with arithmetic and a remedy, not an OOM. ~2M entries ≈
+    * low hundreds of MB of driver map — safe under the default heap;
+    * the real fix at that scale is distributing the M-step. */
+  private val unigramMaxSeedVocab = 2000000L
+
+  /** The shared unigram-LM fit behind [[unigramTrain]],
+    * [[unigramVocab]] and [[unigramEncode]]: returns (word histogram,
+    * FINAL token scores — the integer micro-nat model the last E-step
+    * segmented under, i.e. the deployable artifact — and the final
+    * E-step's token counts). */
+  private[graft] def unigramFit(spark: SparkSession, dir: String,
+                                maxPieceLen: Int, rounds: Int,
+                                maxSeedVocab: Long = unigramMaxSeedVocab)
+      : (DataFrame, Map[String, Long], DataFrame) = {
     import spark.implicits._
     val words = graft.Caches.persist(unigramWords(spark, dir))
     val seedDF = words.as[(String, Long)]
@@ -1117,6 +1148,17 @@ object Documents {
       }
       .groupBy(col("_1").as("tok")).agg(sum(col("_2")).as("cnt"))
       .select("tok", "cnt")
+    if (maxPieceLen > 3) {
+      // only here can the seed outgrow the 26+26²+26³ alphabet bound —
+      // the count is one aggregate over the already-built seed frame,
+      // and the default configuration never pays it
+      val nSeed = seedDF.count()
+      require(nSeed <= maxSeedVocab,
+        s"unigram seed vocabulary has $nSeed pieces at maxPieceLen=$maxPieceLen " +
+          s"(> $maxSeedVocab): collecting it would risk a driver OOM. " +
+          "Lower maxPieceLen, pre-filter rare words from the corpus, or " +
+          "distribute the M-step before raising the cap.")
+    }
     val seed = seedDF.as[(String, Long)].collect().toMap
     var lp = unigramLp(seed, seed.keySet)
     var cntDF: DataFrame = null
@@ -1133,13 +1175,65 @@ object Documents {
           seed.keySet)
       }
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("tok").asc)
-    cntDF.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= top)
-      .select("tok", "cnt", "rnk")
-      .orderBy("rnk")
+    (words, lp, cntDF)
   }
+
+  /** The SHIPPED ARTIFACT of unigram training — the analogue of
+    * [[bpeVocab]] for the unigram family: the pieces the final E-step
+    * actually used, each with its corpus count AND the integer
+    * micro-nat score ([[unigramLp]]) the deployable model assigns it —
+    * the (piece, logprob) table a SentencePiece release packages.
+    * Top-k by (count DESC, piece ASC); the lp column rides a broadcast
+    * join from the (vocab-sized, driver-held) model map. */
+  def unigramVocab(spark: SparkSession, dir: String, maxPieceLen: Int = 3,
+                   rounds: Int = 2, top: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (_, lp, cntDF) = unigramFit(spark, dir, maxPieceLen, rounds)
+    val lpDF = lp.toSeq.toDF("tok", "lp")
+    cntDF.join(broadcast(lpDF), Seq("tok"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(top)
+      .select("tok", "cnt", "lp")
+  }
+
+  def textUnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    unigramVocab(spark, dir)
+
+  /** UNIGRAM ENCODING — the inference half of [[unigramTrain]],
+    * mirroring [[bpeEncode]]'s distinct-word + broadcast-join shape:
+    * Viterbi-segment every DISTINCT ≥2-letter corpus word under the
+    * trained scores (the same integer-exact DP as the final E-step,
+    * so encode reproduces training's segmentations bit-for-bit) and
+    * bill per-document piece counts. The DP runs once per distinct
+    * word — vocab-sized work — and joins back to the exploded
+    * (doc_id, word) stream via measured broadcast; nothing but the
+    * word explode and the final per-doc aggregate touches the corpus.
+    * The word universe is the trainer's own (≥2-letter words), so
+    * every char is in the seed vocabulary and the DP cannot fail on
+    * the corpus it was fit on. */
+  def unigramEncode(spark: SparkSession, dir: String, maxPieceLen: Int = 3,
+                    rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (words, lp, _) = unigramFit(spark, dir, maxPieceLen, rounds)
+    val lpB = spark.sparkContext.broadcast(lp)
+    val wordPieces = words.as[(String, Long)]
+      .map { case (w, _) =>
+        (w, unigramViterbi(w, lpB.value, maxPieceLen).length.toLong) }
+      .toDF("w", "w_toks")
+    val docWords = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    docWords
+      .join(Ops.broadcastIfFits(wordPieces), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_toks")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def textUnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    unigramEncode(spark, dir)
 
   /** The ≥2-letter word histogram shared by the BPE and unigram
     * trainers — the single corpus-sized pass of tokenizer training. */

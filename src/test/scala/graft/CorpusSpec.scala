@@ -458,6 +458,38 @@ class CorpusSpec extends SparkSuite {
     assert(math.abs(tiny(2L) - -math.log(1.0 / 3.0)) < 1e-3, tiny.toString)
   }
 
+  test("unigram encode bills exactly the trainer's final piece counts; vocab ships the final scores") {
+    // encode reuses the final E-step model, so total pieces billed
+    // across documents MUST equal the total of the trainer's final
+    // token counts — the same segmentations, aggregated two ways.
+    val enc = Documents.unigramEncode(spark, SparkSpec.sfTiny)
+    val billed = enc.agg(sum("n_unigram_tokens")).head().getLong(0)
+    val (_, lp, cntDF) = Documents.unigramFit(spark, SparkSpec.sfTiny, 3, 2)
+    val trained = cntDF.agg(sum("cnt")).head().getLong(0)
+    assert(billed === trained,
+      s"encode billed $billed pieces, trainer counted $trained")
+    // and every word's bill is at least 1 and at most its length
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    val nWords = docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2).count()
+    val billedWords = enc.agg(sum("n_words")).head().getLong(0)
+    assert(billedWords === nWords, "every >=2-letter word is billed once")
+    // vocab: the lp column IS the deployable model's score per piece
+    Documents.unigramVocab(spark, SparkSpec.sfTiny).collect().foreach { r =>
+      assert(lp(r.getAs[String]("tok")) === r.getAs[Long]("lp"),
+        s"vocab lp for ${r.getAs[String]("tok")} diverged from the fit model")
+    }
+  }
+
+  test("unigramTrain with a too-large seed vocabulary fails with arithmetic, not an OOM") {
+    val e = intercept[IllegalArgumentException] {
+      Documents.unigramFit(spark, SparkSpec.sfTiny, maxPieceLen = 5,
+        rounds = 1, maxSeedVocab = 10L)
+    }
+    assert(e.getMessage.contains("seed vocabulary"), e.getMessage)
+    assert(e.getMessage.contains("maxPieceLen=5"), e.getMessage)
+  }
+
   test("bigram surprisal matches a hand-computed MLE and flags shuffled text") {
     // corpus: doc1 = "a a b", doc2 = "a b" → bigram counts (a,a)=1,
     // (a,b)=2; context a· = 3. doc1 = avg(-ln(1/3), -ln(2/3)),
