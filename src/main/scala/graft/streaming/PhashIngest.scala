@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Documents, Multimodal}
+
+/** Streaming PERCEPTUAL image dedup — the multimodal twin of
+  * [[NearDupIngest]]: arriving images are decoded and dHashed
+  * ([[Multimodal.dHash64]] — all-integer, so the signature is
+  * bit-identical however the image reaches the stream), and any
+  * arrival whose hash sits within `maxHamming` of a standing-index
+  * signature inside the lateness horizon is DROPPED before it reaches
+  * the corpus. A dHash is a 64-bit locality signature, so the probe
+  * and in-batch passes reuse the text tier's banded Hamming joins
+  * ([[Documents.simhashProbe]] / [[Documents.simhashPairs]])
+  * unchanged — the image stream inherits the text stream's
+  * O(|batch| + band collisions) economics, never a corpus self-join.
+  *
+  * Shape per micro-batch: decode+hash (the partition-batched media
+  * seam — per-row imperative byte work with no Catalyst equivalent),
+  * probe the standing index, greedy in-batch pair drop (keep the
+  * smaller doc_id, the [[NearDupIngest]] convention), then write
+  * survivors to the corpus and their signatures to the index.
+  * UNDECODABLE payloads are admitted to the corpus but not indexed:
+  * an ingest must never lose data it cannot read, and a signature it
+  * cannot compute can't be probed — route such rows to a quarantine
+  * audit downstream if the pipeline needs one.
+  *
+  * Replay safety follows the [[LeakageIngest]] batch_id recipe, NOT
+  * [[NearDupIngest]]'s plain appends: both sinks are partitioned by
+  * `batch_id` and written with dynamic partition OVERWRITE, and the
+  * standing-index probe reads only `batch_id < N`, so a checkpoint
+  * retry of batch N — before, between, or after its two writes —
+  * reproduces exactly the first attempt's partitions against exactly
+  * the pre-batch index state. Empty micro-batches are skipped.
+  *
+  * The watermark bound, date-partitioned index layout and retention
+  * (reuse [[NearDupIngest.expireIndex]]) are identical to the text
+  * ingest: only signatures within `watermarkMs` of the batch's max
+  * event time are probed, so per-batch state is horizon-bounded; a
+  * near-duplicate image arriving beyond the horizon is admitted —
+  * run the batch [[Multimodal.multimodalDedupPhash]] over the lake
+  * for the unbounded answer. */
+object PhashIngest {
+
+  /** Input stream columns: `doc_id` (long), `ts` (timestamp), `media`
+    * (binary image payload — BMP via the repo's codec seam). */
+  def ingestImageDedup(media: DataFrame, indexDir: String, outDir: String,
+                       checkpointDir: String, maxHamming: Int = 4,
+                       watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexDir, outDir, maxHamming, watermarkMs)
+      }
+      .start()
+
+  /** The per-micro-batch body, callable directly so specs can REPLAY a
+    * committed batchId (the [[LeakageIngest.processBatch]] pattern). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  indexDir: String, outDir: String,
+                                  maxHamming: Int, watermarkMs: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val sigs = batch.select(col("doc_id"), col("ts"), col("media"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, ts, bytes) =>
+          (id, ts,
+            Multimodal.MediaTransform.bmpPixels(bytes)
+              .map { case (w, h, px) => Multimodal.dHash64(px, w, h) })
+        }
+      }
+      .toDF("doc_id", "ts", "simhash") // simhash null ⇔ undecodable
+    sigs.persist()
+    try if (!sigs.isEmpty) {
+      val hashed = sigs.filter(col("simhash").isNotNull)
+      val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+      def hasData = {
+        val it = fs.listFiles(indexPath, true)
+        var found = false
+        while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
+      val afterProbe =
+        if (!fs.exists(indexPath) || !hasData) hashed
+        else {
+          val maxTs = sigs.agg(max(col("ts"))).head.getTimestamp(0)
+          val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
+          // ts >= cutoff prunes expired date partitions at planning
+          // time; batch_id < batchId excludes this batch's own rows so
+          // a retry after both writes sees the pre-batch index state
+          val index = spark.read.parquet(indexDir)
+            .filter(col("ts") >= lit(cutoff) && col("batch_id") < lit(batchId))
+            .select(col("doc_id"), col("simhash"))
+          val dup = Documents.simhashProbe(
+            hashed.select("doc_id", "simhash"), index, maxHamming)
+          hashed.join(dup, Seq("doc_id"), "left_anti")
+        }
+      val inBatchDrop = Documents
+        .simhashPairs(afterProbe.select("doc_id", "simhash"), maxHamming)
+        .select(col("d2").as("doc_id")).distinct()
+      val surviving = afterProbe.join(inBatchDrop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("ts"), col("simhash"))
+        .unionByName(sigs.filter(col("simhash").isNull)) // admit, don't index
+      // corpus keeps the original payload: join survivor ids back to
+      // the batch rather than carrying media bytes through the joins
+      batch.select(col("doc_id"), col("ts"), col("media"))
+        .join(surviving.select("doc_id"), Seq("doc_id"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outDir)
+      surviving.filter(col("simhash").isNotNull)
+        .select(col("doc_id"), col("simhash"), col("ts"),
+          to_date(col("ts")).as("d"), lit(batchId).as("batch_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d", "batch_id").parquet(indexDir)
+    } finally sigs.unpersist()
+  }
+}

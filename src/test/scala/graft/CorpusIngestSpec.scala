@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, split}
 import graft.operators.Documents
-import graft.streaming.{CorpusIngest, LeakageIngest, NearDupIngest, ReleaseDiffIngest}
+import graft.operators.Multimodal
+import graft.streaming.{CorpusIngest, LeakageIngest, NearDupIngest, PhashIngest, ReleaseDiffIngest}
 
 /** The unbounded-horizon dedup ledger: duplicates are dropped across
   * micro-batches AND across query restarts, because the seen set lives
@@ -337,6 +338,58 @@ class CorpusIngestSpec extends SparkSuite {
       .as[(Long, Long, String, String)].collect().toSeq.sorted
     assert(retried === once,
       s"retry must be idempotent\n got $retried\n exp $once")
+  }
+
+  test("streaming image dedup drops 2x-re-encoded clones across and within batches; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/phash-ingest-spec")
+    rm(base)
+    import Multimodal.MediaTransform
+    def img(id: Long): Array[Byte] =
+      MediaTransform.bmpTexture(8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt, id)
+    // a REAL resize + re-encode through the byte codecs — the planted
+    // near-dup the dHash grid provably maps to Hamming 0
+    def up2(b: Array[Byte]): Array[Byte] = {
+      val (w, h, px) = MediaTransform.bmpPixels(b).get
+      MediaTransform.encodeBmp(
+        MediaTransform.resizeNearest(px, w, h, w * 2, h * 2), w * 2, h * 2)
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = PhashIngest.ingestImageDedup(
+      stream.toDF().toDF("doc_id", "ts", "media"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    val batch1 = Seq(
+      (3L, ts("2024-01-01 10:30:00"), up2(img(1L))), // clone of 1 → probe drop
+      (4L, ts("2024-01-01 10:30:01"), img(4L)),      // fresh → admit
+      (5L, ts("2024-01-01 10:30:02"), up2(img(4L))), // in-batch clone of 4 → drop
+      (6L, ts("2024-01-01 10:30:03"), "notanimage".getBytes)) // undecodable → admit, don't index
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), img(1L)),
+        (2L, ts("2024-01-01 10:00:01"), img(2L))))
+      q.processAllAvailable() // cold start: both distinct textures admitted
+      stream.addData(batch1)
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(corpus === Array(1L, 2L, 4L, 6L), s"got ${corpus.toSeq}")
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").as[Long].collect().sorted
+      assert(indexed === Array(1L, 2L, 4L), "undecodable rows must not be indexed")
+    } finally q.stop()
+    // checkpoint-retry the committed batch 1 directly (the processBatch
+    // replay hook): corpus and index must come out byte-equal — the
+    // probe reads only batch_id < 1, so the retry cannot see its own
+    // first-attempt rows and re-derive drops differently
+    val again = spark.createDataFrame(batch1).toDF("doc_id", "ts", "media")
+    PhashIngest.processBatch(again, 1L, s"$base/index", s"$base/corpus",
+      maxHamming = 4, watermarkMs = 2L * 3600 * 1000)
+    val corpusR = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpusR === Array(1L, 2L, 4L, 6L), s"replay changed corpus: ${corpusR.toSeq}")
+    val indexR = spark.read.parquet(s"$base/index")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
+    assert(indexR.map(_._1) === Set(1L, 2L, 4L), s"replay changed index: $indexR")
   }
 
   test("streaming release diff equals the batch diff under shuffled arrival and arbitrary slicing") {
