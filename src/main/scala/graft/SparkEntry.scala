@@ -248,6 +248,8 @@ object SparkEntry {
       Multimodal.multimodalAudioSample(s, d)),
     "multimodal_dedup_phash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPhash(s, d)),
+    "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupAhash(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -2551,6 +2553,14 @@ object SparkEntry {
     // nearest non-planted pair sits at measured Hamming 14 — far
     // above the <= 4 gate — so the planted pairs ARE the answer.
     "multimodal_dedup_phash" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Audio twin: frame-duplication resample provably preserves the
+    // aHash (floor-of-floor frame picks), so planted pairs sit at
+    // Hamming 0 and the textured background (min non-planted distance
+    // measured by tools.GateProbe) keeps false pairs out of the <= 4
+    // gate — the same closed-form contract as the phash row.
+    "multimodal_dedup_ahash" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     "dedup_embed_cosine_exact" ->

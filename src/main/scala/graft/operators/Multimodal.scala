@@ -467,6 +467,46 @@ object Multimodal {
         }
       }
 
+    /** 16-bit PCM WAV with hash-textured samples: frame f, channel c
+      * carries the low 16 bits of mix64 over (id, f, c). The
+      * [[bmpTexture]] lesson applied to audio: [[wavRamp]]'s sawtooth
+      * makes most frame-loudness comparisons identical across ids
+      * (useless as a dedup fixture), while independent hashed samples
+      * give distinct ids independent 64-bit aHashes, so the nearest
+      * background pair sits near the binomial tail. */
+    def wavTexture(rate: Int, channels: Int, nFrames: Int, id: Long): Array[Byte] = {
+      val bytes = MediaEncoder.wav(rate, channels, nFrames)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val m = mix64(id * 0x100000001L + f.toLong * 65536 + c)
+          bb.putShort(44 + (f * channels + c) * 2, ((m & 0xffffL) - 32768L).toShort)
+          c += 1
+        }
+        f += 1
+      }
+      bytes
+    }
+
+    /** Duplicate every frame `k` times (all channels) — the
+      * integer-factor upsample whose re-encode is the audio analogue
+      * of the 2× image rescale: a REAL resample artifact (k× the rate,
+      * k× the frames, same duration) that [[Multimodal.aHash64]]
+      * provably maps to the identical signature. */
+    def frameDup(samples: Array[Short], channels: Int, k: Int): Array[Short] = {
+      val frames = samples.length / channels
+      val out = new Array[Short](frames * k * channels)
+      var t = 0
+      while (t < frames * k) {
+        System.arraycopy(samples, (t / k) * channels, out, t * channels, channels)
+        t += 1
+      }
+      out
+    }
+
     /** Keep every `k`-th frame of an interleaved PCM stream — the
       * audio analogue of the image thumbnail (decimation without
       * filtering; a real pipeline low-passes first, but the Spark-side
@@ -649,6 +689,90 @@ object Multimodal {
               dw * 2, dh * 2)
             val (uw, uh, upx) = MediaTransform.bmpPixels(up).get
             Iterator(base, (id + 10000000L, dHash64(upx, uw, uh)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** 64-bit aHash (frame-loudness delta hash) — the audio analogue of
+    * [[dHash64]]: nearest-neighbor decimate the interleaved PCM stream
+    * to 65 representative frames (frame j at index ⌊j·frames/65⌋ — the
+    * SAME index arithmetic as the 9×8 image grid), reduce each to its
+    * all-integer loudness (the channel sum, the analogue of B+G+R
+    * luminance), one bit per adjacent comparison. Bit-identical across
+    * JVMs and replayable arithmetically. Invariance is EXACT for
+    * integer-factor frame-duplication resamples — with frames' = k·n,
+    * the picked source frame is ⌊⌊j·k·n/65⌋/k⌋ = ⌊j·n/65⌋, the same
+    * floor-of-floor identity as the 2× image rescale — and approximate
+    * for filtered resamples/noise, the usual perceptual-hash contract
+    * (a production pipeline low-passes first; see
+    * [[MediaTransform.frameSample]]'s same note). */
+  def aHash64(samples: Array[Short], channels: Int): Long = {
+    val frames = samples.length / channels
+    val v = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val f = (j.toLong * frames / 65).toInt
+      var c = 0
+      var s = 0L
+      while (c < channels) { s += samples(f * channels + c); c += 1 }
+      v(j) = s
+      j += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (v(i + 1) > v(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Registered query (HARD oracle, planted-structure recipe):
+    * PERCEPTUAL audio dedup — near-duplicate audio (re-encoded or
+    * integer-resampled) that byte-level dedup cannot see. Each doc's
+    * hash-textured WAV is decoded and aHashed; for doc_id < 10 a
+    * genuine near-duplicate is planted under doc_id + 10M by frame-
+    * duplicating the SAME audio at 2× rate and re-encoding through the
+    * byte codec (a real resample artifact, not a signature copy). The
+    * floor-of-floor identity above puts each planted pair at Hamming 0
+    * — closed-form for the oracle — while hash-textured samples give
+    * the background binomial-tail separation (tools.GateProbe
+    * measures the min non-planted distance; the doc_id-only fixture is
+    * identical at every sf), so the ≤ 4 gate cannot admit a false
+    * pair. Pair generation reuses [[Documents.simhashPairs]]' banded
+    * Hamming join — an aHash IS a 64-bit locality signature, the same
+    * inheritance as [[multimodalDedupPhash]]. */
+  def multimodalDedupAhash(spark: SparkSession, dir: String,
+                           limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(ahashSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=aHash64) signature frame behind
+    * [[multimodalDedupAhash]]: generate → decode → hash, with 2×
+    * frame-duplication clones planted for doc_id < 10. Exposed so the
+    * separation probe and the spec measure the SAME signatures the
+    * registered query joins. */
+  def ahashSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val channels = 1 + (id % 2).toInt
+          val nFrames = 100 + (id % 100).toInt
+          val (r0, c0, f0, samples) = MediaTransform.wavSamples(
+            MediaTransform.wavTexture(rate, channels, nFrames, id)).get
+          val base = (id, aHash64(samples, c0))
+          if (id < 10) {
+            val dup = MediaTransform.frameDup(samples, c0, 2)
+            val out = MediaEncoder.wav(r0 * 2, c0, f0 * 2)
+            val bb = java.nio.ByteBuffer.wrap(out)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            dup.indices.foreach(i => bb.putShort(44 + i * 2, dup(i)))
+            val (_, c1, _, reread) = MediaTransform.wavSamples(out).get
+            Iterator(base, (id + 10000000L, aHash64(reread, c1)))
           } else Iterator(base)
         }
       }.toDF("doc_id", "simhash")

@@ -45,6 +45,14 @@ object GateProbe {
         .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
         .agg(min("h"), count(lit(1))).collect()
       println("  phash background (min hamming, n pairs): " + ph.mkString)
+      // aHash background separation: same bar for the audio row
+      val asigs = graft.operators.Multimodal.ahashSigs(spark, dir)
+        .filter(col("doc_id") < 10000000L)
+      val ah = asigs.as("a").join(asigs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+        .agg(min("h"), count(lit(1))).collect()
+      println("  ahash background (min hamming, n pairs): " + ah.mkString)
     }
     spark.stop()
   }

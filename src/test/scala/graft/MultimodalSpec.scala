@@ -256,4 +256,32 @@ class MultimodalSpec extends SparkSuite {
     noisy(0) = (noisy(0) ^ 0x7f).toByte
     assert(hamming(base, Multimodal.dHash64(noisy, w, h)) <= 2)
   }
+
+  test("multimodal_dedup_ahash finds exactly the planted 2x resamples, at Hamming 0") {
+    val out = Multimodal.multimodalDedupAhash(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+  }
+
+  test("aHash64: invariant under 2x/3x frame duplication, far apart across clips, near under noise") {
+    import Multimodal.MediaTransform._
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val (_, ch, _, samples) = wavSamples(wavTexture(11000, 2, 137, 42L)).get
+    val base = Multimodal.aHash64(samples, ch)
+    for (k <- Seq(2, 3))
+      assert(Multimodal.aHash64(frameDup(samples, ch, k), ch) === base,
+        s"${k}x frame duplication must preserve the aHash exactly")
+    // distinct clips: independent hashes, expected Hamming ~32
+    val (_, ch2, _, s2) = wavSamples(wavTexture(11000, 2, 137, 43L)).get
+    assert(hamming(base, Multimodal.aHash64(s2, ch2)) >= 10)
+    // perceptual: perturbing ONE frame's samples moves at most the two
+    // comparisons that pick it
+    val noisy = samples.clone()
+    noisy(0) = (noisy(0) ^ 0x7fff).toShort
+    noisy(1) = (noisy(1) ^ 0x7fff).toShort
+    assert(hamming(base, Multimodal.aHash64(noisy, ch)) <= 2)
+  }
 }
