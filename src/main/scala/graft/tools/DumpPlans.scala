@@ -72,7 +72,19 @@ object DumpPlans {
       "embed_bitext_mine" -> "queries broadcast vs the target side, candidates broadcast back for reverse neighborhoods — two corpus scans, no self-join",
       "tpch_q21_waiting" -> "EXISTS/NOT EXISTS chain as multiplicity-preserving semi + anti joins; nation broadcast",
       "tpch_q9_profit" -> "derived partsupp joins the fact on the (partkey, suppkey) pair; part/nation broadcast; per-line cents summed as BIGINT",
-      "embed_ann_auto_clustered" -> "clustered-twin corpus routes to the IVF branch: posting lists persisted cid-partitioned, queries broadcast into probed cells")
+      "embed_ann_auto_clustered" -> "clustered-twin corpus routes to the IVF branch: posting lists persisted cid-partitioned, queries broadcast into probed cells",
+      "dedup_containment" -> "same one-pass tagged bucket counting as the jaccard row (shared bucketCounts); only the normalization differs, so candidate volume — the scale term — is identical",
+      "dedup_containment_capped" -> "BINDING df cap: hot buckets emit one marker row per member instead of (bucket choose 2) pairs; survivor sizes corrected by broadcast hot-hits",
+      "dedup_clusters" -> "alternating large/small-star CC over the cached pair frame; per-round localCheckpoint truncates lineage so round k never replans rounds 1..k-1",
+      "dedup_exact" -> "one hash aggregate keyed by text — partial+final, linear",
+      "dedup_embed_cosine" -> "sign-sketch band join proposes; codegen'd GatedVecDot (Cauchy-Schwarz prefix gate) verifies — the corpus never self-joins on raw vectors",
+      "dedup_simhash_wide" -> "128-bit signatures as two words, 32-bit bands: shuffle on (band, value), Hamming gate before the distinct",
+      "events_dedup_window" -> "duplicate events dropped by rank inside the clustered window, with WindowGroupLimit pruning candidates map-side BEFORE the exchange — no self-join",
+      "text_unigram_train" -> "corpus touched ONCE by the word-histogram agg; seed counting and every EM stage are vocab-sized; top-k via one window over the final counts",
+      "text_unigram_encode" -> "per-DISTINCT-word Viterbi (the media-seam class) rejoins the corpus by measured broadcast; per-doc agg is map-side partial",
+      "text_unigram_vocab" -> "final counts join the driver-held lp model by unconditional broadcast (vocab-sized); top-k limit",
+      "multimodal_dedup_phash" -> "decode+dHash is a partition-batched map (the media byte seam); pairs ride the banded simhash self-join on 8-byte signatures",
+      "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
