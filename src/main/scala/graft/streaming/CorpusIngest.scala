@@ -58,10 +58,18 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
   * checkpoint retries it — silently substituting an empty ledger
   * would disable dedup for the batch and admit duplicates permanently.
   *
-  * Exactly-once caveat: the three writes are not atomic; a crash
-  * between corpus and ledger append re-admits at most one batch's
-  * docs on replay (foreachBatch is at-least-once) — idempotent
-  * readers dedup on `h`, which the ledger preserves for that purpose. */
+  * Replay safety (round 12): the corpus sink is partitioned by
+  * ([[RunToken]], batch_id) and written with dynamic partition
+  * OVERWRITE (the [[LeakageIngest]] recipe), so a checkpoint retry
+  * anywhere in the corpus → filter → ledger sequence reproduces, not
+  * duplicates: a retry before the ledger append recomputes the SAME
+  * novel set (the ledger is unchanged) and overwrites its own corpus
+  * partition; a retry after it finds every batch hash in the ledger,
+  * derives an empty novel set, and writes nothing. The checkpoint-
+  * scoped token keeps a fresh-checkpoint incarnation (batchId back at
+  * 0) from clobbering an earlier incarnation's partitions. The filter
+  * only ever grows toward a superset — supersets cost false
+  * positives, which the exact anti join absorbs. */
 object CorpusIngest {
 
   /** Rows the Bloom pre-gate sent into the exact anti join in the most
@@ -81,7 +89,7 @@ object CorpusIngest {
                        bloomCapacity: Long = 1L << 22): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hashed = batch
           .withColumn("h", md5(col("text").cast("binary")))
@@ -162,7 +170,12 @@ object CorpusIngest {
                 Some(filter))
             }
           novel.persist(); toRelease += novel
-          novel.drop("h").write.mode(SaveMode.Append).parquet(outDir)
+          novel.drop("h")
+            .withColumn("ingest_run", lit(RunToken.of(spark, checkpointDir)))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_run", "batch_id").parquet(outDir)
           // merge the batch's novel hashes into the standing filter and
           // persist it BEFORE the ledger append (superset invariant)
           val batchFilter =

@@ -38,10 +38,13 @@ import graft.operators.Documents
   * replaces exactly the partitions batch N wrote the first time —
   * a failure between the alert write and the index write (or after
   * both) cannot double-append rows, and the standing-alert metadata
-  * join never sees duplicated index rows. The standing-index probe
-  * additionally reads only `batch_id < N`, so a retry after both
-  * writes succeeded sees exactly the pre-batch index state rather than
-  * its own first-attempt rows. Empty micro-batches are
+  * join never sees duplicated index rows. Partitions are additionally
+  * scoped by a checkpoint-bound [[RunToken]] and the standing-index
+  * probe excludes exactly the current (token, batchId) pair, so a
+  * retry after both writes sees the pre-batch index state rather than
+  * its own first-attempt rows — without an ordering assumption that a
+  * fresh-checkpoint restart (batchId back at 0) would break. Empty
+  * micro-batches are
   * skipped outright (Kafka rebalances deliver them routinely); the
   * previous max(ts)-of-nothing would have NPE'd the batch forever. */
 object LeakageIngest {
@@ -52,14 +55,17 @@ object LeakageIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexDir, alertDir, maxHamming, watermarkMs)
+        processBatch(batch, batchId,
+          RunToken.of(batch.sparkSession, checkpointDir),
+          indexDir, alertDir, maxHamming, watermarkMs)
       }
       .start()
 
   /** The per-micro-batch body, callable directly so specs can REPLAY a
     * committed batchId — the checkpoint-retry path a MemoryStream test
-    * cannot otherwise force. */
-  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+    * cannot otherwise force. `runToken` scopes partitions and the
+    * probe's self-exclusion to this checkpoint (see [[RunToken]]). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, runToken: String,
                                   indexDir: String, alertDir: String,
                                   maxHamming: Int, watermarkMs: Long): Unit = {
         val spark = batch.sparkSession
@@ -85,13 +91,17 @@ object LeakageIngest {
               val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
               // ts >= cutoff prunes expired date partitions at planning
               // time — the index read is the horizon, not the history.
-              // batch_id < batchId excludes THIS batch's own rows: a
-              // checkpoint retry after both writes succeeded would
-              // otherwise probe an index that already contains batch N,
-              // re-deriving same-batch straddles in both directions and
+              // Excluding exactly (runToken, batchId) hides THIS batch's
+              // own rows from a retry: after both writes succeeded the
+              // index already contains batch N, and probing it would
+              // re-derive same-batch straddles in both directions,
               // overwriting the alert partition with duplicated rows.
+              // Set-exclusion, not batch_id ordering: a fresh-checkpoint
+              // incarnation restarts batchId at 0, and `batch_id < 0`
+              // would exclude the WHOLE standing index (see [[RunToken]]).
               val index = spark.read.parquet(indexDir)
-                .filter(col("ts") >= lit(cutoff) && col("batch_id") < lit(batchId))
+                .filter(col("ts") >= lit(cutoff) &&
+                  !(col("ingest_run") === lit(runToken) && col("batch_id") === lit(batchId)))
                 .select(col("doc_id"), col("simhash"), col("split"))
               Some(Documents.simhashProbePairs(
                   sims.select("doc_id", "simhash"),
@@ -116,18 +126,20 @@ object LeakageIngest {
             .select("doc_id", "matched_id", "split_new", "split_old", "ts")
           val alerts = standingAlerts
             .map(_.unionByName(inBatchAlerts)).getOrElse(inBatchAlerts)
-          alerts.withColumn("batch_id", lit(batchId))
+          alerts.withColumn("ingest_run", lit(runToken))
+            .withColumn("batch_id", lit(batchId))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(alertDir)
+            .partitionBy("ingest_run", "batch_id").parquet(alertDir)
           // admit EVERYTHING — the audit never drops. `d` stays the
           // LEADING partition so expireIndex's date-directory retention
           // and the cutoff filter's partition pruning are unchanged.
           sims.select(col("doc_id"), col("simhash"), col("split"), col("ts"),
-              to_date(col("ts")).as("d"), lit(batchId).as("batch_id"))
+              to_date(col("ts")).as("d"), lit(runToken).as("ingest_run"),
+              lit(batchId).as("batch_id"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d", "batch_id").parquet(indexDir)
+            .partitionBy("d", "ingest_run", "batch_id").parquet(indexDir)
         } finally sims.unpersist()
   }
 }

@@ -38,7 +38,16 @@ import graft.operators.Documents
   *
   * Failure honesty (same contract as [[CorpusIngest]]): a missing
   * index directory is the expected first batch; any other read failure
-  * fails the micro-batch so the checkpoint retries it. */
+  * fails the micro-batch so the checkpoint retries it.
+  *
+  * Replay safety (round 12, the [[LeakageIngest]] recipe): both sinks
+  * are partitioned by ([[RunToken]], batch_id) and written with
+  * dynamic partition OVERWRITE, and the probe excludes exactly the
+  * current (token, batchId) pair — the prior plain appends were
+  * idempotent only by accident in the after-both-writes window (a
+  * retried batch self-matched its own index rows and appended nothing)
+  * and DOUBLE-appended the corpus when the crash fell between the
+  * corpus and index writes. */
 object NearDupIngest {
 
   /** `maxHamming` defaults to the strict 64-bit bar (3 → 4×16-bit
@@ -50,12 +59,26 @@ object NearDupIngest {
                       watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId,
+          RunToken.of(batch.sparkSession, checkpointDir),
+          indexDir, outDir, maxHamming, watermarkMs)
+      }
+      .start()
+
+  /** The per-micro-batch body, callable directly so specs can REPLAY a
+    * committed batchId (the [[LeakageIngest.processBatch]] pattern). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, runToken: String,
+                                  indexDir: String, outDir: String,
+                                  maxHamming: Int, watermarkMs: Long): Unit = {
         val spark = batch.sparkSession
         val sims = batch.withColumn("simhash",
           graft.functions.VectorExpressions.simhash64(split(col("text"), " ")))
         sims.persist()
-        try {
+        // empty micro-batches are routine (Kafka rebalances) and must
+        // be a no-op — the max(ts)-of-nothing below would NPE forever
+        // (the LeakageIngest r11 lesson)
+        try if (!sims.isEmpty) {
           val indexPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
           // data-file check, not bare exists: a fully-expired index
@@ -73,9 +96,13 @@ object NearDupIngest {
               val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
               val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
               // ts >= cutoff prunes expired date partitions at planning
-              // time — the index read is the horizon, not the history
+              // time — the index read is the horizon, not the history.
+              // Excluding (runToken, batchId) makes a retry probe
+              // exactly the pre-batch index state, never its own first
+              // attempt (set-exclusion, not ordering — see RunToken)
               val index = spark.read.parquet(indexDir)
-                .filter(col("ts") >= lit(cutoff))
+                .filter(col("ts") >= lit(cutoff) &&
+                  !(col("ingest_run") === lit(runToken) && col("batch_id") === lit(batchId)))
                 .select(col("doc_id"), col("simhash"))
               val dup = Documents.simhashProbe(
                 sims.select("doc_id", "simhash"), index, maxHamming)
@@ -88,14 +115,22 @@ object NearDupIngest {
           survivors.persist()
           try {
             survivors.drop("simhash")
-              .write.mode(SaveMode.Append).parquet(outDir)
+              .withColumn("ingest_run", lit(runToken))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_run", "batch_id").parquet(outDir)
+            // `d` stays LEADING so expireIndex's directory retention
+            // and the cutoff filter's partition pruning are unchanged
             survivors.select(col("doc_id"), col("simhash"), col("ts"),
-                to_date(col("ts")).as("d"))
-              .write.mode(SaveMode.Append).partitionBy("d").parquet(indexDir)
+                to_date(col("ts")).as("d"), lit(runToken).as("ingest_run"),
+                lit(batchId).as("batch_id"))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("d", "ingest_run", "batch_id").parquet(indexDir)
           } finally survivors.unpersist()
         } finally sims.unpersist()
-      }
-      .start()
+  }
 
   /** Drop index date-partitions entirely BEFORE `cutoff` — the
     * retention pass the date-partitioned layout exists for: expiry is

@@ -28,13 +28,15 @@ import graft.operators.{Documents, Multimodal}
   * cannot compute can't be probed — route such rows to a quarantine
   * audit downstream if the pipeline needs one.
   *
-  * Replay safety follows the [[LeakageIngest]] batch_id recipe, NOT
-  * [[NearDupIngest]]'s plain appends: both sinks are partitioned by
-  * `batch_id` and written with dynamic partition OVERWRITE, and the
-  * standing-index probe reads only `batch_id < N`, so a checkpoint
-  * retry of batch N — before, between, or after its two writes —
-  * reproduces exactly the first attempt's partitions against exactly
-  * the pre-batch index state. Empty micro-batches are skipped.
+  * Replay safety follows the [[LeakageIngest]] recipe: both sinks are
+  * partitioned by ([[RunToken]], batch_id) and written with dynamic
+  * partition OVERWRITE, and the standing-index probe excludes exactly
+  * the current (token, batchId) pair, so a checkpoint retry of batch N
+  * — before, between, or after its two writes — reproduces exactly the
+  * first attempt's partitions against exactly the pre-batch index
+  * state, and a fresh-checkpoint incarnation (batchId back at 0) can
+  * neither clobber history nor lose the standing index from its
+  * probes. Empty micro-batches are skipped.
   *
   * The watermark bound, date-partitioned index layout and retention
   * (reuse [[NearDupIngest.expireIndex]]) are identical to the text
@@ -53,13 +55,15 @@ object PhashIngest {
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexDir, outDir, maxHamming, watermarkMs)
+        processBatch(batch, batchId,
+          RunToken.of(batch.sparkSession, checkpointDir),
+          indexDir, outDir, maxHamming, watermarkMs)
       }
       .start()
 
   /** The per-micro-batch body, callable directly so specs can REPLAY a
     * committed batchId (the [[LeakageIngest.processBatch]] pattern). */
-  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, runToken: String,
                                   indexDir: String, outDir: String,
                                   maxHamming: Int, watermarkMs: Long): Unit = {
     val spark = batch.sparkSession
@@ -91,10 +95,13 @@ object PhashIngest {
           val maxTs = sigs.agg(max(col("ts"))).head.getTimestamp(0)
           val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
           // ts >= cutoff prunes expired date partitions at planning
-          // time; batch_id < batchId excludes this batch's own rows so
-          // a retry after both writes sees the pre-batch index state
+          // time; excluding exactly (runToken, batchId) hides this
+          // batch's own rows so a retry after both writes sees the
+          // pre-batch index state (set-exclusion, not ordering — see
+          // RunToken for why `batch_id < N` breaks across checkpoints)
           val index = spark.read.parquet(indexDir)
-            .filter(col("ts") >= lit(cutoff) && col("batch_id") < lit(batchId))
+            .filter(col("ts") >= lit(cutoff) &&
+              !(col("ingest_run") === lit(runToken) && col("batch_id") === lit(batchId)))
             .select(col("doc_id"), col("simhash"))
           val dup = Documents.simhashProbe(
             hashed.select("doc_id", "simhash"), index, maxHamming)
@@ -110,16 +117,18 @@ object PhashIngest {
       // the batch rather than carrying media bytes through the joins
       batch.select(col("doc_id"), col("ts"), col("media"))
         .join(surviving.select("doc_id"), Seq("doc_id"))
+        .withColumn("ingest_run", lit(runToken))
         .withColumn("batch_id", lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(outDir)
+        .partitionBy("ingest_run", "batch_id").parquet(outDir)
       surviving.filter(col("simhash").isNotNull)
         .select(col("doc_id"), col("simhash"), col("ts"),
-          to_date(col("ts")).as("d"), lit(batchId).as("batch_id"))
+          to_date(col("ts")).as("d"), lit(runToken).as("ingest_run"),
+          lit(batchId).as("batch_id"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("d", "batch_id").parquet(indexDir)
+        .partitionBy("d", "ingest_run", "batch_id").parquet(indexDir)
     } finally sigs.unpersist()
   }
 }

@@ -216,7 +216,73 @@ class CorpusIngestSpec extends SparkSuite {
         .select("doc_id").as[Long].collect().sorted
       assert(afterExpire === Array(1L, 2L, 4L, 7L, 8L),
         s"expired signatures must be forgotten: ${afterExpire.toSeq}")
+      // an EMPTY micro-batch against a non-empty index must be a no-op,
+      // not a max(ts)-of-nothing NPE (the LeakageIngest r11 lesson)
+      stream.addData(Seq.empty[(Long, java.sql.Timestamp, String)])
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"empty batch must not fail: ${q.exception}")
     } finally q.stop()
+  }
+
+  test("near-dedup ingest replay of a committed batch is idempotent (retry at any crash point)") {
+    val base = new java.io.File("target/neardup-replay-spec")
+    rm(base)
+    var seed = 7L
+    def nextInt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n).toInt + n) % n }
+    def freshText(prefix: String) =
+      (0 until 60).map(_ => s"$prefix${nextInt(100000)}").mkString(" ")
+    def nearDup(t: String) = {
+      val toks = t.split(" "); toks(7) = "zulu"; toks(31) = "yankee"; toks.mkString(" ")
+    }
+    val (a, c) = (freshText("apple"), freshText("cedar"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, String)*) =
+      spark.createDataFrame(rows).toDF("doc_id", "ts", "text")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      NearDupIngest.processBatch(batch, id, "specrun",
+        s"$base/index", s"$base/corpus",
+        maxHamming = 12, watermarkMs = 2L * 3600 * 1000)
+    run(df((1L, ts("2024-01-01 10:00:00"), a)), 0L)
+    val batch1 = df(
+      (3L, ts("2024-01-01 10:30:00"), nearDup(a)), // probe drop
+      (4L, ts("2024-01-01 10:30:01"), c))          // admit
+    run(batch1, 1L)
+    def corpusIds = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    def indexRows = spark.read.parquet(s"$base/index")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
+    val (c1, i1) = (corpusIds, indexRows)
+    assert(c1 === Array(1L, 4L), s"got ${c1.toSeq}")
+    // retry AFTER both writes: without the batch_id < N probe filter,
+    // doc 4 would self-match its own indexed signature and vanish from
+    // the overwritten partition — the corpus would LOSE a document
+    run(batch1, 1L)
+    assert(corpusIds === c1, "retry after both writes must reproduce the corpus")
+    assert(indexRows === i1, "retry after both writes must reproduce the index")
+    // retry BETWEEN the writes (corpus written, index not): the old
+    // plain-Append recipe double-appended here; dynamic overwrite must
+    // replace the same partition instead. Simulate by dropping batch
+    // 1's index partitions, then replaying.
+    val fs = new org.apache.hadoop.fs.Path(s"$base/index")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dropBatch1(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).filter(_.isDirectory).foreach { d =>
+        if (d.getPath.getName == "batch_id=1") fs.delete(d.getPath, true)
+        else dropBatch1(d.getPath)
+      }
+    dropBatch1(new org.apache.hadoop.fs.Path(s"$base/index"))
+    run(batch1, 1L)
+    assert(corpusIds === c1, "retry between writes must reproduce the corpus")
+    assert(indexRows === i1, "retry between writes must rebuild the index partition")
+    // a NEW incarnation (fresh token, batchId back at 0) must still
+    // probe the OLD incarnation's standing index: with an ordering
+    // filter (batch_id < 0) this near-dup would sail straight in
+    NearDupIngest.processBatch(
+      df((9L, ts("2024-01-01 10:40:00"), nearDup(a))), 0L, "specrun2",
+      s"$base/index", s"$base/corpus",
+      maxHamming = 12, watermarkMs = 2L * 3600 * 1000)
+    assert(corpusIds === c1,
+      "a fresh incarnation must drop near-dups against the standing index")
   }
 
   test("streaming leakage audit alerts on split-straddling near-dups, admits everything") {
@@ -315,7 +381,9 @@ class CorpusIngestSpec extends SparkSuite {
     def df(rows: (Long, java.sql.Timestamp, String)*) =
       spark.createDataFrame(rows).toDF("doc_id", "ts", "text")
     def run(batch: org.apache.spark.sql.DataFrame, id: Long) =
-      LeakageIngest.processBatch(batch, id, s"$base/index", s"$base/alerts",
+      LeakageIngest.processBatch(batch, id,
+        graft.streaming.RunToken.of(spark, s"$base/ckpt"),
+        s"$base/index", s"$base/alerts",
         maxHamming = 12, watermarkMs = 2L * 3600 * 1000)
     run(df((1L, ts("2024-01-01 10:00:00"), a)), 0L)
     val batch1 = df((3L, ts("2024-01-01 10:30:00"), straddle),
@@ -382,7 +450,9 @@ class CorpusIngestSpec extends SparkSuite {
     // probe reads only batch_id < 1, so the retry cannot see its own
     // first-attempt rows and re-derive drops differently
     val again = spark.createDataFrame(batch1).toDF("doc_id", "ts", "media")
-    PhashIngest.processBatch(again, 1L, s"$base/index", s"$base/corpus",
+    PhashIngest.processBatch(again, 1L,
+      graft.streaming.RunToken.of(spark, s"$base/ckpt"), // the SAME incarnation's token
+      s"$base/index", s"$base/corpus",
       maxHamming = 4, watermarkMs = 2L * 3600 * 1000)
     val corpusR = spark.read.parquet(s"$base/corpus")
       .select("doc_id").as[Long].collect().sorted
