@@ -6,10 +6,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{Documents, Multimodal}
 
-/** Streaming PERCEPTUAL image dedup — the multimodal twin of
-  * [[NearDupIngest]]: arriving images are decoded and dHashed
-  * ([[Multimodal.dHash64]] — all-integer, so the signature is
-  * bit-identical however the image reaches the stream), and any
+/** Streaming PERCEPTUAL media dedup — the multimodal twin of
+  * [[NearDupIngest]], covering both images ([[ingestImageDedup]],
+  * dHash) and audio ([[ingestAudioDedup]], aHash): arriving payloads
+  * are decoded and hashed ([[Multimodal.dHash64]] /
+  * [[Multimodal.aHash64]] — all-integer, so the signature is
+  * bit-identical however the media reaches the stream), and any
   * arrival whose hash sits within `maxHamming` of a standing-index
   * signature inside the lateness horizon is DROPPED before it reaches
   * the corpus. A dHash is a 64-bit locality signature, so the probe
@@ -47,35 +49,55 @@ import graft.operators.{Documents, Multimodal}
   * for the unbounded answer. */
 object PhashIngest {
 
+  /** The perceptual signature per media mode — both are 64-bit
+    * locality hashes, so everything downstream of this one map is
+    * shared. `None` ⇔ undecodable. */
+  private def sigOf(mode: String, bytes: Array[Byte]): Option[Long] = mode match {
+    case "image" => Multimodal.MediaTransform.bmpPixels(bytes)
+      .map { case (w, h, px) => Multimodal.dHash64(px, w, h) }
+    case "audio" => Multimodal.MediaTransform.wavSamples(bytes)
+      .map { case (_, c, _, s) => Multimodal.aHash64(s, c) }
+    case m => throw new IllegalArgumentException(s"unknown media mode '$m'")
+  }
+
   /** Input stream columns: `doc_id` (long), `ts` (timestamp), `media`
     * (binary image payload — BMP via the repo's codec seam). */
   def ingestImageDedup(media: DataFrame, indexDir: String, outDir: String,
                        checkpointDir: String, maxHamming: Int = 4,
                        watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
+    ingest(media, "image", indexDir, outDir, checkpointDir, maxHamming, watermarkMs)
+
+  /** The audio twin: same standing index shape over [[Multimodal
+    * .aHash64]] signatures, so a re-encoded or integer-resampled clip
+    * arriving within the horizon is dropped like a re-encoded image. */
+  def ingestAudioDedup(media: DataFrame, indexDir: String, outDir: String,
+                       checkpointDir: String, maxHamming: Int = 4,
+                       watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
+    ingest(media, "audio", indexDir, outDir, checkpointDir, maxHamming, watermarkMs)
+
+  private def ingest(media: DataFrame, mode: String, indexDir: String,
+                     outDir: String, checkpointDir: String, maxHamming: Int,
+                     watermarkMs: Long): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId,
           RunToken.of(batch.sparkSession, checkpointDir),
-          indexDir, outDir, maxHamming, watermarkMs)
+          mode, indexDir, outDir, maxHamming, watermarkMs)
       }
       .start()
 
   /** The per-micro-batch body, callable directly so specs can REPLAY a
     * committed batchId (the [[LeakageIngest.processBatch]] pattern). */
   private[graft] def processBatch(batch: DataFrame, batchId: Long, runToken: String,
-                                  indexDir: String, outDir: String,
+                                  mode: String, indexDir: String, outDir: String,
                                   maxHamming: Int, watermarkMs: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val sigs = batch.select(col("doc_id"), col("ts"), col("media"))
       .as[(Long, java.sql.Timestamp, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, ts, bytes) =>
-          (id, ts,
-            Multimodal.MediaTransform.bmpPixels(bytes)
-              .map { case (w, h, px) => Multimodal.dHash64(px, w, h) })
-        }
+        it.map { case (id, ts, bytes) => (id, ts, sigOf(mode, bytes)) }
       }
       .toDF("doc_id", "ts", "simhash") // simhash null ⇔ undecodable
     sigs.persist()

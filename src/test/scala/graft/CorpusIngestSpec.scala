@@ -452,7 +452,7 @@ class CorpusIngestSpec extends SparkSuite {
     val again = spark.createDataFrame(batch1).toDF("doc_id", "ts", "media")
     PhashIngest.processBatch(again, 1L,
       graft.streaming.RunToken.of(spark, s"$base/ckpt"), // the SAME incarnation's token
-      s"$base/index", s"$base/corpus",
+      "image", s"$base/index", s"$base/corpus",
       maxHamming = 4, watermarkMs = 2L * 3600 * 1000)
     val corpusR = spark.read.parquet(s"$base/corpus")
       .select("doc_id").as[Long].collect().sorted
@@ -460,6 +460,43 @@ class CorpusIngestSpec extends SparkSuite {
     val indexR = spark.read.parquet(s"$base/index")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
     assert(indexR.map(_._1) === Set(1L, 2L, 4L), s"replay changed index: $indexR")
+  }
+
+  test("streaming audio dedup drops a 2x-resampled clip via the standing aHash index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/ahash-ingest-spec")
+    rm(base)
+    import Multimodal.MediaTransform
+    def clip(id: Long): Array[Byte] = MediaTransform.wavTexture(11000, 2, 137, id)
+    // a REAL integer-factor resample through the byte codec — frames
+    // duplicated, rate doubled, re-encoded — the planted near-dup the
+    // aHash frame picks provably map to Hamming 0
+    def up2(b: Array[Byte]): Array[Byte] = {
+      val (r, c, f, s) = MediaTransform.wavSamples(b).get
+      val dup = MediaTransform.frameDup(s, c, 2)
+      val out = Multimodal.MediaEncoder.wav(r * 2, c, f * 2)
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      dup.indices.foreach(i => bb.putShort(44 + i * 2, dup(i)))
+      out
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = PhashIngest.ingestAudioDedup(
+      stream.toDF().toDF("doc_id", "ts", "media"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), clip(1L)),
+        (2L, ts("2024-01-01 10:00:01"), clip(2L))))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (3L, ts("2024-01-01 10:30:00"), up2(clip(1L))), // resampled clone → drop
+        (4L, ts("2024-01-01 10:30:01"), clip(4L))))     // fresh → admit
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(corpus === Array(1L, 2L, 4L), s"got ${corpus.toSeq}")
+    } finally q.stop()
   }
 
   test("streaming release diff equals the batch diff under shuffled arrival and arbitrary slicing") {
