@@ -144,6 +144,7 @@ object SparkEntry {
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
+    "dedup_ngram_jaccard_staged" -> (Documents.dedupNgramJaccardStaged _),
     "dedup_source_matrix" -> (Documents.dedupSourceMatrixQ _),
     "dedup_containment" -> (Documents.dedupContainment _),
     "dedup_containment_capped" -> (Documents.dedupContainmentCapped _),
@@ -1325,6 +1326,21 @@ object SparkEntry {
         |WHERE bit_count(xor(a.s, b2.s)) <= 3
         |ORDER BY d1, d2""".stripMargin,
     "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    // Staged wave sweep: identical oracle by construction — the waves
+    // partition the shingle-hash space, so per-pair commons and hot
+    // hits are plain sums over waves and the pair frame is
+    // bit-identical to the single pass the SQL replays.
+    "dedup_ngram_jaccard_staged" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),

@@ -332,6 +332,16 @@ object Documents {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6)
 
+  /** Registered query (HARD oracle — the SAME uncapped replay as
+    * [[dedupNgramJaccard]]): the STAGED wave sweep forced on (3 waves
+    * at every sf, where auto would pick 1), so the sequential path's
+    * bit-identity to the single pass is driver-verified tri-scale
+    * against DuckDB — the wave machinery itself sits under the hard
+    * oracle, not only the DedupSpec property. */
+  def dedupNgramJaccardStaged(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.load(spark, dir, "documents"), threshold = 0.6,
+      waves = Some(3))
+
   /** Cross-source duplication matrix — the observability view over
     * the near-dup pairs: WHICH sources copy from each other, and how
     * much. Every mix decision ("drop source X, it's 40% scraped from

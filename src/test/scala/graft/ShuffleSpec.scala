@@ -76,6 +76,25 @@ class ShuffleSpec extends SparkSuite {
       s"hashed keys must shuffle fewer bytes: hashed=$hashed vs strings=$strings")
   }
 
+  test("wave slicing bounds per-wave shuffle bytes at ~1/waves and conserves the total") {
+    // the staged pair sweep's disk claim, MEASURED: each wave's slice
+    // filter sits before the repartition, so a wave writes ~1/waves of
+    // the single-pass shuffle (this is the peak-disk bound the 100M
+    // run rode), and the waves together write what the single pass
+    // writes — staging moves no extra bytes, it only staggers them
+    def agg(sh: DataFrame): DataFrame =
+      sh.groupBy("s").agg(count(lit(1)).as("n"))
+    val single = shuffleBytes(agg(Documents.shingles(docs)))
+    assert(single > 0, "expected a real shuffle to measure")
+    val perWave = (0 until 3).map(w =>
+      shuffleBytes(agg(Documents.shingles(docs, wave = w, waves = 3))))
+    perWave.foreach(b => assert(b < single * 55 / 100,
+      s"a wave must carry well under half the stream: $b of $single"))
+    val total = perWave.sum
+    assert(total >= single * 85 / 100 && total <= single * 115 / 100,
+      s"waves must conserve total shuffle volume: ${perWave.mkString("+")}=$total vs $single")
+  }
+
   test("quality-weighted sample plans no exchange carrying document text") {
     // the md5 prefix is projected before the doc_id join, so every
     // exchange moves (doc_id, 2-char prefix) or aggregate rows — the
