@@ -295,15 +295,18 @@ object Documents {
     }
   }
 
-  /** AUTO wave count for the staged pair sweep: one wave per ~25M
+  /** AUTO wave count for the staged pair sweep: one wave per ~32M
     * docs, capped at 16. Calibrated from this box's measurements —
-    * 30M docs completed single-pass within the disk budget (1176 s,
-    * BIGBENCH.md) while 100M's ~40 GB single shuffle did not; 25M per
-    * wave keeps each wave's footprint ~10 GB with margin. Below 25M
-    * docs (every registered corpus) this is 1 and the pass is plan-
-    * identical to round 11. */
+    * 30M docs (30.15M rows with the planted dups) completed
+    * single-pass within the disk budget (1176 s, BIGBENCH.md), so the
+    * trigger sits just above that PROVEN point rather than below it
+    * (waves cost a full map-side replay each; forcing 2 at a scale
+    * one pass handles is pure overhead), while 100M's ~40 GB single
+    * shuffle — the measured failure — becomes 4 waves of ~10 GB.
+    * Below the trigger (every registered corpus) this is 1 and the
+    * pass is plan-identical to round 11. */
   def autoPairWaves(nDocs: Long): Int =
-    math.min(16L, (math.max(nDocs, 1L) - 1L) / 25000000L + 1L).toInt
+    math.min(16L, (math.max(nDocs, 1L) - 1L) / 32000000L + 1L).toInt
 
   /** The hot-hit rows of a [[bucketCounts]] frame: how many
     * over-cap shingles each document carried (its size correction). */
