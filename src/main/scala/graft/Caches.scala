@@ -65,6 +65,33 @@ object Caches {
       .add(rdd)
   }
 
+  private val frames =
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[Any, DataFrame]]()
+
+  /** Memoize an EAGERLY-BUILT frame by an input-derived key. The
+    * semantic-hash dedup in [[persist]] keys on the OUTPUT plan, which
+    * is useless for operators that materialize during construction
+    * (localCheckpoint lineages contain fresh LogicalRDDs, so every
+    * build hashes differently): without this, each invocation of the
+    * staged pair sweep would re-run all its waves and strand another
+    * persisted frame. Key on what went IN (source plan hash + the
+    * knobs); lifetime is the same release() cycle as every other
+    * registration here. Build runs OUTSIDE the map lock (it launches
+    * Spark jobs); a racing duplicate build is wasted work, not a leak
+    * — the loser's persist is released with the session's ledger. */
+  def memoFrame(spark: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
+    sweepStopped(frames)(identity)
+    val perSession =
+      frames.computeIfAbsent(spark, _ => new ConcurrentHashMap[Any, DataFrame]())
+    val cached = perSession.get(key)
+    if (cached != null) cached
+    else {
+      val built = build
+      val prior = perSession.putIfAbsent(key, built)
+      if (prior != null) prior else built
+    }
+  }
+
   private val decisions =
     new ConcurrentHashMap[SparkSession, ConcurrentHashMap[(Int, Long), java.lang.Boolean]]()
 
@@ -107,6 +134,7 @@ object Caches {
     val rdds = heldRdds.remove(spark)
     if (rdds != null) rdds.forEach(_.unpersist(blocking = false))
     decisions.remove(spark)
+    frames.remove(spark)
     sweepStopped(held)(identity)
   }
 

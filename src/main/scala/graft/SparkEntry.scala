@@ -384,6 +384,21 @@ object SparkEntry {
       |  FROM (SELECT unnest(string_split(seg, ' ')) AS tok, c FROM b2) GROUP BY 1
       |)""".stripMargin
 
+  /** The uncapped 3-gram-Jaccard pair replay, shared VERBATIM by
+    * `dedup_ngram_jaccard` and its staged-wave twin — the rows' whole
+    * point is bit-identity, so their oracles must be one string. */
+  private val jaccardPairSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+      |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
+      |ORDER BY d1, d2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_join_avg" ->
       """SELECT round(avg(c.c_acctbal), 2) AS avg_acctbal
@@ -1325,32 +1340,12 @@ object SparkEntry {
         |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.s, b2.s)) <= 3
         |ORDER BY d1, d2""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT d1, d2, floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
-        |ORDER BY d1, d2""".stripMargin,
-    // Staged wave sweep: identical oracle by construction — the waves
+    "dedup_ngram_jaccard" -> jaccardPairSql,
+    // Staged wave sweep: identical oracle BY SHARED STRING — the waves
     // partition the shingle-hash space, so per-pair commons and hot
     // hits are plain sums over waves and the pair frame is
     // bit-identical to the single pass the SQL replays.
-    "dedup_ngram_jaccard_staged" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT d1, d2, floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |WHERE floor((common::DOUBLE / (n1.n + n2.n - common)) * 10000 + 0.5) / 10000 >= 0.6
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard_staged" -> jaccardPairSql,
     // The same pair CTE, joined back to sources and grouped; the mean
     // folds the sorted rounded scores (deterministic order both
     // engines) under the floor contract.

@@ -263,7 +263,14 @@ object Documents {
     if (waves <= 1)
       graft.Caches.persist(countsOf(
         shingles(docs, numPartitions = pairShufflePartitions(spark, nDocs))))
-    else {
+    // memoized by INPUT key, not output plan: the staged branch
+    // materializes during construction (localCheckpoint → fresh
+    // LogicalRDDs), so persist()'s semantic-hash dedup can never hit —
+    // without the memo each call in a long-lived session (bench
+    // repeats, the --shared rider family past the wave trigger) would
+    // re-run every wave and strand another persisted frame.
+    else graft.Caches.memoFrame(spark,
+      ("bucketCounts", docs.queryExecution.analyzed.semanticHash(), cap, waves)) {
       // each wave carries ~1/waves of the groups, so its shuffle keeps
       // the same ~150k-docs-per-partition density at 1/waves the count
       val perWave = math.max(spark.sessionState.conf.numShufflePartitions,
@@ -290,7 +297,18 @@ object Documents {
       // checkpoints it is built from — a truncated lineage cannot be
       // recomputed, so the blocks must outlive this one action
       summed.count()
-      waveFrames.foreach(f => chkRdd(f).foreach(_.unpersist(blocking = false)))
+      waveFrames.foreach { f =>
+        val rdd = chkRdd(f)
+        // LOUD when the shape drifts: silently skipping the unpersist
+        // would quietly disable the between-wave disk reclamation this
+        // sweep exists for, and the failure mode (out of disk at 100M)
+        // is far from the cause
+        if (rdd.isEmpty)
+          System.err.println("[graft] WARN bucketCounts: wave checkpoint is not " +
+            "a LogicalRDD — wave shuffle/checkpoint blocks will not be freed " +
+            "between waves; peak disk regresses to the single-pass footprint")
+        rdd.foreach(_.unpersist(blocking = false))
+      }
       summed
     }
   }

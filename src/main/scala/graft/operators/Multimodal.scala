@@ -709,6 +709,10 @@ object Multimodal {
     * [[MediaTransform.frameSample]]'s same note). */
   def aHash64(samples: Array[Short], channels: Int): Long = {
     val frames = samples.length / channels
+    // a 0-frame clip has no loudness sequence to hash — callers treat
+    // it as undecodable (sigOf returns None); throwing here keeps the
+    // contract loud for direct misuse instead of an index error
+    require(frames > 0, "aHash64: empty PCM stream (0 frames)")
     val v = new Array[Long](65)
     var j = 0
     while (j < 65) {

@@ -170,12 +170,8 @@ object CorpusIngest {
                 Some(filter))
             }
           novel.persist(); toRelease += novel
-          novel.drop("h")
-            .withColumn("ingest_run", lit(RunToken.of(spark, checkpointDir)))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_run", "batch_id").parquet(outDir)
+          ReplaySafeSink.writeBatch(novel.drop("h"), outDir,
+            RunToken.of(spark, checkpointDir), batchId)
           // merge the batch's novel hashes into the standing filter and
           // persist it BEFORE the ledger append (superset invariant)
           val batchFilter =

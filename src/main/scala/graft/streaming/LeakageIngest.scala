@@ -76,34 +76,19 @@ object LeakageIngest {
           .select("doc_id", "ts", "simhash", "split")
         sims.persist()
         try if (!sims.isEmpty) {
-          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
-          def hasData = {
-            val it = fs.listFiles(indexPath, true)
-            var found = false
-            while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
-            found
-          }
           val standingAlerts =
-            if (!fs.exists(indexPath) || !hasData) None
-            else {
+            ReplaySafeSink.standingRows(spark, indexDir, runToken, batchId).map { standing =>
               val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
               val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
               // ts >= cutoff prunes expired date partitions at planning
               // time — the index read is the horizon, not the history.
-              // Excluding exactly (runToken, batchId) hides THIS batch's
-              // own rows from a retry: after both writes succeeded the
-              // index already contains batch N, and probing it would
-              // re-derive same-batch straddles in both directions,
-              // overwriting the alert partition with duplicated rows.
-              // Set-exclusion, not batch_id ordering: a fresh-checkpoint
-              // incarnation restarts batchId at 0, and `batch_id < 0`
-              // would exclude the WHOLE standing index (see [[RunToken]]).
-              val index = spark.read.parquet(indexDir)
-                .filter(col("ts") >= lit(cutoff) &&
-                  !(col("ingest_run") === lit(runToken) && col("batch_id") === lit(batchId)))
+              // The retry self-exclusion (why a retry of batch N must
+              // not see its own first-attempt rows, and why that is
+              // set-exclusion rather than batch_id ordering) lives in
+              // ReplaySafeSink.standingRows.
+              val index = standing.filter(col("ts") >= lit(cutoff))
                 .select(col("doc_id"), col("simhash"), col("split"))
-              Some(Documents.simhashProbePairs(
+              (Documents.simhashProbePairs(
                   sims.select("doc_id", "simhash"),
                   index.select("doc_id", "simhash"), maxHamming)
                 .join(sims.select(col("doc_id"), col("ts"),
@@ -126,20 +111,14 @@ object LeakageIngest {
             .select("doc_id", "matched_id", "split_new", "split_old", "ts")
           val alerts = standingAlerts
             .map(_.unionByName(inBatchAlerts)).getOrElse(inBatchAlerts)
-          alerts.withColumn("ingest_run", lit(runToken))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_run", "batch_id").parquet(alertDir)
+          ReplaySafeSink.writeBatch(alerts, alertDir, runToken, batchId)
           // admit EVERYTHING — the audit never drops. `d` stays the
           // LEADING partition so expireIndex's date-directory retention
           // and the cutoff filter's partition pruning are unchanged.
-          sims.select(col("doc_id"), col("simhash"), col("split"), col("ts"),
-              to_date(col("ts")).as("d"), lit(runToken).as("ingest_run"),
-              lit(batchId).as("batch_id"))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d", "ingest_run", "batch_id").parquet(indexDir)
+          ReplaySafeSink.writeBatch(
+            sims.select(col("doc_id"), col("simhash"), col("split"), col("ts"),
+              to_date(col("ts")).as("d")),
+            indexDir, runToken, batchId, leading = Seq("d"))
         } finally sims.unpersist()
   }
 }

@@ -79,34 +79,21 @@ object NearDupIngest {
         // be a no-op — the max(ts)-of-nothing below would NPE forever
         // (the LeakageIngest r11 lesson)
         try if (!sims.isEmpty) {
-          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
-          // data-file check, not bare exists: a fully-expired index
-          // (every date partition dropped) leaves an empty directory,
-          // which must mean "no standing signatures", not a read error
-          def hasData = {
-            val it = fs.listFiles(indexPath, true)
-            var found = false
-            while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
-            found
-          }
           val afterProbe =
-            if (!fs.exists(indexPath) || !hasData) sims // no index (yet, or expired)
-            else {
-              val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
-              val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
-              // ts >= cutoff prunes expired date partitions at planning
-              // time — the index read is the horizon, not the history.
-              // Excluding (runToken, batchId) makes a retry probe
-              // exactly the pre-batch index state, never its own first
-              // attempt (set-exclusion, not ordering — see RunToken)
-              val index = spark.read.parquet(indexDir)
-                .filter(col("ts") >= lit(cutoff) &&
-                  !(col("ingest_run") === lit(runToken) && col("batch_id") === lit(batchId)))
-                .select(col("doc_id"), col("simhash"))
-              val dup = Documents.simhashProbe(
-                sims.select("doc_id", "simhash"), index, maxHamming)
-              sims.join(dup, Seq("doc_id"), "left_anti")
+            ReplaySafeSink.standingRows(spark, indexDir, runToken, batchId) match {
+              case None => sims // no index (yet, or fully expired)
+              case Some(standing) =>
+                val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
+                val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
+                // ts >= cutoff prunes expired date partitions at
+                // planning time — the index read is the horizon, not
+                // the history; the retry self-exclusion lives in
+                // ReplaySafeSink.standingRows
+                val index = standing.filter(col("ts") >= lit(cutoff))
+                  .select(col("doc_id"), col("simhash"))
+                val dup = Documents.simhashProbe(
+                  sims.select("doc_id", "simhash"), index, maxHamming)
+                sims.join(dup, Seq("doc_id"), "left_anti")
             }
           val inBatchDrop = Documents
             .simhashPairs(afterProbe.select("doc_id", "simhash"), maxHamming)
@@ -114,20 +101,14 @@ object NearDupIngest {
           val survivors = afterProbe.join(inBatchDrop, Seq("doc_id"), "left_anti")
           survivors.persist()
           try {
-            survivors.drop("simhash")
-              .withColumn("ingest_run", lit(runToken))
-              .withColumn("batch_id", lit(batchId))
-              .write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_run", "batch_id").parquet(outDir)
+            ReplaySafeSink.writeBatch(survivors.drop("simhash"),
+              outDir, runToken, batchId)
             // `d` stays LEADING so expireIndex's directory retention
             // and the cutoff filter's partition pruning are unchanged
-            survivors.select(col("doc_id"), col("simhash"), col("ts"),
-                to_date(col("ts")).as("d"), lit(runToken).as("ingest_run"),
-                lit(batchId).as("batch_id"))
-              .write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("d", "ingest_run", "batch_id").parquet(indexDir)
+            ReplaySafeSink.writeBatch(
+              survivors.select(col("doc_id"), col("simhash"), col("ts"),
+                to_date(col("ts")).as("d")),
+              indexDir, runToken, batchId, leading = Seq("d"))
           } finally survivors.unpersist()
         } finally sims.unpersist()
   }

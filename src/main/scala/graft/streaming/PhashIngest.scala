@@ -56,6 +56,12 @@ object PhashIngest {
     case "image" => Multimodal.MediaTransform.bmpPixels(bytes)
       .map { case (w, h, px) => Multimodal.dHash64(px, w, h) }
     case "audio" => Multimodal.MediaTransform.wavSamples(bytes)
+      // a structurally valid EMPTY wav (44-byte header, dataLen=0)
+      // decodes to 0 frames — no loudness sequence to hash. Treat it
+      // as undecodable (admit, don't index) rather than throwing:
+      // an exception here fails the micro-batch and the checkpoint
+      // retries the same poison pill forever
+      .filter { case (_, _, frames, _) => frames > 0 }
       .map { case (_, c, _, s) => Multimodal.aHash64(s, c) }
     case m => throw new IllegalArgumentException(s"unknown media mode '$m'")
   }
@@ -94,7 +100,12 @@ object PhashIngest {
                                   maxHamming: Int, watermarkMs: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val sigs = batch.select(col("doc_id"), col("ts"), col("media"))
+    // one row per doc_id up front: equal ids never pair in the strict
+    // d1 < d2 in-batch pass, so a doubly-delivered doc would survive
+    // twice AND multiply quadratically through the corpus join below
+    val uniq = batch.select(col("doc_id"), col("ts"), col("media"))
+      .dropDuplicates("doc_id")
+    val sigs = uniq
       .as[(Long, java.sql.Timestamp, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, ts, bytes) => (id, ts, sigOf(mode, bytes)) }
@@ -103,31 +114,20 @@ object PhashIngest {
     sigs.persist()
     try if (!sigs.isEmpty) {
       val hashed = sigs.filter(col("simhash").isNotNull)
-      val indexPath = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
-      def hasData = {
-        val it = fs.listFiles(indexPath, true)
-        var found = false
-        while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
-        found
-      }
       val afterProbe =
-        if (!fs.exists(indexPath) || !hasData) hashed
-        else {
-          val maxTs = sigs.agg(max(col("ts"))).head.getTimestamp(0)
-          val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
-          // ts >= cutoff prunes expired date partitions at planning
-          // time; excluding exactly (runToken, batchId) hides this
-          // batch's own rows so a retry after both writes sees the
-          // pre-batch index state (set-exclusion, not ordering — see
-          // RunToken for why `batch_id < N` breaks across checkpoints)
-          val index = spark.read.parquet(indexDir)
-            .filter(col("ts") >= lit(cutoff) &&
-              !(col("ingest_run") === lit(runToken) && col("batch_id") === lit(batchId)))
-            .select(col("doc_id"), col("simhash"))
-          val dup = Documents.simhashProbe(
-            hashed.select("doc_id", "simhash"), index, maxHamming)
-          hashed.join(dup, Seq("doc_id"), "left_anti")
+        ReplaySafeSink.standingRows(spark, indexDir, runToken, batchId) match {
+          case None => hashed // no index (yet, or fully expired)
+          case Some(standing) =>
+            val maxTs = sigs.agg(max(col("ts"))).head.getTimestamp(0)
+            val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
+            // ts >= cutoff prunes expired date partitions at planning
+            // time; the retry self-exclusion lives in
+            // ReplaySafeSink.standingRows
+            val index = standing.filter(col("ts") >= lit(cutoff))
+              .select(col("doc_id"), col("simhash"))
+            val dup = Documents.simhashProbe(
+              hashed.select("doc_id", "simhash"), index, maxHamming)
+            hashed.join(dup, Seq("doc_id"), "left_anti")
         }
       val inBatchDrop = Documents
         .simhashPairs(afterProbe.select("doc_id", "simhash"), maxHamming)
@@ -136,21 +136,16 @@ object PhashIngest {
         .select(col("doc_id"), col("ts"), col("simhash"))
         .unionByName(sigs.filter(col("simhash").isNull)) // admit, don't index
       // corpus keeps the original payload: join survivor ids back to
-      // the batch rather than carrying media bytes through the joins
-      batch.select(col("doc_id"), col("ts"), col("media"))
-        .join(surviving.select("doc_id"), Seq("doc_id"))
-        .withColumn("ingest_run", lit(runToken))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_run", "batch_id").parquet(outDir)
-      surviving.filter(col("simhash").isNotNull)
-        .select(col("doc_id"), col("simhash"), col("ts"),
-          to_date(col("ts")).as("d"), lit(runToken).as("ingest_run"),
-          lit(batchId).as("batch_id"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("d", "ingest_run", "batch_id").parquet(indexDir)
+      // the (deduplicated) batch rather than carrying media bytes
+      // through the joins
+      ReplaySafeSink.writeBatch(
+        uniq.join(surviving.select("doc_id"), Seq("doc_id")),
+        outDir, runToken, batchId)
+      ReplaySafeSink.writeBatch(
+        surviving.filter(col("simhash").isNotNull)
+          .select(col("doc_id"), col("simhash"), col("ts"),
+            to_date(col("ts")).as("d")),
+        indexDir, runToken, batchId, leading = Seq("d"))
     } finally sigs.unpersist()
   }
 }

@@ -23,6 +23,66 @@ import org.apache.spark.sql.SparkSession
   * JVM-restart retry of the same checkpoint reads the same token and
   * overwrites its own partitions, while a fresh checkpoint mints a
   * fresh token and can never collide with history. */
+/** The shared REPLAY-SAFE SINK recipe behind every foreachBatch ingest
+  * here ([[NearDupIngest]], [[LeakageIngest]], [[PhashIngest]],
+  * [[CorpusIngest]]'s corpus sink): dynamic-overwrite writes scoped to
+  * ([[RunToken]], batch_id) partitions, and standing-state reads that
+  * exclude exactly the current batch's own partition. One
+  * implementation — a drift in the exclusion predicate or the
+  * partition ordering in ONE ingest would silently break its replay
+  * idempotence while the others stay correct. */
+object ReplaySafeSink {
+
+  /** Does `dir` exist AND contain at least one parquet data file? A
+    * fully-expired index (every retention partition dropped) leaves an
+    * empty directory, which must read as "no standing rows", never as
+    * a read error. */
+  def hasParquetData(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  /** The standing-state read for a retry of (token, batchId): every
+    * row EXCEPT the batch's own first-attempt partition — a retry must
+    * see exactly the pre-batch state. Set-exclusion, not `batch_id <
+    * N` ordering: a fresh-checkpoint incarnation restarts batchId at 0
+    * and an ordering filter would exclude the whole standing index
+    * (see [[RunToken]]). None ⇔ no data yet (the expected cold
+    * start). Callers layer their own horizon filter on top. */
+  def standingRows(spark: SparkSession, dir: String,
+                   token: String, batchId: Long): Option[org.apache.spark.sql.DataFrame] =
+    if (!hasParquetData(spark, dir)) None
+    else Some(spark.read.parquet(dir)
+      .filter(!(org.apache.spark.sql.functions.col("ingest_run") ===
+          org.apache.spark.sql.functions.lit(token) &&
+        org.apache.spark.sql.functions.col("batch_id") ===
+          org.apache.spark.sql.functions.lit(batchId))))
+
+  /** Write `df` as the (token, batchId) partition of `dir` via dynamic
+    * partition overwrite — a retry replaces exactly its own first
+    * attempt. `leading` prepends partition columns that must stay
+    * OUTERMOST (e.g. the date column retention prunes on). */
+  def writeBatch(df: org.apache.spark.sql.DataFrame, dir: String,
+                 token: String, batchId: Long,
+                 leading: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("ingest_run", lit(token))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(leading ++ Seq("ingest_run", "batch_id"): _*)
+      .parquet(dir)
+  }
+}
+
 object RunToken {
   def of(spark: SparkSession, checkpointDir: String): String = {
     val p = new Path(s"$checkpointDir/_graft_run_token")

@@ -491,11 +491,18 @@ class CorpusIngestSpec extends SparkSuite {
       q.processAllAvailable()
       stream.addData(Seq(
         (3L, ts("2024-01-01 10:30:00"), up2(clip(1L))), // resampled clone → drop
-        (4L, ts("2024-01-01 10:30:01"), clip(4L))))     // fresh → admit
+        (4L, ts("2024-01-01 10:30:01"), clip(4L)),      // fresh → admit
+        // 0-frame wav: structurally valid, nothing to hash — must be
+        // admitted un-indexed, not a poison pill that wedges the batch
+        (5L, ts("2024-01-01 10:30:02"), Multimodal.MediaEncoder.wav(8000, 1, 0))))
       q.processAllAvailable()
+      assert(q.exception.isEmpty, s"0-frame wav must not fail the batch: ${q.exception}")
       val corpus = spark.read.parquet(s"$base/corpus")
         .select("doc_id").as[Long].collect().sorted
-      assert(corpus === Array(1L, 2L, 4L), s"got ${corpus.toSeq}")
+      assert(corpus === Array(1L, 2L, 4L, 5L), s"got ${corpus.toSeq}")
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").as[Long].collect().sorted
+      assert(indexed === Array(1L, 2L, 4L), "the unhashable clip must not be indexed")
     } finally q.stop()
   }
 

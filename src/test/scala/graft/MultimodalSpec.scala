@@ -283,5 +283,12 @@ class MultimodalSpec extends SparkSuite {
     noisy(0) = (noisy(0) ^ 0x7fff).toShort
     noisy(1) = (noisy(1) ^ 0x7fff).toShort
     assert(hamming(base, Multimodal.aHash64(noisy, ch)) <= 2)
+    // a structurally valid EMPTY wav decodes to 0 frames; the hash
+    // must refuse loudly (the ingest treats it as undecodable) —
+    // not throw an index error
+    val (_, c0, f0, s0) = wavSamples(Multimodal.MediaEncoder.wav(8000, 1, 0)).get
+    assert(f0 === 0 && s0.isEmpty)
+    val e = intercept[IllegalArgumentException](Multimodal.aHash64(s0, c0))
+    assert(e.getMessage.contains("0 frames"))
   }
 }
