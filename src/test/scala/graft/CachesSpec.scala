@@ -20,6 +20,34 @@ class CachesSpec extends SparkSuite {
     assert(Caches.registered(spark) === 0)
   }
 
+  test("memoFrame builds once per key and release clears it; the staged sweep rides it") {
+    Caches.release(spark)
+    var built = 0
+    def get() = Caches.memoFrame(spark, ("spec", 1)) {
+      built += 1
+      spark.range(3).toDF("x")
+    }
+    assert(get().count() === 3)
+    get()
+    assert(built === 1, "second call must reuse the memoized frame")
+    Caches.release(spark)
+    get()
+    assert(built === 2, "release must clear the frame memo")
+    // the consumer that motivated it: a repeated STAGED pair pass must
+    // not re-run its waves or register fresh persisted frames — the
+    // output-plan semantic hash can never dedup a localCheckpoint
+    // lineage, so the input-keyed memo is the only thing between a
+    // long-lived session and unbounded re-execution
+    Caches.release(spark)
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+    Documents.jaccardPairs(docs, 0.6, waves = Some(2)).count()
+    val n1 = Caches.registered(spark)
+    Documents.jaccardPairs(docs, 0.6, waves = Some(2)).count()
+    assert(Caches.registered(spark) === n1,
+      "a repeated staged pass must not register new frames")
+    Caches.release(spark)
+  }
+
   test("decideOnce memoizes per (plan, budget) and release clears the memo") {
     Caches.release(spark)
     var measured = 0
