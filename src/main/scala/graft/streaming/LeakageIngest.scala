@@ -78,7 +78,7 @@ object LeakageIngest {
         try if (!sims.isEmpty) {
           val standingAlerts =
             ReplaySafeSink.standingRows(spark, indexDir, runToken, batchId).map { standing =>
-              val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
+              val maxTs = sims.agg(max(col("ts"))).head().getTimestamp(0)
               val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
               // ts >= cutoff prunes expired date partitions at planning
               // time — the index read is the horizon, not the history.

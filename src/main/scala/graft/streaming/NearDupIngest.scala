@@ -83,7 +83,7 @@ object NearDupIngest {
             ReplaySafeSink.standingRows(spark, indexDir, runToken, batchId) match {
               case None => sims // no index (yet, or fully expired)
               case Some(standing) =>
-                val maxTs = sims.agg(max(col("ts"))).head.getTimestamp(0)
+                val maxTs = sims.agg(max(col("ts"))).head().getTimestamp(0)
                 val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
                 // ts >= cutoff prunes expired date partitions at
                 // planning time — the index read is the horizon, not

@@ -118,7 +118,7 @@ object PhashIngest {
         ReplaySafeSink.standingRows(spark, indexDir, runToken, batchId) match {
           case None => hashed // no index (yet, or fully expired)
           case Some(standing) =>
-            val maxTs = sigs.agg(max(col("ts"))).head.getTimestamp(0)
+            val maxTs = sigs.agg(max(col("ts"))).head().getTimestamp(0)
             val cutoff = new java.sql.Timestamp(maxTs.getTime - watermarkMs)
             // ts >= cutoff prunes expired date partitions at planning
             // time; the retry self-exclusion lives in
