@@ -33,18 +33,14 @@ import graft.operators.Documents
   * streaming contract; run the batch audit over the lake for the
   * unbounded answer.
   *
-  * Replay safety: both sinks are partitioned by `batch_id` and written
-  * with dynamic partition OVERWRITE, so a checkpoint retry of batch N
-  * replaces exactly the partitions batch N wrote the first time —
-  * a failure between the alert write and the index write (or after
-  * both) cannot double-append rows, and the standing-alert metadata
-  * join never sees duplicated index rows. Partitions are additionally
-  * scoped by a checkpoint-bound [[RunToken]] and the standing-index
-  * probe excludes exactly the current (token, batchId) pair, so a
-  * retry after both writes sees the pre-batch index state rather than
-  * its own first-attempt rows — without an ordering assumption that a
-  * fresh-checkpoint restart (batchId back at 0) would break. Empty
-  * micro-batches are
+  * Replay safety ([[ReplaySafeSink]]): both sinks are partitioned by
+  * ([[RunToken]], batch_id) and written with dynamic partition
+  * OVERWRITE, and the standing-index probe excludes exactly the
+  * current (token, batchId) pair — so a checkpoint retry of batch N at
+  * ANY crash point replaces exactly its own first-attempt partitions
+  * against exactly the pre-batch index state, and a fresh-checkpoint
+  * incarnation (batchId back at 0) can neither clobber history nor
+  * lose the standing index from its probes. Empty micro-batches are
   * skipped outright (Kafka rebalances deliver them routinely); the
   * previous max(ts)-of-nothing would have NPE'd the batch forever. */
 object LeakageIngest {
