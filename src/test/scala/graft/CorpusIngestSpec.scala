@@ -406,6 +406,18 @@ class CorpusIngestSpec extends SparkSuite {
       .as[(Long, Long, String, String)].collect().toSeq.sorted
     assert(retried === once,
       s"retry must be idempotent\n got $retried\n exp $once")
+    // a NEW incarnation (fresh token, batchId back at 0) must still
+    // probe the old incarnation's standing index — an ordering filter
+    // (batch_id < 0) would silently blind the audit to every
+    // cross-incarnation straddle
+    LeakageIngest.processBatch(
+      df((9L, ts("2024-01-01 10:45:00"), straddle)), 0L, "otherrun",
+      s"$base/index", s"$base/alerts",
+      maxHamming = 12, watermarkMs = 2L * 3600 * 1000)
+    val cross = spark.read.parquet(s"$base/alerts")
+      .filter($"doc_id" === 9L).count()
+    assert(cross >= 1,
+      "fresh incarnation must alert against the standing index")
   }
 
   test("streaming image dedup drops 2x-re-encoded clones across and within batches; replay idempotent") {
