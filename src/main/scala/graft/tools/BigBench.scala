@@ -201,7 +201,10 @@ object BigBenchLlm {
       "embed_ann_ivfpq", "text_quality_model", "corpus_release_diff",
       "text_bpe_merges", "text_bpe_train", "text_bpe_encode",
       "text_bpe_vocab", "corpus_split_leakage", "corpus_split_leakfree",
-      "dedup_cluster_stats", "corpus_dedup_savings", "text_unigram_train")
+      "dedup_cluster_stats", "corpus_dedup_savings", "text_unigram_train",
+      "text_unigram_encode", "text_unigram_vocab",
+      "multimodal_dedup_phash", "multimodal_dedup_ahash",
+      "dedup_ngram_jaccard_staged")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
