@@ -268,9 +268,15 @@ object Documents {
     // LogicalRDDs), so persist()'s semantic-hash dedup can never hit —
     // without the memo each call in a long-lived session (bench
     // repeats, the --shared rider family past the wave trigger) would
-    // re-run every wave and strand another persisted frame.
+    // re-run every wave and strand another persisted frame. The key
+    // carries the full CANONICALIZED plan string, not just its 32-bit
+    // semanticHash: a memo hit here returns another corpus's
+    // candidate-count frame outright (wrong results, not a skipped
+    // persist), so a hash collision must be impossible — equal
+    // canonical strings ⇔ equal canonical plans.
     else graft.Caches.memoFrame(spark,
-      ("bucketCounts", docs.queryExecution.analyzed.semanticHash(), cap, waves)) {
+      ("bucketCounts",
+        docs.queryExecution.analyzed.canonicalized.toString, cap, waves)) {
       // each wave carries ~1/waves of the groups, so its shuffle keeps
       // the same ~150k-docs-per-partition density at 1/waves the count
       val perWave = math.max(spark.sessionState.conf.numShufflePartitions,
@@ -297,18 +303,34 @@ object Documents {
       // checkpoints it is built from — a truncated lineage cannot be
       // recomputed, so the blocks must outlive this one action
       summed.count()
-      waveFrames.foreach { f =>
-        val rdd = chkRdd(f)
-        // LOUD when the shape drifts: silently skipping the unpersist
-        // would quietly disable the between-wave disk reclamation this
-        // sweep exists for, and the failure mode (out of disk at 100M)
-        // is far from the cause
-        if (rdd.isEmpty)
-          System.err.println("[graft] WARN bucketCounts: wave checkpoint is not " +
-            "a LogicalRDD — wave shuffle/checkpoint blocks will not be freed " +
-            "between waves; peak disk regresses to the single-pass footprint")
-        rdd.foreach(_.unpersist(blocking = false))
-      }
+      // Unpersisting the wave checkpoints TRUNCATES summed's lineage:
+      // its persisted blocks can never be recomputed if lost. That is
+      // acceptable exactly where this sweep applies — the documented
+      // SINGLE-BOX envelope (local mode: one JVM, block loss ⇔ JVM
+      // death, and the non-evictable MEMORY_AND_DISK level never drops
+      // blocks) — so the reclamation only runs there. A cluster
+      // deployment keeps the wave blocks alive instead (its shuffle
+      // spreads over N executor disks, so the reclamation this exists
+      // for isn't needed) and should prefer waves=1 or a reliable
+      // `checkpoint()`; see [[autoPairWaves]].
+      if (spark.sparkContext.isLocal)
+        waveFrames.foreach { f =>
+          val rdd = chkRdd(f)
+          // LOUD when the shape drifts: silently skipping the unpersist
+          // would quietly disable the between-wave disk reclamation this
+          // sweep exists for, and the failure mode (out of disk at 100M)
+          // is far from the cause
+          if (rdd.isEmpty)
+            System.err.println("[graft] WARN bucketCounts: wave checkpoint is not " +
+              "a LogicalRDD — wave shuffle/checkpoint blocks will not be freed " +
+              "between waves; peak disk regresses to the single-pass footprint")
+          rdd.foreach(_.unpersist(blocking = false))
+        }
+      else
+        System.err.println("[graft] WARN bucketCounts: staged wave sweep on a " +
+          "cluster master — wave checkpoints stay persisted (no between-wave " +
+          "disk reclamation, which a multi-executor shuffle doesn't need); " +
+          "prefer waves=1 or a reliable checkpoint dir for dynamic executors")
       summed
     }
   }
@@ -322,7 +344,15 @@ object Documents {
     * one pass handles is pure overhead), while 100M's ~40 GB single
     * shuffle — the measured failure — becomes 4 waves of ~10 GB.
     * Below the trigger (every registered corpus) this is 1 and the
-    * pass is plan-identical to round 11. */
+    * pass is plan-identical to round 11.
+    *
+    * CLUSTER NOTE: the wave sweep (and its between-wave disk
+    * reclamation) is calibrated for the single-box envelope. On a real
+    * cluster the shuffle already spreads over N executors' disks —
+    * keep waves at 1 until a single executor's share exceeds the
+    * per-box envelope, and pair waves>1 with a reliable checkpoint
+    * dir if executors are dynamic (localCheckpoint blocks die with
+    * their executor). */
   def autoPairWaves(nDocs: Long): Int =
     math.min(16L, (math.max(nDocs, 1L) - 1L) / 32000000L + 1L).toInt
 

@@ -32,10 +32,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    for row — mid-stream it is the audit's running view, with
   *    not-yet-seen docs still reported as removed.
   *
-  * Replay safety: the ledger is partitioned by `batch_id` and written
-  * with dynamic partition OVERWRITE (the [[LeakageIngest]] recipe), so
-  * a checkpoint retry replaces exactly its own partition — counts
-  * cannot double. At-least-once sources may additionally deliver a
+  * Replay safety: the ledger is partitioned by ([[RunToken]],
+  * batch_id) and written with dynamic partition OVERWRITE via
+  * [[ReplaySafeSink.writeBatch]] — the same recipe as every other
+  * ingest here — so a checkpoint retry replaces exactly its own
+  * partition, and a FRESH-checkpoint incarnation's batch 0 can never
+  * clobber an earlier incarnation's batch-0 partition (bare batch_id
+  * partitioning had exactly that hazard: silently dropped ledger rows
+  * that [[diff]] then misreported as `removed`). At-least-once
+  * sources may additionally deliver a
   * doc in MORE THAN ONE micro-batch (distinct batch_ids, so dynamic
   * overwrite cannot collapse them); [[diff]] deduplicates the ledger
   * per doc_id at read time, which is exact because classification is
@@ -62,17 +67,15 @@ object ReleaseDiffIngest {
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
           val index = spark.read.parquet(indexDir)
-          batch.select(col("doc_id"), col("source"),
+          val classified = batch.select(col("doc_id"), col("source"),
               md5(col("text").cast("binary")).as("h_c"))
             .join(graft.operators.Ops.broadcastIfFits(index), Seq("doc_id"), "left_outer")
             .select(col("doc_id"), col("source"),
               when(col("h_p").isNull, "added")
                 .when(col("h_c") =!= col("h_p"), "changed")
-                .otherwise("unchanged").as("status"),
-              lit(batchId).as("batch_id"))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(ledgerDir)
+                .otherwise("unchanged").as("status"))
+          ReplaySafeSink.writeBatch(classified, ledgerDir,
+            RunToken.of(spark, checkpointDir), batchId)
         }
       }
       .start()

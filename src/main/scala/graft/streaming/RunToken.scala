@@ -3,26 +3,6 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-/** Checkpoint-scoped RUN TOKEN for the replay-safe ingest sinks.
-  *
-  * `foreachBatch`'s batchId is unique and monotonic only WITHIN one
-  * checkpoint: a query restarted against a fresh checkpoint (the
-  * "checkpoints are disposable, the lake is the source of truth"
-  * operational pattern) counts from 0 again, so partitioning a sink by
-  * bare `batch_id` lets incarnation 2's batch 0 dynamically OVERWRITE
-  * incarnation 1's batch-0 partition — silent data loss — and an
-  * ordering probe filter like `batch_id < 0` excludes the whole
-  * standing index, silently missing every cross-incarnation duplicate.
-  *
-  * The token pins partitions to the checkpoint instead: sinks
-  * partition by `(ingest_run, batch_id)`, and probes exclude exactly
-  * the current `(token, batchId)` pair — the only rows that must be
-  * invisible to a retry are the retry's own first attempt, and
-  * set-exclusion needs no ordering across incarnations. The token
-  * lives in a sidecar file INSIDE the checkpoint directory, so a
-  * JVM-restart retry of the same checkpoint reads the same token and
-  * overwrites its own partitions, while a fresh checkpoint mints a
-  * fresh token and can never collide with history. */
 /** The shared REPLAY-SAFE SINK recipe behind every foreachBatch ingest
   * here ([[NearDupIngest]], [[LeakageIngest]], [[PhashIngest]],
   * [[CorpusIngest]]'s corpus sink): dynamic-overwrite writes scoped to
@@ -50,6 +30,29 @@ object ReplaySafeSink {
     }
   }
 
+  /** Pre-round-12 sinks partitioned by bare `d`/`batch_id` (or plain
+    * append); the RunToken layout adds `(ingest_run, batch_id)` levels.
+    * Mixing the two under one dir puts data files at different depths,
+    * which Spark partition discovery rejects with an opaque
+    * "Conflicting directory structures" — and because standingRows runs
+    * every micro-batch, the ingest then poison-retries forever. Detect
+    * the legacy files up front and name the remedy instead. */
+  private def requireRunTokenLayout(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.toString.contains("/ingest_run="))
+        throw new IllegalStateException(
+          s"Standing index at $dir contains pre-RunToken data files (no ingest_run= " +
+          s"partition level), e.g. $f. Mixing layouts fails Spark partition discovery. " +
+          "Migrate once with graft.streaming.IndexMaintenance.migrateLegacyIndex(spark, dir) " +
+          "(rewrites legacy rows under a retired ingest_run partition), or point the " +
+          "ingest at a fresh index dir and backfill.")
+    }
+  }
+
   /** The standing-state read for a retry of (token, batchId): every
     * row EXCEPT the batch's own first-attempt partition — a retry must
     * see exactly the pre-batch state. Set-exclusion, not `batch_id <
@@ -60,11 +63,11 @@ object ReplaySafeSink {
   def standingRows(spark: SparkSession, dir: String,
                    token: String, batchId: Long): Option[org.apache.spark.sql.DataFrame] =
     if (!hasParquetData(spark, dir)) None
-    else Some(spark.read.parquet(dir)
+    else { requireRunTokenLayout(spark, dir); Some(spark.read.parquet(dir)
       .filter(!(org.apache.spark.sql.functions.col("ingest_run") ===
           org.apache.spark.sql.functions.lit(token) &&
         org.apache.spark.sql.functions.col("batch_id") ===
-          org.apache.spark.sql.functions.lit(batchId))))
+          org.apache.spark.sql.functions.lit(batchId)))) }
 
   /** Write `df` as the (token, batchId) partition of `dir` via dynamic
     * partition overwrite — a retry replaces exactly its own first
@@ -83,6 +86,26 @@ object ReplaySafeSink {
   }
 }
 
+/** Checkpoint-scoped RUN TOKEN for the replay-safe ingest sinks.
+  *
+  * `foreachBatch`'s batchId is unique and monotonic only WITHIN one
+  * checkpoint: a query restarted against a fresh checkpoint (the
+  * "checkpoints are disposable, the lake is the source of truth"
+  * operational pattern) counts from 0 again, so partitioning a sink by
+  * bare `batch_id` lets incarnation 2's batch 0 dynamically OVERWRITE
+  * incarnation 1's batch-0 partition — silent data loss — and an
+  * ordering probe filter like `batch_id < 0` excludes the whole
+  * standing index, silently missing every cross-incarnation duplicate.
+  *
+  * The token pins partitions to the checkpoint instead: sinks
+  * partition by `(ingest_run, batch_id)`, and probes exclude exactly
+  * the current `(token, batchId)` pair — the only rows that must be
+  * invisible to a retry are the retry's own first attempt, and
+  * set-exclusion needs no ordering across incarnations. The token
+  * lives in a sidecar file INSIDE the checkpoint directory, so a
+  * JVM-restart retry of the same checkpoint reads the same token and
+  * overwrites its own partitions, while a fresh checkpoint mints a
+  * fresh token and can never collide with history. */
 object RunToken {
   def of(spark: SparkSession, checkpointDir: String): String = {
     val p = new Path(s"$checkpointDir/_graft_run_token")
@@ -95,7 +118,11 @@ object RunToken {
     if (fs.exists(p)) read()
     else {
       val t = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      // tmp name carries the candidate token: two concurrent minters
+      // (already operator error, but be safe) write DISJOINT tmp
+      // files, so a lost rename race can never publish torn bytes —
+      // the loser's read() below adopts the winner's complete token.
+      val tmp = new Path(p.getParent, s".${p.getName}.$t.tmp")
       val out = fs.create(tmp, true)
       try out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
