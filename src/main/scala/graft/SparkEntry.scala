@@ -249,6 +249,8 @@ object SparkEntry {
       Multimodal.multimodalAudioSample(s, d)),
     "multimodal_dedup_phash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPhash(s, d)),
+    "multimodal_dedup_phash_png" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupPhashPng(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupAhash(s, d)),
   )
@@ -2564,6 +2566,14 @@ object SparkEntry {
     // nearest non-planted pair sits at measured Hamming 14 — far
     // above the <= 4 gate — so the planted pairs ARE the answer.
     "multimodal_dedup_phash" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Real-PNG twin: the zlib encode → sniff-decode → defilter chain
+    // must land every pixel exactly (the 2x-upscale floor identity
+    // then pins the planted pair at Hamming 0), and the pixel content
+    // equals the BMP tier's, so the measured background floor
+    // (Hamming 14) keeps false pairs out of the <= 4 gate.
+    "multimodal_dedup_phash_png" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Audio twin: frame-duplication resample provably preserves the

@@ -1752,6 +1752,15 @@ object Documents {
       // moment the new round has materialized — free them now, don't
       // wait for driver GC + ContextCleaner
       chkRdd(edges).foreach(_.unpersist(blocking = false))
+      // Each round also strands its SHUFFLE files (two aggregates +
+      // two joins per star pass): they are reclaimed only when the
+      // dereferenced RDDs are GC'd, so an iterative loop over a large
+      // edge set stacks O(rounds × edges) of dead shuffle on one box —
+      // the same leak shape the staged wave sweep clears with a GC
+      // nudge (see [[bucketCounts]]). Nudge only when the round's edge
+      // volume is material: a full GC per round would tax the many
+      // registered small-corpus CC calls for nothing.
+      if (s._1 > 10000000L) System.gc()
       edges = small
       round += 1
     }

@@ -181,7 +181,10 @@ object Embeddings {
     * [[graft.functions.VectorExpressions.SignSketch]] loop — the
     * interpreted HOF formulation cost ~nBits·dim lambda dispatches
     * per row. */
-  private def signatureCol(nBits: Int): Column =
+  // private[graft]: EmbedIngest computes the SAME signatures for its
+  // standing index, so stream arrivals and batch replays can never
+  // disagree on a vector's sketch
+  private[graft] def signatureCol(nBits: Int): Column =
     VectorExpressions.signSketch(col("embedding"), signsSeq(nBits))
 
   /** Approximate top-k cosine neighbors via sign-sketch Hamming

@@ -53,7 +53,10 @@ object PhashIngest {
     * locality hashes, so everything downstream of this one map is
     * shared. `None` ⇔ undecodable. */
   private def sigOf(mode: String, bytes: Array[Byte]): Option[Long] = mode match {
-    case "image" => Multimodal.MediaTransform.bmpPixels(bytes)
+    // container-sniffing decode (BMP magic or real compressed PNG), so
+    // a PNG re-encode of a BMP image — or any cross-container clone —
+    // lands on the same signature and is dropped like a same-format dup
+    case "image" => Multimodal.MediaTransform.pixelsOf(bytes)
       .map { case (w, h, px) => Multimodal.dHash64(px, w, h) }
     case "audio" => Multimodal.MediaTransform.wavSamples(bytes)
       // a structurally valid EMPTY wav (44-byte header, dataLen=0)
@@ -67,7 +70,8 @@ object PhashIngest {
   }
 
   /** Input stream columns: `doc_id` (long), `ts` (timestamp), `media`
-    * (binary image payload — BMP via the repo's codec seam). */
+    * (binary image payload — BMP or real compressed PNG, sniffed per
+    * row via [[Multimodal.MediaTransform.pixelsOf]]). */
   def ingestImageDedup(media: DataFrame, indexDir: String, outDir: String,
                        checkpointDir: String, maxHamming: Int = 4,
                        watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =

@@ -474,6 +474,50 @@ class CorpusIngestSpec extends SparkSuite {
     assert(indexR.map(_._1) === Set(1L, 2L, 4L), s"replay changed index: $indexR")
   }
 
+  test("streaming image dedup sniffs containers: a PNG clone of an indexed BMP is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/phash-png-ingest-spec")
+    rm(base)
+    import Multimodal.MediaTransform
+    def bmp(id: Long): Array[Byte] =
+      MediaTransform.bmpTexture(8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt, id)
+    // the cross-container clone: decode the BMP, 2x-upscale, re-encode
+    // as a REAL compressed PNG — the floor identity pins Hamming 0, so
+    // the sniffing decode must drop it against the BMP's standing sig
+    def pngClone(b: Array[Byte], colorType: Int): Array[Byte] = {
+      val (w, h, px) = MediaTransform.pixelsOf(b).get
+      MediaTransform.encodePng(
+        MediaTransform.resizeNearest(px, w, h, w * 2, h * 2), w * 2, h * 2, colorType)
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = PhashIngest.ingestImageDedup(
+      stream.toDF().toDF("doc_id", "ts", "media"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), bmp(1L)),
+        (2L, ts("2024-01-01 10:00:01"),
+          MediaTransform.pngTexture(20, 20, 2L, 2)))) // native PNG arrival
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (3L, ts("2024-01-01 10:30:00"), pngClone(bmp(1L), 2)),   // RGB PNG of BMP 1 → drop
+        (4L, ts("2024-01-01 10:30:01"), pngClone(bmp(1L), 6)),   // RGBA PNG of BMP 1 → drop
+        (5L, ts("2024-01-01 10:30:02"), bmp(5L)),                // fresh BMP → admit
+        // header-only PNG stub: sniffed as PNG but has no IDAT —
+        // undecodable, so admit without indexing (the quarantine rule)
+        (6L, ts("2024-01-01 10:30:03"), Multimodal.MediaEncoder.png(16, 16, 2))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(corpus === Array(1L, 2L, 5L, 6L), s"got ${corpus.toSeq}")
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").as[Long].collect().sorted
+      assert(indexed === Array(1L, 2L, 5L), "undecodable stub must not be indexed")
+    } finally q.stop()
+  }
+
   test("streaming audio dedup drops a 2x-resampled clip via the standing aHash index") {
     implicit val sqlCtx = spark.sqlContext
     val base = new java.io.File("target/ahash-ingest-spec")
@@ -516,6 +560,92 @@ class CorpusIngestSpec extends SparkSuite {
         .select("doc_id").as[Long].collect().sorted
       assert(indexed === Array(1L, 2L, 4L), "the unhashable clip must not be indexed")
     } finally q.stop()
+  }
+
+  test("streaming embedding dedup drops exact and near clones via the standing sign-sketch index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/embed-ingest-spec")
+    rm(base)
+    import graft.streaming.EmbedIngest
+    // deterministic 64-dim vectors in [-1,1] — independent ids land at
+    // cosine ~0 (σ≈1/8), far below the 0.95 bar
+    def vec(id: Long): Array[Float] = Array.tabulate(64) { j =>
+      val m = Multimodal.MediaTransform.mix64(id * 1315423911L + j)
+      ((m & 0xffff).toFloat / 32768f) - 1f
+    }
+    def scaled(v: Array[Float], s: Float) = v.map(_ * s)      // cosine exactly 1
+    def nudged(v: Array[Float]) = {                            // cosine ≈ 0.9999
+      val out = v.clone(); out(0) = out(0) * 1.01f + 0.003f; out
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    val q = EmbedIngest.ingestEmbedDedup(
+      stream.toDF().toDF("doc_id", "ts", "embedding"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), vec(1L)),
+        (2L, ts("2024-01-01 10:00:01"), vec(2L))))
+      q.processAllAvailable() // cold start: independent vectors admitted
+      stream.addData(Seq(
+        (3L, ts("2024-01-01 10:30:00"), scaled(vec(1L), 0.5f)), // exact clone of 1 → drop
+        (4L, ts("2024-01-01 10:30:01"), vec(4L)),               // fresh → admit
+        (5L, ts("2024-01-01 10:30:02"), nudged(vec(4L))),       // in-batch near clone → drop
+        (6L, ts("2024-01-01 10:30:03"), nudged(vec(1L)))))      // near clone of standing 1 → drop
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(corpus === Array(1L, 2L, 4L), s"got ${corpus.toSeq}")
+      // beyond the 2 h horizon the same clone is ADMITTED — probe state
+      // is bounded by the watermark, not the stream's lifetime
+      stream.addData(Seq((7L, ts("2024-01-01 14:00:00"), scaled(vec(1L), 2f))))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted === Array(1L, 2L, 4L, 7L))
+      // empty micro-batch: no-op, not a max(ts)-of-nothing NPE
+      stream.addData(Seq.empty[(Long, java.sql.Timestamp, Array[Float])])
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"empty batch must not fail: ${q.exception}")
+    } finally q.stop()
+    // retention stays a directory drop (same date-partitioned layout)
+    assert(NearDupIngest.expireIndex(spark, s"$base/index",
+      java.time.LocalDate.parse("2024-01-02")) === 1)
+  }
+
+  test("embedding dedup ingest replay of a committed batch is idempotent; fresh incarnation still probes") {
+    val base = new java.io.File("target/embed-replay-spec")
+    rm(base)
+    import graft.streaming.EmbedIngest
+    def vec(id: Long): Array[Float] = Array.tabulate(64) { j =>
+      val m = Multimodal.MediaTransform.mix64(id * 1315423911L + j)
+      ((m & 0xffff).toFloat / 32768f) - 1f
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, Array[Float])*) =
+      spark.createDataFrame(rows).toDF("doc_id", "ts", "embedding")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long, tok: String = "specrun") =
+      EmbedIngest.processBatch(batch, id, tok, s"$base/index", s"$base/corpus",
+        simThreshold = 0.95, bandBits = 16, watermarkMs = 2L * 3600 * 1000)
+    run(df((1L, ts("2024-01-01 10:00:00"), vec(1L))), 0L)
+    val batch1 = df(
+      (3L, ts("2024-01-01 10:30:00"), vec(1L).map(_ * 0.5f)), // clone of 1 → drop
+      (4L, ts("2024-01-01 10:30:01"), vec(4L)))               // admit
+    run(batch1, 1L)
+    def corpusIds = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    def indexIds = spark.read.parquet(s"$base/index")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpusIds === Array(1L, 4L))
+    // retry AFTER both writes: the probe must exclude the retry's own
+    // first-attempt rows (else doc 4 self-matches and vanishes)
+    run(batch1, 1L)
+    assert(corpusIds === Array(1L, 4L), "retry must reproduce the corpus")
+    assert(indexIds === Array(1L, 4L), "retry must reproduce the index")
+    // a NEW incarnation (fresh token, batchId back at 0) must still
+    // drop clones against the standing index
+    run(df((9L, ts("2024-01-01 10:40:00"), vec(4L).map(_ * 3f))), 0L, "otherrun")
+    assert(corpusIds === Array(1L, 4L),
+      "fresh incarnation must drop clones against the standing index")
   }
 
   test("streaming release diff equals the batch diff under shuffled arrival and arbitrary slicing") {

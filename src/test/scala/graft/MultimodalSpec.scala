@@ -235,6 +235,72 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("PNG pixel round-trip: decode(encode(px)) is identity for gray/RGB/RGBA across all five filters") {
+    import Multimodal.MediaTransform._
+    // odd width (padding-free stride math) and h >= 5 so the encoder's
+    // y%5 filter cycle exercises None/Sub/Up/Average/Paeth in ONE image
+    val (w, h) = (23, 17)
+    val px = texturePixels(w, h, 42L)
+    for (ct <- Seq(2, 6)) {
+      val bytes = encodePng(px, w, h, ct)
+      // a real compressed container, not a header stub
+      assert(bytes.length > 33 && bytes.containsSlice("IDAT".getBytes))
+      val (dw, dh, dpx) = pngPixels(bytes).get
+      assert((dw, dh) === ((w, h)))
+      assert(dpx === px, s"colorType $ct round trip must be pixel-identical")
+      // the sniffer routes PNG magic to the PNG decoder
+      assert(pixelsOf(bytes).get._3 === px)
+    }
+    // gray: B channel in, B=G=R out (the documented deterministic map)
+    val (_, _, gpx) = pngPixels(encodePng(px, w, h, 0)).get
+    (0 until w * h).foreach { i =>
+      assert(gpx(i * 3) === px(i * 3) && gpx(i * 3 + 1) === px(i * 3) &&
+        gpx(i * 3 + 2) === px(i * 3))
+    }
+  }
+
+  test("pngPixels rejects hostile/unsupported inputs instead of throwing") {
+    import Multimodal.MediaTransform._
+    val good = encodePng(texturePixels(16, 16, 7L), 16, 16, 2)
+    // truncated IDAT stream (cut mid-chunk): the chunk walk or the
+    // inflater must reject, never overrun or spin
+    assert(pngPixels(good.take(good.length - 20)) === None)
+    // corrupt zlib body: flip bytes inside IDAT
+    val corrupt = good.clone()
+    (40 until 48).foreach(i => corrupt(i) = (corrupt(i) ^ 0x55).toByte)
+    pngPixels(corrupt) // garbage pixels or None — must not throw
+    // unsupported shapes reject: palette color type, 16-bit depth,
+    // Adam7 interlace (flags live at fixed IHDR offsets)
+    def flag(off: Int, v: Byte) = { val b = good.clone(); b(off) = v; pngPixels(b) }
+    assert(flag(25, 3) === None, "palette must reject")
+    assert(flag(24, 16) === None, "16-bit depth must reject")
+    assert(flag(28, 1) === None, "interlaced must reject")
+    // header-only PNG (the MediaEncoder stub) has no IDAT: reject
+    assert(pngPixels(Multimodal.MediaEncoder.png(16, 16, 2)) === None)
+    // not a PNG at all
+    assert(pngPixels("hello".getBytes) === None)
+    assert(pixelsOf("hello".getBytes) === None)
+  }
+
+  test("dHash is container-invariant: the same pixels hash identically from BMP and PNG") {
+    import Multimodal.MediaTransform._
+    val (w, h) = (23, 17)
+    val fromBmp = pixelsOf(bmpTexture(w, h, 42L)).get
+    val fromPng = pixelsOf(pngTexture(w, h, 42L, 6)).get
+    assert(Multimodal.dHash64(fromBmp._3, w, h) ===
+      Multimodal.dHash64(fromPng._3, w, h),
+      "a BMP and its PNG re-encode must land on one signature")
+  }
+
+  test("multimodal_dedup_phash_png finds exactly the planted 2x PNG re-encodes, at Hamming 0") {
+    val out = Multimodal.multimodalDedupPhashPng(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+  }
+
   test("dHash64: scale-invariant under 2x/4x re-encode, far apart across images, near under noise") {
     import Multimodal.MediaTransform._
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
