@@ -84,7 +84,21 @@ object DumpPlans {
       "text_unigram_encode" -> "per-DISTINCT-word Viterbi (the media-seam class) rejoins the corpus by measured broadcast; per-doc agg is map-side partial",
       "text_unigram_vocab" -> "final counts join the driver-held lp model by unconditional broadcast (vocab-sized); top-k limit",
       "multimodal_dedup_phash" -> "decode+dHash is a partition-batched map (the media byte seam); pairs ride the banded simhash self-join on 8-byte signatures",
-      "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics")
+      "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics",
+      "multimodal_dedup_phash_png" -> "real zlib PNG decode in the partition-batched map (container-sniffing pixelsOf); pair stage identical to the BMP row — format coverage costs zero extra shuffles",
+      "dedup_ngram_jaccard_staged" -> "forced 3-wave staged sweep: waves materialize during construction (localCheckpoint), so the pinned shape is the post-staging union + one (d1,d2) sum — per-wave shuffles never coexist",
+      "dedup_keep_list" -> "greedy keep: pair frame's d2 side distinct + left anti against the corpus ids — rides the one cached pair pass",
+      "dedup_cluster_keep" -> "cluster representatives via one min-agg over the CC labels; corpus anti-joins the drop side — no second pair pass",
+      "dedup_cluster_stats" -> "per-cluster size histogram over the CC labels — cluster-volume aggregates, the corpus is never rescanned",
+      "corpus_split_leakfree" -> "CC-root split rebalance: every doc of a cluster follows its root's md5 split — one join of the docs-sized split map against the cluster labels",
+      "text_dup_passages" -> "passage-shingle inverted index with the SAME df-cap bucket economics as the doc-level pair pass; pairs keyed by hashed passage shingle",
+      "doc_decontaminate_fuzzy" -> "eval-set shingles broadcast (eval is small by contract); corpus probes map-side — the corpus is never shuffled by shingle",
+      "corpus_reservoir" -> "md5-keyed rank window partitioned by lang: one lang exchange, WindowGroupLimit prunes to k map-side",
+      "text_langid" -> "pure map: per-doc n-gram profile scored against broadcast language profiles — zero exchanges before the final order",
+      "agg_approx_percentile" -> "ApproximatePercentile partial+final ObjectHashAggregate beside the exact percentile twin (the honesty contract; sketch-only at 100 TB)",
+      "events_window" -> "tumbling window aggregate: one (user_id, window) hash exchange with map-side partials",
+      "join_range" -> "banded range join: both sides bucket by time band, equi join within band + residual — never a cartesian",
+      "text_quality" -> "single-pass quality scoring: every ratio folds in one projection + one ungrouped agg for the corpus means — no per-feature rescans")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
