@@ -251,6 +251,8 @@ object SparkEntry {
       Multimodal.multimodalDedupPhash(s, d)),
     "multimodal_dedup_phash_png" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPhashPng(s, d)),
+    "multimodal_dedup_phash_jpeg" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupPhashJpeg(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupAhash(s, d)),
   )
@@ -2574,6 +2576,13 @@ object SparkEntry {
     // equals the BMP tier's, so the measured background floor
     // (Hamming 14) keeps false pairs out of the <= 4 gate.
     "multimodal_dedup_phash_png" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Lossy-format twin: the clone re-encodes the DECODED jpeg pixels
+    // LOSSLESSLY (png), so the floor identity pins Hamming 0 in closed
+    // form no matter what quantization did; background floor 13
+    // measured through the full lossy pipe (tools.JpegProbe).
+    "multimodal_dedup_phash_jpeg" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Audio twin: frame-duplication resample provably preserves the

@@ -1,0 +1,553 @@
+package graft.operators
+
+/** Baseline-sequential JPEG codec, pure JVM — the last real-format
+  * gap in the perceptual-dedup tier. Everything here follows the
+  * public ITU-T T.81 spec (Annex K tables, Annex F flow): 8-bit
+  * baseline DCT, Huffman entropy coding, JFIF YCbCr.
+  *
+  * Scope is deliberate:
+  *  - DECODE ([[decode]]): baseline sequential (SOF0), 8-bit, 1
+  *    component (gray) or 3 components at 4:4:4 sampling, optional
+  *    restart intervals. Progressive (SOF2), arithmetic coding,
+  *    12-bit, subsampled chroma, and >3 components REJECT (None) —
+  *    never mis-decode. The same hostile-input posture as the other
+  *    decoders: lengths advance in Long, streams must terminate,
+  *    malformed Huffman/marker structure returns None, never throws.
+  *  - ENCODE ([[encode]]): 4:4:4 baseline with the Annex K example
+  *    quantization tables (scaled by `quality`, the libjpeg formula)
+  *    and the Annex K "typical" Huffman tables — the fixture
+  *    generator side of the seam, so the decoder is exercised by real
+  *    entropy-coded scans rather than hand-packed stubs.
+  *
+  * JPEG is LOSSY, so decode(encode(px)) ≈ px, never ==. The planted-
+  * clone dedup oracle stays CLOSED-FORM anyway: the clone pipeline is
+  * decode(jpeg) → 2× nearest-neighbor upscale → LOSSLESS re-encode
+  * (PNG), and the dHash floor identity ⌊⌊2a⌋/2⌋=⌊a⌋ operates on the
+  * DECODED pixels — whatever quantization did to them — so each
+  * planted pair sits at exactly Hamming 0 while the codec loss never
+  * enters the identity. (A JPEG→JPEG re-encode, by contrast, would
+  * re-quantize and flip near-tie comparisons — that is the usual
+  * perceptual-hash "approximate under recompression" contract, spec-
+  * measured but not oracle-pinned.)
+  *
+  * Both transforms use the textbook O(64²)-per-block double-precision
+  * DCT — deterministic across JVMs (strictfp-free double ops on fixed
+  * inputs), and fixture images are small; a production decode path
+  * would swap in a fast integer IDCT behind the same seam. */
+object JpegCodec {
+
+  // ---- Annex K example quantization tables (natural order) ----
+  private val QLum = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChrom = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Zigzag scan order: position k in the scan reads natural index
+    * Zigzag(k). */
+  private val Zigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ---- Annex K typical Huffman tables: (bits per length 1..16, values) ----
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).toArray
+  private val DcChromBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromVals = (0 to 11).toArray
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+  private val AcChromBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment from a (bits, vals) pair:
+    * value → (code, length). */
+  private def buildCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out += vals(k) -> ((code, len))
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Decode-side canonical table: (length, code) → value. */
+  private def buildDecode(bits: Array[Int], vals: Array[Int]): Map[(Int, Int), Int] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[(Int, Int), Int]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out += (len, code) -> vals(k)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8) // t(x*8+u) = cos((2x+1)uπ/16)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+    t
+  }
+  private def cNorm(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) * CosTable(x * 8 + v) * CosTable(y * 8 + u)
+            x += 1
+          }
+          y += 1
+        }
+        out(u * 8 + v) = 0.25 * cNorm(u) * cNorm(v) * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            s += cNorm(u) * cNorm(v) * coef(u * 8 + v) *
+              CosTable(x * 8 + v) * CosTable(y * 8 + u)
+            v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Annex K table scaled by the libjpeg quality formula, clamped to
+    * [1, 255] (8-bit DQT). */
+  private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map(b => math.max(1, math.min(255, (b * scale + 50) / 100)))
+  }
+
+  private class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nbits = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      while (nbits != 0) write(1, 1) // pad with 1s
+      out.toByteArray
+    }
+  }
+
+  private def magnitude(v: Int): (Int, Int) = { // (size, extra bits)
+    val a = math.abs(v)
+    var s = 0
+    while ((a >> s) != 0) s += 1
+    (s, if (v >= 0) v else v + (1 << s) - 1)
+  }
+
+  /** Encode top-down BGR triples as a baseline 4:4:4 JFIF JPEG. */
+  def encode(px: Array[Byte], w: Int, h: Int, quality: Int = 90): Array[Byte] = {
+    val qY = scaledQ(QLum, quality)
+    val qC = scaledQ(QChrom, quality)
+    // planar YCbCr, edge-replicated to full 8-multiple block coverage
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val planes = Array.ofDim[Double](3, bw * 8 * bh * 8)
+    var y = 0
+    while (y < bh * 8) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < bw * 8) {
+        val sx = math.min(x, w - 1)
+        val o = (sy * w + sx) * 3
+        val b = px(o) & 0xff; val g = px(o + 1) & 0xff; val r = px(o + 2) & 0xff
+        val i = y * bw * 8 + x
+        planes(0)(i) = 0.299 * r + 0.587 * g + 0.114 * b
+        planes(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        planes(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val dcCodes = Array(buildCodes(DcLumBits, DcLumVals),
+      buildCodes(DcChromBits, DcChromVals))
+    val acCodes = Array(buildCodes(AcLumBits, AcLumVals),
+      buildCodes(AcChromBits, AcChromVals))
+    val bits = new BitWriter
+    val dcPred = new Array[Int](3)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var comp = 0
+        while (comp < 3) { // 4:4:4 MCU = one block per component
+          val tq = if (comp == 0) qY else qC
+          val ti = if (comp == 0) 0 else 1
+          val block = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            block(i) = planes(comp)((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) - 128.0
+            i += 1
+          }
+          val coef = fdct(block)
+          val quant = new Array[Int](64)
+          i = 0
+          while (i < 64) {
+            quant(i) = math.round(coef(i) / tq(i)).toInt
+            i += 1
+          }
+          // DC differential
+          val diff = quant(0) - dcPred(comp)
+          dcPred(comp) = quant(0)
+          val (ds, dbits) = magnitude(diff)
+          val (dcode, dlen) = dcCodes(ti)(ds)
+          bits.write(dcode, dlen)
+          if (ds > 0) bits.write(dbits, ds)
+          // AC run-length in zigzag order
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val v = quant(Zigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(ti)(0xf0); bits.write(zc, zl); run -= 16
+              }
+              val (s, extra) = magnitude(v)
+              val (c, l) = acCodes(ti)((run << 4) | s)
+              bits.write(c, l)
+              bits.write(extra, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (c, l) = acCodes(ti)(0x00); bits.write(c, l) } // EOB
+          comp += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val scan = bits.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, (Array(0) ++ Zigzag.map(qY(_))).map(_.toByte))       // DQT 0 (zigzag order)
+    seg(0xdb, (Array(1) ++ Zigzag.map(qC(_))).map(_.toByte))       // DQT 1
+    seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3) ++  // SOF0, 4:4:4
+      Array(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte))
+    def dht(clazz: Int, id: Int, b: Array[Int], v: Array[Int]): Unit =
+      seg(0xc4, (Array((clazz << 4) | id) ++ b.drop(1) ++ v).map(_.toByte))
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0).map(_.toByte)) // SOS
+    out.write(scan)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var bad = false
+    /** Align to the next byte and step over an expected RSTn marker. */
+    def restart(): Boolean = {
+      acc = 0; nbits = 0
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
+        val m = bytes(pos + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
+      }
+      false
+    }
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) { bad = true; return 0 }
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) { bad = true; return 0 }
+          val nxt = bytes(pos) & 0xff
+          if (nxt == 0x00) pos += 1 // stuffed
+          else { bad = true; return 0 } // a real marker mid-entropy
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline JPEG to top-down BGR triples (gray expands to
+    * B=G=R). None on anything outside the supported envelope or any
+    * malformed structure. */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[Map[(Int, Int), Int]](4)
+    val acT = new Array[Map[(Int, Int), Int]](4)
+    var w = 0; var h = 0
+    var nComp = 0
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var scanStart = -1
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var off = 2L
+    def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    // ---- marker walk (hostile-length posture) ----
+    while (scanStart < 0) {
+      if (off + 4 > bytes.length) return None
+      if ((bytes(off.toInt) & 0xff) != 0xff) return None
+      val m = bytes(off.toInt + 1) & 0xff
+      if (m == 0xd9) return None // EOI before any scan
+      val len = be16(off.toInt + 2)
+      val next = off + 2L + len
+      if (len < 2 || next <= off || next > bytes.length.toLong) return None
+      val body = off.toInt + 4
+      m match {
+        case 0xdb => // DQT: one or more tables per segment
+          var p = body
+          while (p < next - 0) {
+            if (p >= bytes.length) return None
+            val pq = (bytes(p) >> 4) & 0xf
+            val tq = bytes(p) & 0xf
+            if (pq != 0 || tq > 3 || p + 65 > next) return None // 8-bit only
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+            qt(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables per segment
+          var p = body
+          while (p < next) {
+            val tc = (bytes(p) >> 4) & 0xf
+            val th = bytes(p) & 0xf
+            if (tc > 1 || th > 3 || p + 17 > next) return None
+            val b = new Array[Int](17)
+            var total = 0
+            var k = 1
+            while (k <= 16) { b(k) = bytes(p + k) & 0xff; total += b(k); k += 1 }
+            if (p + 17 + total > next) return None
+            val v = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
+            if (tc == 0) dcT(th) = buildDecode(b, v) else acT(th) = buildDecode(b, v)
+            p += 17 + total
+          }
+        case 0xc0 => // SOF0: baseline
+          if ((bytes(body) & 0xff) != 8) return None // 8-bit only
+          h = be16(body + 1); w = be16(body + 3)
+          nComp = bytes(body + 5) & 0xff
+          if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
+              (nComp != 1 && nComp != 3)) return None
+          compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            val hv = bytes(body + 6 + c * 3 + 1) & 0xff
+            if (hv != 0x11) return None // 4:4:4 / single-component only
+            compQ(c) = bytes(body + 6 + c * 3 + 2) & 0xff
+            c += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/arithmetic: out of envelope
+        case 0xdd => // DRI
+          restartInterval = be16(body)
+        case 0xda => // SOS
+          if (w == 0) return None // scan before frame
+          val ns = bytes(body) & 0xff
+          if (ns != nComp) return None
+          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            compDc(c) = (bytes(body + 1 + c * 2 + 1) >> 4) & 0xf
+            compAc(c) = bytes(body + 1 + c * 2 + 1) & 0xf
+            c += 1
+          }
+          scanStart = next.toInt
+        case _ => // APPn/COM/...: skip
+      }
+      off = next
+    }
+    var c = 0
+    while (c < nComp) {
+      if (compQ(c) > 3 || qt(compQ(c)) == null ||
+          dcT(compDc(c)) == null || acT(compAc(c)) == null) return None
+      c += 1
+    }
+    // ---- entropy decode, 4:4:4 MCU = one block per component ----
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val planes = Array.ofDim[Double](nComp, bw * 8 * bh * 8)
+    val reader = new BitReader(bytes, scanStart)
+    val dcPred = new Array[Int](nComp)
+    def huffDecode(table: Map[(Int, Int), Int]): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | reader.bit()
+        len += 1
+        table.get((len, code)) match {
+          case Some(v) => return v
+          case None    =>
+        }
+        if (reader.bad) return -1
+      }
+      -1
+    }
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!reader.restart()) return None
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val bx = mcu % bw; val by = mcu / bw
+      var comp = 0
+      while (comp < nComp) {
+        val q = qt(compQ(comp))
+        val coef = new Array[Double](64)
+        val s = huffDecode(dcT(compDc(comp)))
+        if (s < 0 || s > 11 || reader.bad) return None
+        dcPred(comp) += extend(reader.bits(s), s)
+        coef(0) = dcPred(comp).toDouble * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(acT(compAc(comp)))
+          if (rs < 0 || reader.bad) return None
+          if (rs == 0x00) k = 64 // EOB
+          else if (rs == 0xf0) k += 16 // ZRL
+          else {
+            k += (rs >> 4)
+            if (k > 63) return None
+            val sz = rs & 0xf
+            coef(Zigzag(k)) = extend(reader.bits(sz), sz).toDouble * q(Zigzag(k))
+            k += 1
+          }
+        }
+        if (reader.bad) return None
+        val block = idct(coef)
+        var i = 0
+        while (i < 64) {
+          planes(comp)((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) = block(i) + 128.0
+          i += 1
+        }
+        comp += 1
+      }
+      mcu += 1
+    }
+    // ---- color convert to the BGR convention ----
+    def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    val px = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      var x = 0
+      while (x < w) {
+        val i = yy * bw * 8 + x
+        val o = (yy * w + x) * 3
+        if (nComp == 1) {
+          val g = clamp(planes(0)(i)).toByte
+          px(o) = g; px(o + 1) = g; px(o + 2) = g
+        } else {
+          val yv = planes(0)(i); val cb = planes(1)(i) - 128.0; val cr = planes(2)(i) - 128.0
+          px(o) = clamp(yv + 1.772 * cb).toByte
+          px(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
+          px(o + 2) = clamp(yv + 1.402 * cr).toByte
+        }
+        x += 1
+      }
+      yy += 1
+    }
+    Some((w, h, px))
+  }
+}

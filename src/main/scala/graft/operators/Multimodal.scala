@@ -592,15 +592,19 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Container-SNIFFING pixel decode: BMP or PNG by magic bytes —
-      * what an ingest that receives "an image" calls, so a PNG
-      * re-encode of a BMP (or vice versa) deduplicates across
-      * containers. None ⇔ neither magic matches or the body fails its
-      * format's decode. */
+    /** Container-SNIFFING pixel decode: BMP, PNG, or baseline JPEG by
+      * magic bytes — what an ingest that receives "an image" calls, so
+      * a PNG re-encode of a BMP (or a lossless re-encode of a decoded
+      * JPEG) deduplicates across containers. None ⇔ no magic matches
+      * or the body fails its format's decode (e.g. progressive JPEG,
+      * which [[JpegCodec.decode]] rejects rather than mis-decodes). */
     def pixelsOf(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') bmpPixels(bytes)
       else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
         pngPixels(bytes)
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+               (bytes(1) & 0xff) == 0xd8)
+        JpegCodec.decode(bytes)
       else None
 
     /** splitmix64 finalizer (public-domain constants) — the avalanche
@@ -961,6 +965,51 @@ object Multimodal {
             val up = MediaTransform.encodePng(
               MediaTransform.resizeNearest(px, dw, dh, dw * 2, dh * 2),
               dw * 2, dh * 2, colorType)
+            val (uw, uh, upx) = MediaTransform.pixelsOf(up).get
+            Iterator(base, (id + 10000000L, dHash64(upx, uw, uh)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Registered query (HARD oracle): perceptual dedup over REAL
+    * baseline JPEGs — the last of the three formats a crawl is made
+    * of. Each doc's hash texture goes through a full lossy round:
+    * [[JpegCodec.encode]] (4:4:4, Annex K tables at quality 90, real
+    * Huffman entropy coding) then the container-sniffing decode; the
+    * signature hashes the DECODED pixels. The planted clone for
+    * doc_id < 10 upscales those decoded pixels 2× and re-encodes
+    * LOSSLESSLY (PNG), so the dHash floor identity applies to exactly
+    * the bytes the decoder produced — quantization loss never enters
+    * the identity and each planted pair sits at Hamming 0 in closed
+    * form, while a JPEG→JPEG recompression stays the spec-measured
+    * approximate contract. Background floor through the full lossy
+    * pipe: min non-planted Hamming 13 at 300 images
+    * (tools.JpegProbe; the doc_id-only fixture is identical at every
+    * sf), so the ≤ 4 gate admits exactly the planted pairs. */
+  def multimodalDedupPhashJpeg(spark: SparkSession, dir: String,
+                               limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(jpegSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=dHash64) signatures behind
+    * [[multimodalDedupPhashJpeg]]: JPEG-encode → sniff-decode → hash,
+    * lossless-upscale clones planted for doc_id < 10. */
+  def jpegSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val (dw, dh, px) = MediaTransform.pixelsOf(
+            JpegCodec.encode(MediaTransform.texturePixels(w, h, id), w, h, 90)).get
+          val base = (id, dHash64(px, dw, dh))
+          if (id < 10) {
+            val up = MediaTransform.encodePng(
+              MediaTransform.resizeNearest(px, dw, dh, dw * 2, dh * 2),
+              dw * 2, dh * 2, if (id % 2 == 0) 2 else 6)
             val (uw, uh, upx) = MediaTransform.pixelsOf(up).get
             Iterator(base, (id + 10000000L, dHash64(upx, uw, uh)))
           } else Iterator(base)

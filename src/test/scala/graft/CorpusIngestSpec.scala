@@ -518,6 +518,47 @@ class CorpusIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming image dedup decodes baseline JPEG: a lossless re-encode of an indexed JPEG is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/phash-jpeg-ingest-spec")
+    rm(base)
+    import Multimodal.MediaTransform
+    import graft.operators.JpegCodec
+    def jpg(id: Long): Array[Byte] = {
+      val w = 8 + (id % 32).toInt; val h = 8 + ((id / 32) % 32).toInt
+      JpegCodec.encode(MediaTransform.texturePixels(w, h, id), w, h, 90)
+    }
+    // the clone the oracle recipe pins: decoded jpeg pixels, 2x
+    // upscale, LOSSLESS re-encode — Hamming 0 by the floor identity
+    def pngClone(b: Array[Byte]): Array[Byte] = {
+      val (w, h, px) = MediaTransform.pixelsOf(b).get
+      MediaTransform.encodePng(
+        MediaTransform.resizeNearest(px, w, h, w * 2, h * 2), w * 2, h * 2, 2)
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = PhashIngest.ingestImageDedup(
+      stream.toDF().toDF("doc_id", "ts", "media"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), jpg(1L))))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (2L, ts("2024-01-01 10:30:00"), pngClone(jpg(1L))), // cross-container clone → drop
+        (3L, ts("2024-01-01 10:30:01"), jpg(3L)),           // fresh jpeg → admit
+        // header-only jpeg stub: sniffed but undecodable → admit, don't index
+        (4L, ts("2024-01-01 10:30:02"), Multimodal.MediaEncoder.jpeg(16, 16, 3))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(corpus === Array(1L, 3L, 4L), s"got ${corpus.toSeq}")
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").as[Long].collect().sorted
+      assert(indexed === Array(1L, 3L), "undecodable stub must not be indexed")
+    } finally q.stop()
+  }
+
   test("streaming audio dedup drops a 2x-resampled clip via the standing aHash index") {
     implicit val sqlCtx = spark.sqlContext
     val base = new java.io.File("target/ahash-ingest-spec")

@@ -301,6 +301,68 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("JPEG codec: real lossy round trip with bounded error; hostile and out-of-envelope inputs reject") {
+    import Multimodal.MediaTransform._
+    import graft.operators.JpegCodec
+    val (w, h) = (23, 17) // non-multiple-of-8 dims: edge-replicated blocks
+    val px = texturePixels(w, h, 42L)
+    val jpg = JpegCodec.encode(px, w, h, 90)
+    // a real entropy-coded scan, not a header stub
+    assert(jpg.length > 600, s"scan missing? ${jpg.length} bytes")
+    val (dw, dh, dpx) = JpegCodec.decode(jpg).get
+    assert((dw, dh) === ((w, h)))
+    // lossy but bounded: hash-textured input is JPEG's worst case and
+    // q=90 still holds every channel within a small band (probe: max 32)
+    val errs = px.indices.map(i => math.abs((px(i) & 0xff) - (dpx(i) & 0xff)))
+    assert(errs.max <= 48 && errs.sum.toDouble / errs.size <= 10.0,
+      s"max ${errs.max}, mean ${errs.sum.toDouble / errs.size}")
+    // deterministic: same input, same bytes, same decode
+    assert(JpegCodec.encode(px, w, h, 90) === jpg)
+    // the sniffer routes the FFD8 magic here
+    assert(pixelsOf(jpg).get._3 === dpx)
+    // truncated scan: must reject, never overrun or spin
+    assert(JpegCodec.decode(jpg.take(jpg.length - 10)) === None)
+    // progressive (SOF2) is out of envelope: flip the SOF marker byte
+    val prog = jpg.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog) === None, "progressive must reject")
+    // header-only stub (MediaEncoder.jpeg, no scan): undecodable
+    assert(JpegCodec.decode(Multimodal.MediaEncoder.jpeg(16, 16, 3)) === None)
+    assert(pixelsOf(Multimodal.MediaEncoder.jpeg(16, 16, 3)) === None)
+    assert(JpegCodec.decode("hello".getBytes) === None)
+  }
+
+  test("JPEG perceptual dedup: lossless-upscale clones at Hamming 0, recompression near-invariant") {
+    import Multimodal.MediaTransform._
+    import graft.operators.JpegCodec
+    val (w, h) = (23, 17)
+    val (dw, dh, dpx) = pixelsOf(
+      JpegCodec.encode(texturePixels(w, h, 42L), w, h, 90)).get
+    val base = Multimodal.dHash64(dpx, dw, dh)
+    // the oracle identity: decoded pixels, upscaled 2x, re-encoded
+    // LOSSLESSLY — quantization loss never enters the floor identity
+    val up = encodePng(resizeNearest(dpx, dw, dh, dw * 2, dh * 2), dw * 2, dh * 2, 2)
+    val (uw, uh, upx) = pixelsOf(up).get
+    assert(Multimodal.dHash64(upx, uw, uh) === base,
+      "lossless 2x re-encode of decoded jpeg pixels must preserve the dHash exactly")
+    // recompression (jpeg -> jpeg) is the APPROXIMATE contract: near,
+    // not pinned (probe measured 0; the gate bar is the assertion)
+    val re = JpegCodec.decode(JpegCodec.encode(dpx, dw, dh, 90)).get._3
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(base, Multimodal.dHash64(re, dw, dh)) <= 4)
+  }
+
+  test("multimodal_dedup_phash_jpeg finds exactly the planted clones, at Hamming 0") {
+    val out = Multimodal.multimodalDedupPhashJpeg(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+  }
+
   test("dHash64: scale-invariant under 2x/4x re-encode, far apart across images, near under noise") {
     import Multimodal.MediaTransform._
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
