@@ -7,17 +7,21 @@ package graft.operators
   *
   * Scope is deliberate:
   *  - DECODE ([[decode]]): baseline sequential (SOF0), 8-bit, 1
-  *    component (gray) or 3 components at 4:4:4 sampling, optional
+  *    component (gray) or 3 components with sampling factors 1–2 —
+  *    4:4:4, 4:2:2, 4:4:0 and the 4:2:0 that dominates real crawls —
+  *    interleaved MCUs, nearest-neighbor chroma upsample, optional
   *    restart intervals. Progressive (SOF2), arithmetic coding,
-  *    12-bit, subsampled chroma, and >3 components REJECT (None) —
-  *    never mis-decode. The same hostile-input posture as the other
-  *    decoders: lengths advance in Long, streams must terminate,
-  *    malformed Huffman/marker structure returns None, never throws.
-  *  - ENCODE ([[encode]]): 4:4:4 baseline with the Annex K example
-  *    quantization tables (scaled by `quality`, the libjpeg formula)
-  *    and the Annex K "typical" Huffman tables — the fixture
+  *    12-bit, exotic sampling ratios, and >3 components REJECT
+  *    (None) — never mis-decode. The same hostile-input posture as
+  *    the other decoders: lengths advance in Long, streams must
+  *    terminate, malformed Huffman/marker structure returns None,
+  *    never throws.
+  *  - ENCODE ([[encode]]): 4:4:4 or 4:2:0 baseline with the Annex K
+  *    example quantization tables (scaled by `quality`, the libjpeg
+  *    formula) and the Annex K "typical" Huffman tables — the fixture
   *    generator side of the seam, so the decoder is exercised by real
-  *    entropy-coded scans rather than hand-packed stubs.
+  *    entropy-coded scans (including subsampled interleaved MCUs)
+  *    rather than hand-packed stubs.
   *
   * JPEG is LOSSY, so decode(encode(px)) ≈ px, never ==. The planted-
   * clone dedup oracle stays CLOSED-FORM anyway: the clone pipeline is
@@ -224,87 +228,117 @@ object JpegCodec {
     (s, if (v >= 0) v else v + (1 << s) - 1)
   }
 
-  /** Encode top-down BGR triples as a baseline 4:4:4 JFIF JPEG. */
-  def encode(px: Array[Byte], w: Int, h: Int, quality: Int = 90): Array[Byte] = {
+  /** Encode one 8×8 block of `plane` at block coords (bx, by): FDCT,
+    * quantize, DC-differential + AC run-length Huffman. Returns the
+    * new DC predictor. */
+  private def encodeBlock(plane: Array[Double], planeW: Int, bx: Int, by: Int,
+                          tq: Array[Int], ti: Int, dcPredIn: Int,
+                          dcCodes: Array[Map[Int, (Int, Int)]],
+                          acCodes: Array[Map[Int, (Int, Int)]],
+                          bits: BitWriter): Int = {
+    val block = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      block(i) = plane((by * 8 + i / 8) * planeW + bx * 8 + i % 8) - 128.0
+      i += 1
+    }
+    val coef = fdct(block)
+    val quant = new Array[Int](64)
+    i = 0
+    while (i < 64) { quant(i) = math.round(coef(i) / tq(i)).toInt; i += 1 }
+    val diff = quant(0) - dcPredIn
+    val (ds, dbits) = magnitude(diff)
+    val (dcode, dlen) = dcCodes(ti)(ds)
+    bits.write(dcode, dlen)
+    if (ds > 0) bits.write(dbits, ds)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = quant(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acCodes(ti)(0xf0); bits.write(zc, zl); run -= 16
+        }
+        val (s, extra) = magnitude(v)
+        val (c, l) = acCodes(ti)((run << 4) | s)
+        bits.write(c, l)
+        bits.write(extra, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = acCodes(ti)(0x00); bits.write(c, l) } // EOB
+    quant(0)
+  }
+
+  /** Encode top-down BGR triples as a baseline JFIF JPEG — 4:4:4 by
+    * default, or 4:2:0 (`subsample = true`, 2×2-averaged chroma — the
+    * layout that dominates real crawls, so the decoder's interleaved-
+    * MCU path is exercised by fixtures shaped like actual web JPEGs). */
+  def encode(px: Array[Byte], w: Int, h: Int, quality: Int = 90,
+             subsample: Boolean = false): Array[Byte] = {
     val qY = scaledQ(QLum, quality)
     val qC = scaledQ(QChrom, quality)
-    // planar YCbCr, edge-replicated to full 8-multiple block coverage
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val planes = Array.ofDim[Double](3, bw * 8 * bh * 8)
+    val (hY, vY) = if (subsample) (2, 2) else (1, 1)
+    val mcuW = 8 * hY; val mcuH = 8 * vY
+    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
+    // full-res planar YCbCr, edge-replicated to full MCU coverage
+    val fw = mcusX * mcuW; val fh = mcusY * mcuH
+    val full = Array.ofDim[Double](3, fw * fh)
     var y = 0
-    while (y < bh * 8) {
+    while (y < fh) {
       val sy = math.min(y, h - 1)
       var x = 0
-      while (x < bw * 8) {
+      while (x < fw) {
         val sx = math.min(x, w - 1)
         val o = (sy * w + sx) * 3
         val b = px(o) & 0xff; val g = px(o + 1) & 0xff; val r = px(o + 2) & 0xff
-        val i = y * bw * 8 + x
-        planes(0)(i) = 0.299 * r + 0.587 * g + 0.114 * b
-        planes(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        planes(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        val i = y * fw + x
+        full(0)(i) = 0.299 * r + 0.587 * g + 0.114 * b
+        full(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        full(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         x += 1
       }
       y += 1
     }
+    // chroma planes: full res at 4:4:4, 2×2 average at 4:2:0
+    val cw = if (subsample) fw / 2 else fw
+    val ch = if (subsample) fh / 2 else fh
+    val planes = Array(full(0),
+      if (subsample) downsample2(full(1), fw, fh) else full(1),
+      if (subsample) downsample2(full(2), fw, fh) else full(2))
+    val planeW = Array(fw, cw, cw)
     val dcCodes = Array(buildCodes(DcLumBits, DcLumVals),
       buildCodes(DcChromBits, DcChromVals))
     val acCodes = Array(buildCodes(AcLumBits, AcLumVals),
       buildCodes(AcChromBits, AcChromVals))
     val bits = new BitWriter
     val dcPred = new Array[Int](3)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        var comp = 0
-        while (comp < 3) { // 4:4:4 MCU = one block per component
-          val tq = if (comp == 0) qY else qC
-          val ti = if (comp == 0) 0 else 1
-          val block = new Array[Double](64)
-          var i = 0
-          while (i < 64) {
-            block(i) = planes(comp)((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) - 128.0
-            i += 1
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // Y blocks: vY×hY in raster order, then one Cb, one Cr
+        var i = 0
+        while (i < vY) {
+          var j = 0
+          while (j < hY) {
+            dcPred(0) = encodeBlock(planes(0), planeW(0),
+              mx * hY + j, my * vY + i, qY, 0, dcPred(0), dcCodes, acCodes, bits)
+            j += 1
           }
-          val coef = fdct(block)
-          val quant = new Array[Int](64)
-          i = 0
-          while (i < 64) {
-            quant(i) = math.round(coef(i) / tq(i)).toInt
-            i += 1
-          }
-          // DC differential
-          val diff = quant(0) - dcPred(comp)
-          dcPred(comp) = quant(0)
-          val (ds, dbits) = magnitude(diff)
-          val (dcode, dlen) = dcCodes(ti)(ds)
-          bits.write(dcode, dlen)
-          if (ds > 0) bits.write(dbits, ds)
-          // AC run-length in zigzag order
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val v = quant(Zigzag(k))
-            if (v == 0) run += 1
-            else {
-              while (run >= 16) {
-                val (zc, zl) = acCodes(ti)(0xf0); bits.write(zc, zl); run -= 16
-              }
-              val (s, extra) = magnitude(v)
-              val (c, l) = acCodes(ti)((run << 4) | s)
-              bits.write(c, l)
-              bits.write(extra, s)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (c, l) = acCodes(ti)(0x00); bits.write(c, l) } // EOB
+          i += 1
+        }
+        var comp = 1
+        while (comp < 3) {
+          dcPred(comp) = encodeBlock(planes(comp), planeW(comp),
+            mx, my, qC, 1, dcPred(comp), dcCodes, acCodes, bits)
           comp += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     val scan = bits.finish()
 
@@ -314,12 +348,13 @@ object JpegCodec {
       marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
       out.write(body)
     }
+    val hvY = (hY << 4) | vY
     marker(0xd8) // SOI
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     seg(0xdb, (Array(0) ++ Zigzag.map(qY(_))).map(_.toByte))       // DQT 0 (zigzag order)
     seg(0xdb, (Array(1) ++ Zigzag.map(qC(_))).map(_.toByte))       // DQT 1
-    seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3) ++  // SOF0, 4:4:4
-      Array(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte))
+    seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3) ++  // SOF0
+      Array(1, hvY, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte))
     def dht(clazz: Int, id: Int, b: Array[Int], v: Array[Int]): Unit =
       seg(0xc4, (Array((clazz << 4) | id) ++ b.drop(1) ++ v).map(_.toByte))
     dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
@@ -328,6 +363,23 @@ object JpegCodec {
     out.write(scan)
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** 2×2 box average — the standard chroma downsample. Input dims are
+    * even (MCU-padded). */
+  private def downsample2(p: Array[Double], w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double]((w / 2) * (h / 2))
+    var y = 0
+    while (y < h / 2) {
+      var x = 0
+      while (x < w / 2) {
+        out(y * (w / 2) + x) = 0.25 * (p(2 * y * w + 2 * x) + p(2 * y * w + 2 * x + 1) +
+          p((2 * y + 1) * w + 2 * x) + p((2 * y + 1) * w + 2 * x + 1))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   private class BitReader(bytes: Array[Byte], var pos: Int) {
@@ -380,6 +432,8 @@ object JpegCodec {
     var w = 0; var h = 0
     var nComp = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var restartInterval = 0
     var scanStart = -1
     var compDc: Array[Int] = null
@@ -432,13 +486,20 @@ object JpegCodec {
           if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
               (nComp != 1 && nComp != 3)) return None
           compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {
             val hv = bytes(body + 6 + c * 3 + 1) & 0xff
-            if (hv != 0x11) return None // 4:4:4 / single-component only
+            compH(c) = (hv >> 4) & 0xf; compV(c) = hv & 0xf
+            // sampling factors 1–2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+            // — the layouts real crawls are made of; exotic ratios
+            // reject rather than risk a wrong upsample
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return None
             compQ(c) = bytes(body + 6 + c * 3 + 2) & 0xff
             c += 1
           }
+          if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // non-interleaved
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
           return None // extended/progressive/arithmetic: out of envelope
@@ -466,9 +527,14 @@ object JpegCodec {
           dcT(compDc(c)) == null || acT(compAc(c)) == null) return None
       c += 1
     }
-    // ---- entropy decode, 4:4:4 MCU = one block per component ----
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val planes = Array.ofDim[Double](nComp, bw * 8 * bh * 8)
+    // ---- entropy decode: interleaved MCUs of v_c×h_c blocks/comp ----
+    val hmax = compH.max; val vmax = compV.max
+    val mcuW = 8 * hmax; val mcuH = 8 * vmax
+    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
+    // each component decodes at its own resolution; upsample at output
+    val planeW = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Double](planeW(c) * mcusY * 8 * compV(c)))
     val reader = new BitReader(bytes, scanStart)
     val dcPred = new Array[Int](nComp)
     def huffDecode(table: Map[(Int, Int), Int]): Int = {
@@ -485,61 +551,78 @@ object JpegCodec {
       }
       -1
     }
+    def decodeBlock(comp: Int, bx: Int, by: Int): Boolean = {
+      val q = qt(compQ(comp))
+      val coef = new Array[Double](64)
+      val s = huffDecode(dcT(compDc(comp)))
+      if (s < 0 || s > 11 || reader.bad) return false
+      dcPred(comp) += extend(reader.bits(s), s)
+      coef(0) = dcPred(comp).toDouble * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = huffDecode(acT(compAc(comp)))
+        if (rs < 0 || reader.bad) return false
+        if (rs == 0x00) k = 64 // EOB
+        else if (rs == 0xf0) k += 16 // ZRL
+        else {
+          k += (rs >> 4)
+          if (k > 63) return false
+          val sz = rs & 0xf
+          coef(Zigzag(k)) = extend(reader.bits(sz), sz).toDouble * q(Zigzag(k))
+          k += 1
+        }
+      }
+      if (reader.bad) return false
+      val block = idct(coef)
+      var i = 0
+      while (i < 64) {
+        planes(comp)((by * 8 + i / 8) * planeW(comp) + bx * 8 + i % 8) =
+          block(i) + 128.0
+        i += 1
+      }
+      true
+    }
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         if (!reader.restart()) return None
         java.util.Arrays.fill(dcPred, 0)
       }
-      val bx = mcu % bw; val by = mcu / bw
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var comp = 0
       while (comp < nComp) {
-        val q = qt(compQ(comp))
-        val coef = new Array[Double](64)
-        val s = huffDecode(dcT(compDc(comp)))
-        if (s < 0 || s > 11 || reader.bad) return None
-        dcPred(comp) += extend(reader.bits(s), s)
-        coef(0) = dcPred(comp).toDouble * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = huffDecode(acT(compAc(comp)))
-          if (rs < 0 || reader.bad) return None
-          if (rs == 0x00) k = 64 // EOB
-          else if (rs == 0xf0) k += 16 // ZRL
-          else {
-            k += (rs >> 4)
-            if (k > 63) return None
-            val sz = rs & 0xf
-            coef(Zigzag(k)) = extend(reader.bits(sz), sz).toDouble * q(Zigzag(k))
-            k += 1
-          }
-        }
-        if (reader.bad) return None
-        val block = idct(coef)
         var i = 0
-        while (i < 64) {
-          planes(comp)((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) = block(i) + 128.0
+        while (i < compV(comp)) {
+          var j = 0
+          while (j < compH(comp)) {
+            if (!decodeBlock(comp, mx * compH(comp) + j, my * compV(comp) + i))
+              return None
+            j += 1
+          }
           i += 1
         }
         comp += 1
       }
       mcu += 1
     }
-    // ---- color convert to the BGR convention ----
+    // ---- upsample (nearest) + color convert to the BGR convention ----
     def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    def sample(c: Int, x: Int, yy: Int): Double =
+      planes(c)((yy * compV(c) / vmax) * planeW(c) + (x * compH(c) / hmax))
     val px = new Array[Byte](w * h * 3)
     var yy = 0
     while (yy < h) {
       var x = 0
       while (x < w) {
-        val i = yy * bw * 8 + x
         val o = (yy * w + x) * 3
         if (nComp == 1) {
-          val g = clamp(planes(0)(i)).toByte
+          val g = clamp(sample(0, x, yy)).toByte
           px(o) = g; px(o + 1) = g; px(o + 2) = g
         } else {
-          val yv = planes(0)(i); val cb = planes(1)(i) - 128.0; val cr = planes(2)(i) - 128.0
+          val yv = sample(0, x, yy)
+          val cb = sample(1, x, yy) - 128.0
+          val cr = sample(2, x, yy) - 128.0
           px(o) = clamp(yv + 1.772 * cb).toByte
           px(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
           px(o + 2) = clamp(yv + 1.402 * cr).toByte

@@ -993,7 +993,10 @@ object Multimodal {
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupPhashJpeg]]: JPEG-encode → sniff-decode → hash,
-    * lossless-upscale clones planted for doc_id < 10. */
+    * lossless-upscale clones planted for doc_id < 10. Every third id
+    * encodes 4:2:0 (the rest 4:4:4), so the decoder's interleaved-MCU
+    * subsampled path — the layout real crawls are made of — sits on
+    * the oracle-verified path, not just in unit specs. */
   def jpegSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -1004,7 +1007,8 @@ object Multimodal {
           val w = 8 + (id % 32).toInt
           val h = 8 + ((id / 32) % 32).toInt
           val (dw, dh, px) = MediaTransform.pixelsOf(
-            JpegCodec.encode(MediaTransform.texturePixels(w, h, id), w, h, 90)).get
+            JpegCodec.encode(MediaTransform.texturePixels(w, h, id), w, h, 90,
+              subsample = id % 3 == 0)).get
           val base = (id, dHash64(px, dw, dh))
           if (id < 10) {
             val up = MediaTransform.encodePng(

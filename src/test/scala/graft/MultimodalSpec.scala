@@ -320,6 +320,25 @@ class MultimodalSpec extends SparkSuite {
     assert(JpegCodec.encode(px, w, h, 90) === jpg)
     // the sniffer routes the FFD8 magic here
     assert(pixelsOf(jpg).get._3 === dpx)
+    // 4:2:0 — the interleaved-MCU subsampled layout real crawls use:
+    // decodes at the right dims, and TRUE LUMA (the Y plane, never
+    // subsampled) survives with only quantization loss. Hash textures
+    // are chroma's worst case (2x2 averaging of noise), so chroma —
+    // and anything it leaks into, like the B+G+R channel sum — is
+    // deliberately unbounded here; smooth-chroma images do far better.
+    val jpg420 = JpegCodec.encode(px, w, h, 90, subsample = true)
+    val (sw, sh, spx) = JpegCodec.decode(jpg420).get
+    assert((sw, sh) === ((w, h)))
+    val yErr = (0 until w * h).map { i =>
+      def yOf(p: Array[Byte]) = 0.299 * (p(i * 3 + 2) & 0xff) +
+        0.587 * (p(i * 3 + 1) & 0xff) + 0.114 * (p(i * 3) & 0xff)
+      math.abs(yOf(px) - yOf(spx))
+    }
+    assert(yErr.sum / yErr.size <= 8.0, s"mean Y err ${yErr.sum / yErr.size}")
+    // the lossless-upscale clone identity holds for 4:2:0 decodes too
+    val up420 = encodePng(resizeNearest(spx, sw, sh, sw * 2, sh * 2), sw * 2, sh * 2, 2)
+    val (u2w, u2h, u2px) = pixelsOf(up420).get
+    assert(Multimodal.dHash64(u2px, u2w, u2h) === Multimodal.dHash64(spx, sw, sh))
     // truncated scan: must reject, never overrun or spin
     assert(JpegCodec.decode(jpg.take(jpg.length - 10)) === None)
     // progressive (SOF2) is out of envelope: flip the SOF marker byte
