@@ -204,6 +204,7 @@ object BigBenchLlm {
       "dedup_cluster_stats", "corpus_dedup_savings", "text_unigram_train",
       "text_unigram_encode", "text_unigram_vocab",
       "multimodal_dedup_phash", "multimodal_dedup_ahash",
+      "multimodal_dedup_phash_png", "multimodal_dedup_phash_jpeg",
       "dedup_ngram_jaccard_staged")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
