@@ -143,6 +143,7 @@ object SparkEntry {
     "scalar_string" -> (Relational.scalarString _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
+    "dedup_url" -> (Documents.dedupUrl _),
     "dedup_ngram_jaccard" -> (Documents.dedupNgramJaccard _),
     "dedup_ngram_jaccard_staged" -> (Documents.dedupNgramJaccardStaged _),
     "dedup_source_matrix" -> (Documents.dedupSourceMatrixQ _),
@@ -1235,6 +1236,39 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // URL canonicalization replayed step for step: same regexes (all
+    // in the Java ∩ RE2 ∩ DuckDB subset; every one anchored or
+    // match-to-end, so replace-first ≡ Spark's replace-all), same
+    // split → filter → sort → join on the query params.
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |         'example.com/' || lang || '/r' || (doc_id % 500)::VARCHAR AS b,
+        |         doc_id % 7 AS v, lang FROM documents),
+        |raw AS (SELECT doc_id, CASE v
+        |    WHEN 0 THEN 'https://' || b
+        |    WHEN 1 THEN 'https://' || b || '?utm_source=x&utm_campaign=y'
+        |    WHEN 2 THEN 'http://www.' || b || '/'
+        |    WHEN 3 THEN 'https://' || b || '#section-2'
+        |    WHEN 4 THEN 'https://' || b || '?b=2&a=1'
+        |    WHEN 5 THEN 'https://' || b || '?a=1&b=2&gclid=tok'
+        |    ELSE 'https://EXAMPLE.com/' || lang || '/r' || (doc_id % 500)::VARCHAR
+        |  END AS url FROM u),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM raw),
+        |parts AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(s, '^[a-zA-Z]+://([^/?#]*).*', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(s, '^[a-zA-Z]+://[^/?#]*(.*)', 1) AS rest FROM nf),
+        |pq AS (SELECT doc_id, host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+        |    regexp_extract(rest, '\?(.*)', 1) AS q FROM parts),
+        |kept AS (SELECT doc_id, host, path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS kp
+        |  FROM pq)
+        |SELECT 'https://' || host || path ||
+        |       CASE WHEN length(kp) > 0 THEN '?' || kp ELSE '' END AS canonical_url,
+        |       min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_variants
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_boilerplate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

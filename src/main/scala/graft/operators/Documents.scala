@@ -123,6 +123,72 @@ object Documents {
       .select("doc_id", "text")
       .orderBy("doc_id")
 
+  /** URL canonicalization — the FIRST dedup stage of every crawl
+    * pipeline (C4, RefinedWeb and friends dedup by canonical URL
+    * before any content hash is computed, because it prunes refetches
+    * for free). Pure codegen'd projection (regexp + array functions,
+    * no UDF), applying the standard equivalences:
+    *
+    *  - fragment stripped (`#...` never reaches the server);
+    *  - scheme and host lowercased (case-insensitive per RFC 3986),
+    *    path left case-SENSITIVE;
+    *  - `http` upgraded to `https`, leading `www.` dropped;
+    *  - tracking parameters removed (`utm_*`, `gclid`, `fbclid`,
+    *    `ref`) — they vary per crawl visit, not per resource;
+    *  - remaining query parameters SORTED (`?b=2&a=1` ≡ `?a=1&b=2`);
+    *  - trailing path slash dropped.
+    *
+    * Every regex stays in the Java ∩ RE2 ∩ DuckDB common subset, and
+    * the array step is split → filter → sort → join in both engines,
+    * so the whole canonicalizer replays value-for-value in the
+    * oracle. */
+  def urlCanonical(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val host = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]*).*", 1))
+    val bareHost = regexp_replace(host, "^www\\.", "")
+    val rest = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*(.*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val keptParams = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))), "&")
+    concat(lit("https://"), bareHost, path,
+      when(length(keptParams) > 0, concat(lit("?"), keptParams)).otherwise(lit("")))
+  }
+
+  /** The deterministic URL fixture behind [[dedupUrl]]: every doc gets
+    * a crawl-shaped URL whose PATH groups ~`nPaths` docs onto one
+    * resource and whose surface form cycles the seven standard
+    * variants (tracking params, http+www+trailing-slash, fragment,
+    * both query orders, uppercase host) — so the canonicalizer's
+    * entire equivalence set sits on the oracle-verified path. */
+  private[graft] def urlExpr(nPaths: Int = 500): Column = {
+    val base = concat(lit("example.com/"), col("lang"), lit("/r"),
+      (col("doc_id") % nPaths).cast("string"))
+    val v = col("doc_id") % 7
+    when(v === 0, concat(lit("https://"), base))
+      .when(v === 1, concat(lit("https://"), base, lit("?utm_source=x&utm_campaign=y")))
+      .when(v === 2, concat(lit("http://www."), base, lit("/")))
+      .when(v === 3, concat(lit("https://"), base, lit("#section-2")))
+      .when(v === 4, concat(lit("https://"), base, lit("?b=2&a=1")))
+      .when(v === 5, concat(lit("https://"), base, lit("?a=1&b=2&gclid=tok")))
+      .otherwise(concat(lit("https://EXAMPLE.com/"), col("lang"), lit("/r"),
+        (col("doc_id") % nPaths).cast("string")))
+  }
+
+  /** Registered query (HARD oracle): URL-level dedup — canonicalize,
+    * group, keep the min doc_id per resource. Variants 0/2/3/6 and the
+    * de-tracked 1 collapse onto the bare canonical; 4 and 5 collapse
+    * onto the sorted `?a=1&b=2` form. One hash aggregate keyed by the
+    * canonical string — the same linear shape as [[dedupExact]], and
+    * at 100 TB the key is a short URL instead of a document body. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), urlCanonical(urlExpr()).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy("canonical_url")
+
   /** Boilerplate profile: the corpus's top-k word-3-grams by DOCUMENT
     * frequency — the headers/footers/licence lines that recur across
     * documents. This is the measurement behind the `maxDocFreq`

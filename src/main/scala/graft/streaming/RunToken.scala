@@ -30,14 +30,25 @@ object ReplaySafeSink {
     }
   }
 
+  /** Dirs whose layout has been verified RunToken-clean this process.
+    * Legacy files cannot APPEAR in a clean dir (every live writer
+    * partitions by ingest_run), so one successful check per dir per
+    * JVM is sound — without the memo, standingRows would pay a full
+    * recursive listing EVERY micro-batch on top of the read's own
+    * listing, doubling the small-files cost the compaction op exists
+    * to bound. */
+  private val verifiedLayouts = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Pre-round-12 sinks partitioned by bare `d`/`batch_id` (or plain
     * append); the RunToken layout adds `(ingest_run, batch_id)` levels.
     * Mixing the two under one dir puts data files at different depths,
     * which Spark partition discovery rejects with an opaque
     * "Conflicting directory structures" — and because standingRows runs
     * every micro-batch, the ingest then poison-retries forever. Detect
-    * the legacy files up front and name the remedy instead. */
+    * the legacy files up front (once per dir per process) and name the
+    * remedy instead. */
   private def requireRunTokenLayout(spark: SparkSession, dir: String): Unit = {
+    if (verifiedLayouts.contains(dir)) return
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val it = fs.listFiles(p, true)
@@ -51,6 +62,7 @@ object ReplaySafeSink {
           "(rewrites legacy rows under a retired ingest_run partition), or point the " +
           "ingest at a fresh index dir and backfill.")
     }
+    verifiedLayouts.add(dir)
   }
 
   /** The standing-state read for a retry of (token, batchId): every

@@ -179,7 +179,7 @@ object BigBenchLlm {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val allNames = Seq("dedup_exact", "dedup_simhash", "dedup_simhash_wide",
+    val allNames = Seq("dedup_exact", "dedup_url", "dedup_simhash", "dedup_simhash_wide",
       "dedup_ngram_jaccard",
       "dedup_minhash", "dedup_embed_cosine", "embed_ann_lsh", "embed_ann_ivf",
       "embed_knn", "text_langid", "text_stats", "doc_fingerprint",

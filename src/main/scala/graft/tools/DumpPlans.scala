@@ -77,6 +77,7 @@ object DumpPlans {
       "dedup_containment_capped" -> "BINDING df cap: hot buckets emit one marker row per member instead of (bucket choose 2) pairs; survivor sizes corrected by broadcast hot-hits",
       "dedup_clusters" -> "alternating large/small-star CC over the cached pair frame; per-round localCheckpoint truncates lineage so round k never replans rounds 1..k-1",
       "dedup_exact" -> "one hash aggregate keyed by text — partial+final, linear",
+      "dedup_url" -> "codegen'd canonicalizer projection (regexp + array ops, no UDF) into one hash aggregate keyed by the short canonical string — dedupExact economics at URL width",
       "dedup_embed_cosine" -> "sign-sketch band join proposes; codegen'd GatedVecDot (Cauchy-Schwarz prefix gate) verifies — the corpus never self-joins on raw vectors",
       "dedup_simhash_wide" -> "128-bit signatures as two words, 32-bit bands: shuffle on (band, value), Hamming gate before the distinct",
       "events_dedup_window" -> "duplicate events dropped by rank inside the clustered window, with WindowGroupLimit pruning candidates map-side BEFORE the exchange — no self-join",

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.streaming.{CorpusIngest, NearDupIngest}
+import graft.streaming.{CorpusIngest, EmbedIngest, NearDupIngest}
 
 /** Streaming-tier throughput at scale: drive the BigBenchLlm document
   * corpus through the ingest stages as a real file-source stream
@@ -10,7 +10,7 @@ import graft.streaming.{CorpusIngest, NearDupIngest}
   * and report docs/sec end to end — checkpointing, ledger/index reads,
   * Bloom maintenance and all sink writes included. Usage:
   *
-  *   runMain graft.tools.IngestBench <rows> <exact|near> [filesPerTrigger]
+  *   runMain graft.tools.IngestBench <rows> <exact|near|embed> [filesPerTrigger]
   *
   * Emits one JSON line; results recorded in BIGBENCH.md. */
 object IngestBench {
@@ -18,7 +18,9 @@ object IngestBench {
     val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.lift(1).getOrElse("exact")
     val filesPerTrigger = args.lift(2).map(_.toInt).getOrElse(8)
-    val srcDir = s"target/bigbench/llm_$rows/documents.parquet"
+    val srcDir =
+      if (mode == "embed") s"target/bigbench/llm_$rows/embeddings.parquet"
+      else s"target/bigbench/llm_$rows/documents.parquet"
     require(new java.io.File(srcDir).exists(), s"run BigBenchLlm $rows first ($srcDir)")
     val base = s"target/ingestbench/${mode}_$rows"
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
@@ -48,6 +50,15 @@ object IngestBench {
             timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(86400)))
               .as("ts"),
             col("text")),
+          s"$base/index", s"$base/corpus", s"$base/ckpt")
+      case "embed" =>
+        // semantic dedup over the embeddings stream: sign sketch +
+        // band probe + gated exact verify per micro-batch
+        EmbedIngest.ingestEmbedDedup(
+          stream.select(col("vec_id").as("doc_id"),
+            timestamp_seconds(lit(1704067200L) + pmod(col("vec_id"), lit(86400)))
+              .as("ts"),
+            col("embedding")),
           s"$base/index", s"$base/corpus", s"$base/ckpt")
       case other => sys.error(s"unknown mode $other")
     }

@@ -53,6 +53,32 @@ class DedupSpec extends SparkSuite {
     assert(keeper === 1) // doc 999 collapsed into doc 0
   }
 
+  test("urlCanonical: idempotent, collapses the standard equivalences, preserves real params") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://example.com/en/r1",                        // already canonical
+      "http://www.example.com/en/r1/",                    // scheme+www+slash
+      "https://EXAMPLE.com/en/r1#frag",                   // host case + fragment
+      "https://example.com/en/r1?utm_source=x&gclid=t",   // tracking only
+      "https://example.com/en/r1?b=2&a=1",                // param order
+      "https://example.com/en/r1?a=1&b=2&fbclid=z",       // order + tracking
+      "https://example.com/en/r1?a=1&ref=nav",            // real + tracking
+      "https://example.com/en/R1")                        // path case: DISTINCT
+    val canon = urls.toDF("u")
+      .select(graft.operators.Documents.urlCanonical(col("u")).as("c"))
+      .as[String].collect()
+    // the first seven collapse to two resources; path case survives
+    assert(canon.take(4).toSet === Set("https://example.com/en/r1"))
+    assert(canon.slice(4, 6).toSet === Set("https://example.com/en/r1?a=1&b=2"))
+    assert(canon(6) === "https://example.com/en/r1?a=1")
+    assert(canon(7) === "https://example.com/en/R1")
+    // idempotence: canonicalizing a canonical form is the identity
+    val twice = canon.toSeq.toDF("u")
+      .select(graft.operators.Documents.urlCanonical(col("u")).as("c"))
+      .as[String].collect()
+    assert(twice.toSeq === canon.toSeq)
+  }
+
   test("minhashPairs recall >= 0.9 on planted near-dups") {
     val found = Documents.minhashPairs(planted, simThreshold = 0.6)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
