@@ -256,6 +256,10 @@ object SparkEntry {
       Multimodal.multimodalDedupPhashJpeg(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupAhash(s, d)),
+    "multimodal_dedup_vhash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupVhash(s, d)),
+    "multimodal_video_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalVideoSample(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -2627,6 +2631,34 @@ object SparkEntry {
     "multimodal_dedup_ahash" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Video twin: 2x-fps frame duplication preserves the temporal
+    // hash exactly (the audio floor-of-floor identity on frame
+    // indices), so planted pairs sit at Hamming 0; per-frame byte
+    // sums of hash textures give the binomial-tail background
+    // (pairwise floor asserted on the query's own population in
+    // MultimodalSpec).
+    "multimodal_dedup_vhash" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Closed-form gradient replay: every surviving byte of the
+    // decimated, re-encoded clip is an arithmetic function of
+    // (doc_id, frame, x, y) — frame indexing, row flip and padding
+    // bugs all break the hash compare.
+    "multimodal_video_sample" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+        |                  6 + doc_id % 10 AS n
+        |           FROM documents WHERE doc_id < 200),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, n, 3)) AS f FROM d),
+        |fx AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+        |fxy AS (SELECT doc_id, f, x, y.y, w, h FROM fx,
+        |        LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        |sums AS (SELECT doc_id,
+        |    sum((7*x + 13*y + 5*f + doc_id) % 256 + (3*x + 5*y + 11*f) % 256 +
+        |        (x + y + f) % 256)::BIGINT AS pix_sum
+        |  FROM fxy GROUP BY doc_id)
+        |SELECT d.doc_id, w::INT AS width, h::INT AS height,
+        |       ((n + 2) // 3)::INT AS n_frames_out, 4 AS fps_out, pix_sum
+        |FROM d JOIN sums ON d.doc_id = sums.doc_id ORDER BY d.doc_id""".stripMargin,
     "dedup_embed_cosine_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
         |           FROM embeddings WHERE vec_id < 1000)

@@ -1109,6 +1109,147 @@ object Multimodal {
       }.toDF("doc_id", "simhash")
   }
 
+  /** 64-bit tHash (temporal luminance delta hash) — the video member
+    * of the perceptual family, the [[aHash64]] recipe lifted from PCM
+    * frames to video frames: nearest-neighbor sample 65 representative
+    * frames (frame j at ⌊j·n/65⌋ — the same index arithmetic as the
+    * audio decimation and the 9×8 image grid), reduce each to its
+    * all-integer total luminance (the byte sum over the frame — the
+    * B+G+R analogue at whole-frame granularity), one bit per adjacent
+    * comparison. Invariance is EXACT for integer-factor frame
+    * duplication (a k× fps re-encode: ⌊⌊j·k·n/65⌋/k⌋ = ⌊j·n/65⌋, the
+    * audio identity verbatim) and approximate for filtered/transcoded
+    * resamples. A production pipeline pairs this temporal signature
+    * with per-sampled-frame [[dHash64]]s for spatial discrimination;
+    * the temporal hash alone is what the dedup gate joins on, because
+    * it is one 64-bit word and inherits the banded Hamming machinery
+    * unchanged.
+    *
+    * DISCRIMINATION requires ≥ 65 frames: below that the sampler
+    * picks the same frame for adjacent slots, the strict `>` zeroes
+    * those bits, and the near-empty signatures collide corpus-wide
+    * (measured: 915 false pairs over 500 short clips). Clips shorter
+    * than ~3 s at real frame rates should dedup on per-frame
+    * [[dHash64]]s instead — the image tier at k frames per doc. */
+  def tHash64(frames: Seq[Array[Byte]]): Long = {
+    val n = frames.length
+    require(n > 0, "tHash64: empty frame sequence")
+    val v = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val f = frames((j.toLong * n / 65).toInt)
+      var s = 0L
+      var i = 0
+      while (i < f.length) { s += (f(i) & 0xff); i += 1 }
+      v(j) = s
+      j += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (v(i + 1) > v(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Registered query (HARD oracle, planted-structure recipe):
+    * PERCEPTUAL video dedup — a re-contained or integer-factor
+    * fps-resampled clip that byte-level dedup cannot see. Each doc's
+    * hash-textured AVI ([[MediaTransform.texturePixels]] per frame,
+    * frame-mixed ids) is decoded through the real RIFF container walk
+    * and tHashed; for doc_id < 10 a genuine near-duplicate is planted
+    * under doc_id + 10M by duplicating every frame at 2× fps and
+    * re-encoding through [[AviCodec]] — a real resample artifact the
+    * floor identity provably maps to Hamming 0. Background separation
+    * comes from independent per-frame byte sums (the binomial tail;
+    * measured by the spec's pairwise floor over the fixture
+    * population). Pairs ride [[Documents.simhashPairs]] — a tHash IS
+    * a 64-bit locality signature, the same inheritance as the image
+    * and audio rows. */
+  def multimodalDedupVhash(spark: SparkSession, dir: String,
+                           limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(vhashSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=tHash64) signatures behind
+    * [[multimodalDedupVhash]]: generate → container decode → hash,
+    * 2× frame-duplication clones planted for doc_id < 10. */
+  def vhashSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + ((id / 8) % 8).toInt
+          // more frames than the 65 hash samples: with n < 65 the
+          // sampler picks the same frame for adjacent slots, equal
+          // sums zero those bits, and near-empty signatures collide
+          // corpus-wide (measured: 915 false pairs at n=8..30)
+          val n = 66 + (id % 60).toInt
+          val clip = AviCodec.encode(
+            (0 until n).map(f => MediaTransform.texturePixels(w, h, id * 131 + f)),
+            w, h, fps = 10)
+          val (dw, dh, _, frames) = AviCodec.decode(clip).get
+          val base = (id, tHash64(frames))
+          if (id < 10) {
+            val dup = AviCodec.encode(frames.flatMap(f => Seq(f, f)), dw, dh, fps = 20)
+            val (_, _, _, reread) = AviCodec.decode(dup).get
+            Iterator(base, (id + 10000000L, tHash64(reread)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Registered query (HARD oracle): the video twin of the thumbnail/
+    * audio-decimation rows — generate GRADIENT-frame AVIs (pixel at
+    * frame f, image coords (x, y): B=(7x+13y+5f+id)%256,
+    * G=(3x+5y+11f)%256, R=(x+y+f)%256 — closed forms the oracle
+    * recomputes), keep every `k`-th frame, re-encode through the
+    * container, re-decode, and sum the surviving bytes. The sum comes
+    * from the final re-encoded bytes, so the whole frame-indexing /
+    * row-flip / padding chain is on the verified path. */
+  def multimodalVideoSample(spark: SparkSession, dir: String,
+                            limit: Long = 200L, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + ((id / 8) % 8).toInt
+          val n = 6 + (id % 10).toInt
+          def grad(f: Int): Array[Byte] = {
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                px(o) = ((7 * x + 13 * y + 5 * f + id) % 256).toByte
+                px(o + 1) = ((3 * x + 5 * y + 11 * f) % 256).toByte
+                px(o + 2) = ((x + y + f) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          val clip = AviCodec.encode((0 until n).map(grad), w, h, fps = 12)
+          val (dw, dh, _, frames) = AviCodec.decode(clip).get
+          val kept = frames.indices.collect { case i if i % k == 0 => frames(i) }
+          val out = AviCodec.encode(kept, dw, dh, fps = 12 / k)
+          val (_, _, fpsOut, reread) = AviCodec.decode(out).get
+          val sum = reread.map(_.foldLeft(0L)((a, b) => a + (b & 0xff))).sum
+          (id, dw, dh, reread.length, fpsOut, sum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames_out", "fps_out", "pix_sum")
+      .orderBy("doc_id")
+  }
+
   /** Registered query (HARD oracle): generate → decode over REAL
     * format headers, so all four [[MediaDecoder]] branches (BMP, PNG,
     * WAV, JPEG) run driver-visibly. Every decoded row's dims are the

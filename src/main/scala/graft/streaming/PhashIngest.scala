@@ -66,6 +66,12 @@ object PhashIngest {
       // retries the same poison pill forever
       .filter { case (_, _, frames, _) => frames > 0 }
       .map { case (_, c, _, s) => Multimodal.aHash64(s, c) }
+    // the temporal hash discriminates only past ~65 frames (see
+    // tHash64); shorter clips are admitted un-indexed like any other
+    // payload the mode cannot signature
+    case "video" => graft.operators.AviCodec.decode(bytes)
+      .filter { case (_, _, _, frames) => frames.length >= 65 }
+      .map { case (_, _, _, frames) => Multimodal.tHash64(frames) }
     case m => throw new IllegalArgumentException(s"unknown media mode '$m'")
   }
 
@@ -84,6 +90,15 @@ object PhashIngest {
                        checkpointDir: String, maxHamming: Int = 4,
                        watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
     ingest(media, "audio", indexDir, outDir, checkpointDir, maxHamming, watermarkMs)
+
+  /** The video twin: [[Multimodal.tHash64]] over the decoded AVI
+    * frame sequence — a re-contained or fps-resampled clip arriving
+    * within the horizon is dropped; clips too short to signature
+    * (< 65 frames) are admitted un-indexed. */
+  def ingestVideoDedup(media: DataFrame, indexDir: String, outDir: String,
+                       checkpointDir: String, maxHamming: Int = 4,
+                       watermarkMs: Long = 2L * 3600 * 1000): StreamingQuery =
+    ingest(media, "video", indexDir, outDir, checkpointDir, maxHamming, watermarkMs)
 
   private def ingest(media: DataFrame, mode: String, indexDir: String,
                      outDir: String, checkpointDir: String, maxHamming: Int,

@@ -205,6 +205,7 @@ object BigBenchLlm {
       "text_unigram_encode", "text_unigram_vocab",
       "multimodal_dedup_phash", "multimodal_dedup_ahash",
       "multimodal_dedup_phash_png", "multimodal_dedup_phash_jpeg",
+      "multimodal_dedup_vhash", "multimodal_video_sample",
       "dedup_ngram_jaccard_staged")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)

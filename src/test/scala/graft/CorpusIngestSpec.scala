@@ -689,6 +689,47 @@ class CorpusIngestSpec extends SparkSuite {
       "fresh incarnation must drop clones against the standing index")
   }
 
+  test("streaming video dedup drops a 2x-fps re-encode via the standing tHash index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/vhash-ingest-spec")
+    rm(base)
+    import Multimodal.MediaTransform.texturePixels
+    import graft.operators.AviCodec
+    def clip(id: Long): Array[Byte] = {
+      val (w, h) = (8 + (id % 8).toInt, 8 + ((id / 8) % 8).toInt)
+      AviCodec.encode((0 until 70).map(f => texturePixels(w, h, id * 131 + f)), w, h, 10)
+    }
+    def dup2(b: Array[Byte]): Array[Byte] = {
+      val (w, h, fps, frames) = AviCodec.decode(b).get
+      AviCodec.encode(frames.flatMap(f => Seq(f, f)), w, h, fps * 2)
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val q = PhashIngest.ingestVideoDedup(
+      stream.toDF().toDF("doc_id", "ts", "media"),
+      s"$base/index", s"$base/corpus", s"$base/ckpt")
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), clip(1L)),
+        (2L, ts("2024-01-01 10:00:01"), clip(2L))))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (3L, ts("2024-01-01 10:30:00"), dup2(clip(1L))), // 2x-fps re-encode → drop
+        (4L, ts("2024-01-01 10:30:01"), clip(4L)),       // fresh → admit
+        // 10-frame clip: decodes but is too short to signature — the
+        // admit-don't-index rule, not a poison pill
+        (5L, ts("2024-01-01 10:30:02"),
+          AviCodec.encode((0 until 10).map(f => texturePixels(8, 8, 999L + f)), 8, 8, 10))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(corpus === Array(1L, 2L, 4L, 5L), s"got ${corpus.toSeq}")
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").as[Long].collect().sorted
+      assert(indexed === Array(1L, 2L, 4L), "the short clip must not be indexed")
+    } finally q.stop()
+  }
+
   test("streaming release diff equals the batch diff under shuffled arrival and arbitrary slicing") {
     implicit val sqlCtx = spark.sqlContext
     val base = new java.io.File("target/release-diff-spec")

@@ -382,6 +382,64 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("AVI round trip: decode(encode(frames)) is frame-identical; hostile inputs reject") {
+    import Multimodal.MediaTransform.texturePixels
+    import graft.operators.AviCodec
+    val (w, h, n) = (13, 9, 7) // odd width exercises DIB row padding
+    val frames = (0 until n).map(f => texturePixels(w, h, 1000L + f))
+    val avi = AviCodec.encode(frames, w, h, fps = 10)
+    val (dw, dh, fps, dec) = AviCodec.decode(avi).get
+    assert((dw, dh, fps, dec.length) === ((w, h, 10, n)))
+    frames.indices.foreach(i => assert(dec(i) === frames(i), s"frame $i"))
+    // truncated mid-frame: reject, never overrun
+    assert(AviCodec.decode(avi.take(avi.length - 20)) === None)
+    // compressed fourcc (MJPG) is out of envelope: patch strh handler
+    val mjpg = avi.clone()
+    val at = (0 until mjpg.length - 8).find(i =>
+      new String(mjpg, i, 4, "US-ASCII") == "vids").get
+    "MJPG".getBytes("US-ASCII").copyToArray(mjpg, at + 4)
+    assert(AviCodec.decode(mjpg) === None, "compressed codec must reject")
+    assert(AviCodec.decode("RIFFxxxxWAVE".getBytes) === None)
+    assert(AviCodec.decode("hello".getBytes) === None)
+  }
+
+  test("tHash64: exact under 2x/3x fps frame duplication; vhash population floor clears the gate") {
+    import Multimodal.MediaTransform.texturePixels
+    import graft.operators.AviCodec
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (w, h) = (11, 12)
+    val frames = (0 until 80).map(f => texturePixels(w, h, 7L * 1000 + f))
+    val base = Multimodal.tHash64(frames)
+    for (k <- Seq(2, 3)) {
+      val dup = AviCodec.encode(frames.flatMap(f => Seq.fill(k)(f)), w, h, 10 * k)
+      val (_, _, _, reread) = AviCodec.decode(dup).get
+      assert(Multimodal.tHash64(reread) === base,
+        s"${k}x fps duplication must preserve the tHash exactly")
+    }
+    // distinct clips: independent frame sums → wide Hamming
+    val other = (0 until 80).map(f => texturePixels(w, h, 8L * 1000 + f))
+    assert(hamming(base, Multimodal.tHash64(other)) >= 10)
+    // the registered query's own population: min pairwise Hamming
+    // among non-planted signatures must clear the <= 4 gate — this is
+    // the background-separation floor the closed-form oracle relies on
+    val sigs = Multimodal.vhashSigs(spark, SparkSpec.sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10000000L)
+      .as[(Long, Long)].collect().map(_._2)
+    var minH = 64
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length)
+      minH = math.min(minH, hamming(sigs(i), sigs(j)))
+    assert(minH > 4, s"background floor $minH must clear the gate")
+  }
+
+  test("multimodal_dedup_vhash finds exactly the planted fps-duplication clones, at Hamming 0") {
+    val out = Multimodal.multimodalDedupVhash(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+  }
+
   test("dHash64: scale-invariant under 2x/4x re-encode, far apart across images, near under noise") {
     import Multimodal.MediaTransform._
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
