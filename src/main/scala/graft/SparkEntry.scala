@@ -260,6 +260,8 @@ object SparkEntry {
       Multimodal.multimodalDedupVhash(s, d)),
     "multimodal_video_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalVideoSample(s, d)),
+    "multimodal_dedup_video_rescale" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupVideoRescale(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -2639,6 +2641,14 @@ object SparkEntry {
     // MultimodalSpec).
     "multimodal_dedup_vhash" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Resolution-rescale twin: every sampled frame's dHash survives
+    // the 2x upscale exactly (the image floor identity frame by
+    // frame), so each planted pair matches on all 8 position-aligned
+    // witnesses; background frame hashes sit at the image tier's
+    // measured separation, so no non-planted pair reaches 6 votes.
+    "multimodal_dedup_video_rescale" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 8 AS matched_frames
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Closed-form gradient replay: every surviving byte of the
     // decimated, re-encoded clip is an arithmetic function of

@@ -1202,6 +1202,69 @@ object Multimodal {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Registered query (HARD oracle, planted-structure recipe): video
+    * dedup under RESOLUTION rescaling — the artifact [[tHash64]] is
+    * blind to (a 2× spatial upscale multiplies every frame's byte sum
+    * by ~4, scrambling the temporal comparisons) but per-frame
+    * [[dHash64]] provably survives (the same floor identity as the
+    * image tier, applied frame by frame). Signature: 8 sampled frames
+    * per clip (⌊j·n/8⌋), each dHashed; two clips pair when ≥ 6 of the
+    * 8 POSITION-ALIGNED frame hashes sit within the per-frame gate —
+    * the multi-witness vote that production video dedup uses, here
+    * with exact positional alignment because rescaling preserves the
+    * frame timeline. The frame-level candidates come from the same
+    * banded Hamming join as every other tier (band on the frame hash,
+    * position carried as payload), so candidate volume is governed by
+    * frame similarity, never clips². For doc_id < 10 the planted
+    * clone re-encodes EVERY frame at 2× resolution through the
+    * container — all 8 witnesses match at Hamming 0. */
+  def multimodalDedupVideoRescale(spark: SparkSession, dir: String,
+                                  limit: Long = 300L, maxHamming: Int = 4,
+                                  nSample: Int = 8, minVotes: Int = 6): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + ((id / 8) % 8).toInt
+          val n = 12 + (id % 20).toInt
+          val frames = (0 until n).map(f => MediaTransform.texturePixels(w, h, id * 131 + f))
+          val (dw, dh, _, dec) = AviCodec.decode(AviCodec.encode(frames, w, h, 10)).get
+          def sampled(fs: Seq[Array[Byte]], fw: Int, fh: Int) =
+            (0 until nSample).map { j =>
+              (j, dHash64(fs((j.toLong * fs.length / nSample).toInt), fw, fh))
+            }
+          val base = sampled(dec, dw, dh).map { case (p, s) => (id, p, s) }
+          if (id < 10) {
+            val up = AviCodec.encode(
+              dec.map(f => MediaTransform.resizeNearest(f, dw, dh, dw * 2, dh * 2)),
+              dw * 2, dh * 2, 10)
+            val (uw, uh, _, updec) = AviCodec.decode(up).get
+            base ++ sampled(updec, uw, uh).map { case (p, s) => (id + 10000000L, p, s) }
+          } else base
+        }
+      }.toDF("vid", "pos", "simhash")
+    // frame-level banded Hamming join — the text-tier machinery
+    // verbatim, with (vid, pos) packed into the numeric key (pos < 16)
+    // so the pair machinery's Long contract holds; then the vote
+    val framePairs = Documents.simhashPairs(
+      sigs.select((col("vid") * 16 + col("pos")).as("doc_id"), col("simhash")),
+      maxHamming)
+    framePairs
+      .select(expr("d1 DIV 16").as("v1"), (col("d1") % 16).as("p1"),
+        expr("d2 DIV 16").as("v2"), (col("d2") % 16).as("p2"))
+      .filter(col("p1") === col("p2") && col("v1") =!= col("v2"))
+      .select(least(col("v1"), col("v2")).as("d1"),
+        greatest(col("v1"), col("v2")).as("d2"), col("p1"))
+      .distinct()
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("int").as("matched_frames"))
+      .filter(col("matched_frames") >= minVotes)
+      .orderBy("d1", "d2")
+  }
+
   /** Registered query (HARD oracle): the video twin of the thumbnail/
     * audio-decimation rows — generate GRADIENT-frame AVIs (pixel at
     * frame f, image coords (x, y): B=(7x+13y+5f+id)%256,

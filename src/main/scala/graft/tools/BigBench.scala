@@ -206,6 +206,7 @@ object BigBenchLlm {
       "multimodal_dedup_phash", "multimodal_dedup_ahash",
       "multimodal_dedup_phash_png", "multimodal_dedup_phash_jpeg",
       "multimodal_dedup_vhash", "multimodal_video_sample",
+      "multimodal_dedup_video_rescale",
       "dedup_ngram_jaccard_staged")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)

