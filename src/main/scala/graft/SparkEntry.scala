@@ -254,6 +254,8 @@ object SparkEntry {
       Multimodal.multimodalDedupPhashPng(s, d)),
     "multimodal_dedup_phash_jpeg" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPhashJpeg(s, d)),
+    "multimodal_dedup_jpeg_progressive" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupJpegProgressive(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupAhash(s, d)),
     "multimodal_dedup_vhash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -2623,6 +2625,15 @@ object SparkEntry {
     // form no matter what quantization did; background floor 13
     // measured through the full lossy pipe (tools.JpegProbe).
     "multimodal_dedup_phash_jpeg" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Cross-format twin: the progressive and baseline encoders
+    // quantize identical coefficients and successive approximation is
+    // lossless at Al=0, so the two frame types decode bit-identically
+    // — each planted pair (same pixels saved SOF2 vs SOF0, both
+    // directions) sits at Hamming 0 in closed form; background floor
+    // 13 measured through the lossy pipe (tools.JpegProbe).
+    "multimodal_dedup_jpeg_progressive" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Audio twin: frame-duplication resample provably preserves the

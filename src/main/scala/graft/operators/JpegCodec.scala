@@ -1,27 +1,34 @@
 package graft.operators
 
-/** Baseline-sequential JPEG codec, pure JVM — the last real-format
-  * gap in the perceptual-dedup tier. Everything here follows the
-  * public ITU-T T.81 spec (Annex K tables, Annex F flow): 8-bit
-  * baseline DCT, Huffman entropy coding, JFIF YCbCr.
+/** JPEG codec, pure JVM — the perceptual-dedup tier's path into the
+  * web's dominant image format. Everything here follows the public
+  * ITU-T T.81 spec (Annex K tables, Annex F sequential flow, Annex G
+  * progressive flow): 8-bit DCT, Huffman entropy coding, JFIF YCbCr.
   *
   * Scope is deliberate:
-  *  - DECODE ([[decode]]): baseline sequential (SOF0), 8-bit, 1
-  *    component (gray) or 3 components with sampling factors 1–2 —
-  *    4:4:4, 4:2:2, 4:4:0 and the 4:2:0 that dominates real crawls —
-  *    interleaved MCUs, nearest-neighbor chroma upsample, optional
-  *    restart intervals. Progressive (SOF2), arithmetic coding,
-  *    12-bit, exotic sampling ratios, and >3 components REJECT
-  *    (None) — never mis-decode. The same hostile-input posture as
-  *    the other decoders: lengths advance in Long, streams must
-  *    terminate, malformed Huffman/marker structure returns None,
-  *    never throws.
-  *  - ENCODE ([[encode]]): 4:4:4 or 4:2:0 baseline with the Annex K
-  *    example quantization tables (scaled by `quality`, the libjpeg
-  *    formula) and the Annex K "typical" Huffman tables — the fixture
-  *    generator side of the seam, so the decoder is exercised by real
-  *    entropy-coded scans (including subsampled interleaved MCUs)
-  *    rather than hand-packed stubs.
+  *  - DECODE ([[decode]]): baseline sequential (SOF0) AND progressive
+  *    (SOF2) — spectral selection, successive approximation, EOB runs
+  *    — 8-bit, 1 component (gray) or 3 components with sampling
+  *    factors 1–2 (4:4:4, 4:2:2, 4:4:0 and the 4:2:0 that dominates
+  *    real crawls), interleaved and per-component scans, nearest-
+  *    neighbor chroma upsample, optional restart intervals. The
+  *    decoder is coefficient-buffered (scans accumulate into
+  *    per-component grids; one dequantize+IDCT pass at EOI), so the
+  *    two frame types share every code path below the scan layer.
+  *    Arithmetic coding, 12-bit, hierarchical, exotic sampling
+  *    ratios, and >3 components REJECT (None) — never mis-decode.
+  *    The same hostile-input posture as the other decoders: lengths
+  *    are bounds-checked, streams must terminate, malformed
+  *    Huffman/marker structure returns None, never throws.
+  *  - ENCODE ([[encode]] baseline, [[encodeProgressive]] the 10-scan
+  *    libjpeg script): 4:4:4 or 4:2:0 with the Annex K example
+  *    quantization tables (scaled by `quality`, the libjpeg formula) —
+  *    the fixture generator side of the seam, so the decoder is
+  *    exercised by real entropy-coded scans (subsampled interleaved
+  *    MCUs, EOB-run accumulation, correction-bit buffering) rather
+  *    than hand-packed stubs. Both encoders quantize identical
+  *    coefficients, so their decodes are BIT-IDENTICAL — the
+  *    closed-form identity behind `multimodal_dedup_jpeg_progressive`.
   *
   * JPEG is LOSSY, so decode(encode(px)) ≈ px, never ==. The planted-
   * clone dedup oracle stays CLOSED-FORM anyway: the clone pipeline is
@@ -281,34 +288,8 @@ object JpegCodec {
     val qY = scaledQ(QLum, quality)
     val qC = scaledQ(QChrom, quality)
     val (hY, vY) = if (subsample) (2, 2) else (1, 1)
-    val mcuW = 8 * hY; val mcuH = 8 * vY
-    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
-    // full-res planar YCbCr, edge-replicated to full MCU coverage
-    val fw = mcusX * mcuW; val fh = mcusY * mcuH
-    val full = Array.ofDim[Double](3, fw * fh)
-    var y = 0
-    while (y < fh) {
-      val sy = math.min(y, h - 1)
-      var x = 0
-      while (x < fw) {
-        val sx = math.min(x, w - 1)
-        val o = (sy * w + sx) * 3
-        val b = px(o) & 0xff; val g = px(o + 1) & 0xff; val r = px(o + 2) & 0xff
-        val i = y * fw + x
-        full(0)(i) = 0.299 * r + 0.587 * g + 0.114 * b
-        full(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        full(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        x += 1
-      }
-      y += 1
-    }
-    // chroma planes: full res at 4:4:4, 2×2 average at 4:2:0
-    val cw = if (subsample) fw / 2 else fw
-    val ch = if (subsample) fh / 2 else fh
-    val planes = Array(full(0),
-      if (subsample) downsample2(full(1), fw, fh) else full(1),
-      if (subsample) downsample2(full(2), fw, fh) else full(2))
-    val planeW = Array(fw, cw, cw)
+    val mcusX = (w + 8 * hY - 1) / (8 * hY); val mcusY = (h + 8 * vY - 1) / (8 * vY)
+    val (planes, planeW) = prepPlanes(px, w, h, hY, vY)
     val dcCodes = Array(buildCodes(DcLumBits, DcLumVals),
       buildCodes(DcChromBits, DcChromVals))
     val acCodes = Array(buildCodes(AcLumBits, AcLumVals),
@@ -365,6 +346,40 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Full-MCU edge-replicated planar YCbCr prep shared by the baseline
+    * and progressive encoders: BGR triples → (Y, Cb, Cr) planes (chroma
+    * 2×2-averaged when hY=vY=2) and their widths. Pure — extracting it
+    * changes no encoded byte. */
+  private def prepPlanes(px: Array[Byte], w: Int, h: Int, hY: Int, vY: Int)
+      : (Array[Array[Double]], Array[Int]) = {
+    val mcuW = 8 * hY; val mcuH = 8 * vY
+    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
+    val fw = mcusX * mcuW; val fh = mcusY * mcuH
+    val full = Array.ofDim[Double](3, fw * fh)
+    var y = 0
+    while (y < fh) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < fw) {
+        val sx = math.min(x, w - 1)
+        val o = (sy * w + sx) * 3
+        val b = px(o) & 0xff; val g = px(o + 1) & 0xff; val r = px(o + 2) & 0xff
+        val i = y * fw + x
+        full(0)(i) = 0.299 * r + 0.587 * g + 0.114 * b
+        full(1)(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        full(2)(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val subsample = hY == 2
+    val cw = if (subsample) fw / 2 else fw
+    val planes = Array(full(0),
+      if (subsample) downsample2(full(1), fw, fh) else full(1),
+      if (subsample) downsample2(full(2), fw, fh) else full(2))
+    (planes, Array(fw, cw, cw))
+  }
+
   /** 2×2 box average — the standard chroma downsample. Input dims are
     * even (MCU-padded). */
   private def downsample2(p: Array[Double], w: Int, h: Int): Array[Double] = {
@@ -380,6 +395,247 @@ object JpegCodec {
       y += 1
     }
     out
+  }
+
+  /** Progressive AC Huffman table for the fixture encoder: every
+    * (run, size) symbol with size ≤ 13 — which covers all EOBn and ZRL
+    * codes (size 0) and any magnitude a q≥1 quantizer can produce — at
+    * a flat 8-bit code length. 224 of 256 slots is a valid canonical
+    * prefix code; wasteful on purpose, fixtures optimize for exercising
+    * decoder paths, not compression. */
+  private val FlatAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 224, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val FlatAcVals = (for { r <- 0 to 15; s <- 0 to 13 } yield (r << 4) | s).toArray
+
+  /** Encode top-down BGR triples as a PROGRESSIVE (SOF2) JFIF JPEG —
+    * libjpeg's default 10-scan script: interleaved DC first at Al=1,
+    * split-band AC first passes (luma 1–5 then 6–63 at Al=2, chroma
+    * 1–63 at Al=1), a DC refinement, then AC successive-approximation
+    * refinements down to Al=0, so a decoder must get EOB runs, ZRL
+    * folding, and correction-bit ordering right to reproduce the image.
+    * The quantized coefficients are EXACTLY the baseline [[encode]]'s
+    * (same plane prep via [[prepPlanes]], same FDCT, same rounding) and
+    * successive approximation is lossless once Al reaches 0, so the
+    * progressive and baseline encodings of the same pixels decode
+    * BIT-IDENTICALLY — the closed-form identity the
+    * `multimodal_dedup_jpeg_progressive` oracle row rides. */
+  def encodeProgressive(px: Array[Byte], w: Int, h: Int, quality: Int = 90,
+                        subsample: Boolean = false): Array[Byte] = {
+    val qY = scaledQ(QLum, quality); val qC = scaledQ(QChrom, quality)
+    val (hY, vY) = if (subsample) (2, 2) else (1, 1)
+    val mcusX = (w + 8 * hY - 1) / (8 * hY); val mcusY = (h + 8 * vY - 1) / (8 * vY)
+    val (planes, planeW) = prepPlanes(px, w, h, hY, vY)
+    val compH = Array(hY, 1, 1); val compV = Array(vY, 1, 1)
+    val blocksW = Array.tabulate(3)(c => mcusX * compH(c))
+    val blocksH = Array.tabulate(3)(c => mcusY * compV(c))
+    // quantize every padded block up front (natural-order ints): the
+    // same values the baseline encoder streams, held for multi-scan use
+    val coefs = Array.tabulate(3) { c =>
+      val tq = if (c == 0) qY else qC
+      val cf = new Array[Int](blocksW(c) * blocksH(c) * 64)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val block = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            block(i) = planes(c)((by * 8 + i / 8) * planeW(c) + bx * 8 + i % 8) - 128.0
+            i += 1
+          }
+          val f = fdct(block)
+          val base = (by * blocksW(c) + bx) * 64
+          i = 0
+          while (i < 64) { cf(base + i) = math.round(f(i) / tq(i)).toInt; i += 1 }
+          bx += 1
+        }
+        by += 1
+      }
+      cf
+    }
+    val dcCodes = Array(buildCodes(DcLumBits, DcLumVals),
+      buildCodes(DcChromBits, DcChromVals))
+    val acCodes = buildCodes(FlatAcBits, FlatAcVals)
+    // the T.81 scan grids: padded MCU grid for interleaved DC scans,
+    // the component's own (unpadded) block grid for single-comp scans
+    def compBlocksW(c: Int) = ((w * compH(c) + hY - 1) / hY + 7) / 8
+    def compBlocksH(c: Int) = ((h * compV(c) + vY - 1) / vY + 7) / 8
+    def iterate(comps: Array[Int], f: (Int, Int, Int) => Unit): Unit =
+      if (comps.length > 1) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            comps.foreach { ci =>
+              var i = 0
+              while (i < compV(ci)) {
+                var j = 0
+                while (j < compH(ci)) { f(ci, mx * compH(ci) + j, my * compV(ci) + i); j += 1 }
+                i += 1
+              }
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val ci = comps(0)
+        var by = 0
+        while (by < compBlocksH(ci)) {
+          var bx = 0
+          while (bx < compBlocksW(ci)) { f(ci, bx, by); bx += 1 }
+          by += 1
+        }
+      }
+
+    def scanBytes(comps: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Array[Byte] = {
+      val bits = new BitWriter
+      if (ss == 0 && ah == 0) {
+        // DC first pass: Huffman-coded diffs of the point-transformed DC
+        val dcPred = new Array[Int](3)
+        iterate(comps, (ci, bx, by) => {
+          val v = coefs(ci)((by * blocksW(ci) + bx) * 64) >> al
+          val diff = v - dcPred(ci); dcPred(ci) = v
+          val (s, extra) = magnitude(diff)
+          val (c2, l2) = dcCodes(if (ci == 0) 0 else 1)(s)
+          bits.write(c2, l2)
+          if (s > 0) bits.write(extra, s)
+        })
+      } else if (ss == 0) {
+        // DC refinement: one raw bit per block, no Huffman coding
+        iterate(comps, (ci, bx, by) =>
+          bits.write((coefs(ci)((by * blocksW(ci) + bx) * 64) >> al) & 1, 1))
+      } else if (ah == 0) {
+        // AC first pass over one component's band: run/size symbols
+        // with EOBn accumulation across blocks (jcphuff.c AC_first)
+        val ci = comps(0)
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (c2, l2) = acCodes(nb << 4); bits.write(c2, l2)
+          if (nb > 0) bits.write(eobrun & ((1 << nb) - 1), nb)
+          eobrun = 0
+        }
+        iterate(comps, (_, bx, by) => {
+          val base = (by * blocksW(ci) + bx) * 64
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val v0 = coefs(ci)(base + Zigzag(k))
+            // T.81 AC point transform: magnitude shift (truncate to 0)
+            val v = if (v0 < 0) -((-v0) >> al) else v0 >> al
+            if (v == 0) r += 1
+            else {
+              flushEob()
+              while (r > 15) { val (zc, zl) = acCodes(0xf0); bits.write(zc, zl); r -= 16 }
+              val (s, extra) = magnitude(v)
+              val (c2, l2) = acCodes((r << 4) | s)
+              bits.write(c2, l2); bits.write(extra, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        })
+        flushEob()
+      } else {
+        // AC refinement: newly-nonzero symbols + buffered correction
+        // bits for history coefficients (jcphuff.c AC_refine — the
+        // correction bits for coefficients under a pending EOB run ride
+        // AFTER the EOBn symbol, in block order)
+        val ci = comps(0)
+        var eobrun = 0
+        val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (c2, l2) = acCodes(nb << 4); bits.write(c2, l2)
+          if (nb > 0) bits.write(eobrun & ((1 << nb) - 1), nb)
+          eobrun = 0
+          beBits.foreach(b => bits.write(b, 1)); beBits.clear()
+        }
+        iterate(comps, (_, bx, by) => {
+          val base = (by * blocksW(ci) + bx) * 64
+          val absv = new Array[Int](64)
+          var eob = ss - 1 // index of the last newly-nonzero coefficient
+          var k = ss
+          while (k <= se) {
+            val a = math.abs(coefs(ci)(base + Zigzag(k))) >> al
+            absv(k) = a
+            if (a == 1) eob = k
+            k += 1
+          }
+          var r = 0
+          val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = ss
+          while (k <= se) {
+            val temp = absv(k)
+            if (temp == 0) r += 1
+            else {
+              // ZRLs only when they can't fold into a later EOB
+              while (r > 15 && k <= eob) {
+                flushEob()
+                val (zc, zl) = acCodes(0xf0); bits.write(zc, zl)
+                r -= 16
+                brBits.foreach(b => bits.write(b, 1)); brBits.clear()
+              }
+              if (temp > 1) brBits += (temp & 1) // history coef: correction bit
+              else {
+                flushEob()
+                val (c2, l2) = acCodes((r << 4) | 1); bits.write(c2, l2)
+                bits.write(if (coefs(ci)(base + Zigzag(k)) < 0) 0 else 1, 1)
+                brBits.foreach(b => bits.write(b, 1)); brBits.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || brBits.nonEmpty) {
+            eobrun += 1
+            beBits ++= brBits
+            if (eobrun == 0x7fff || beBits.length > 900) flushEob()
+          }
+        })
+        flushEob()
+      }
+      bits.finish()
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, (Array(0) ++ Zigzag.map(qY(_))).map(_.toByte))
+    seg(0xdb, (Array(1) ++ Zigzag.map(qC(_))).map(_.toByte))
+    val hvY = (hY << 4) | vY
+    seg(0xc2, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3) ++ // SOF2
+      Array(1, hvY, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte))
+    def dht(clazz: Int, id: Int, b: Array[Int], v: Array[Int]): Unit =
+      seg(0xc4, (Array((clazz << 4) | id) ++ b.drop(1) ++ v).map(_.toByte))
+    dht(0, 0, DcLumBits, DcLumVals); dht(0, 1, DcChromBits, DcChromVals)
+    dht(1, 0, FlatAcBits, FlatAcVals)
+    val script = Array(
+      (Array(0, 1, 2), 0, 0, 0, 1),
+      (Array(0), 1, 5, 0, 2),
+      (Array(1), 1, 63, 0, 1),
+      (Array(2), 1, 63, 0, 1),
+      (Array(0), 6, 63, 0, 2),
+      (Array(0, 1, 2), 0, 0, 1, 0),
+      (Array(0), 1, 63, 2, 1),
+      (Array(1), 1, 63, 1, 0),
+      (Array(2), 1, 63, 1, 0),
+      (Array(0), 1, 63, 1, 0))
+    script.foreach { case (comps, ss, se, ah, al) =>
+      val hdr = Array(comps.length) ++
+        comps.flatMap(ci => Array(ci + 1, ((if (ci == 0) 0 else 1) << 4) | 0)) ++
+        Array(ss, se, (ah << 4) | al)
+      seg(0xda, hdr.map(_.toByte))
+      out.write(scanBytes(comps, ss, se, ah, al))
+    }
+    marker(0xd9)
+    out.toByteArray
   }
 
   private class BitReader(bytes: Array[Byte], var pos: Int) {
@@ -420,9 +676,19 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline JPEG to top-down BGR triples (gray expands to
-    * B=G=R). None on anything outside the supported envelope or any
-    * malformed structure. */
+  /** Decode a baseline (SOF0) or progressive (SOF2) JPEG to top-down
+    * BGR triples (gray expands to B=G=R). Coefficient-buffered: every
+    * scan — sequential full-band (interleaved or per-component), DC
+    * first/refine, AC spectral-selection first passes and successive-
+    * approximation refinements with EOB runs (T.81 G.2, the layout
+    * real crawl JPEGs are saved in) — accumulates into per-component
+    * quantized-coefficient grids, and one dequantize+IDCT pass at EOI
+    * produces pixels, so baseline output is bit-identical to the former
+    * single-pass decode (same values, same math, deferred). None on
+    * anything outside the supported envelope (8-bit Huffman, 1 or 3
+    * components, sampling factors 1–2) or any malformed structure —
+    * reject, never mis-decode; lengths are bounds-checked and entropy
+    * streams must terminate. */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
@@ -431,185 +697,398 @@ object JpegCodec {
     val acT = new Array[Map[(Int, Int), Int]](4)
     var w = 0; var h = 0
     var nComp = 0
+    var progressive = false
+    var compId: Array[Int] = null
     var compQ: Array[Int] = null
     var compH: Array[Int] = null
     var compV: Array[Int] = null
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null // padded block-grid width per component
+    var coefs: Array[Array[Int]] = null // natural-order quantized coefficients
     var restartInterval = 0
-    var scanStart = -1
-    var compDc: Array[Int] = null
-    var compAc: Array[Int] = null
-    var off = 2L
+    var sawScan = false
+    val dcPred = new Array[Int](4)
+    var eobrun = 0
     def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
-    // ---- marker walk (hostile-length posture) ----
-    while (scanStart < 0) {
-      if (off + 4 > bytes.length) return None
-      if ((bytes(off.toInt) & 0xff) != 0xff) return None
-      val m = bytes(off.toInt + 1) & 0xff
-      if (m == 0xd9) return None // EOI before any scan
-      val len = be16(off.toInt + 2)
-      val next = off + 2L + len
-      if (len < 2 || next <= off || next > bytes.length.toLong) return None
-      val body = off.toInt + 4
-      m match {
-        case 0xdb => // DQT: one or more tables per segment
-          var p = body
-          while (p < next - 0) {
-            if (p >= bytes.length) return None
-            val pq = (bytes(p) >> 4) & 0xf
-            val tq = bytes(p) & 0xf
-            if (pq != 0 || tq > 3 || p + 65 > next) return None // 8-bit only
-            val t = new Array[Int](64)
-            var k = 0
-            while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
-            qt(tq) = t
-            p += 65
-          }
-        case 0xc4 => // DHT: one or more tables per segment
-          var p = body
-          while (p < next) {
-            val tc = (bytes(p) >> 4) & 0xf
-            val th = bytes(p) & 0xf
-            if (tc > 1 || th > 3 || p + 17 > next) return None
-            val b = new Array[Int](17)
-            var total = 0
-            var k = 1
-            while (k <= 16) { b(k) = bytes(p + k) & 0xff; total += b(k); k += 1 }
-            if (p + 17 + total > next) return None
-            val v = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
-            if (tc == 0) dcT(th) = buildDecode(b, v) else acT(th) = buildDecode(b, v)
-            p += 17 + total
-          }
-        case 0xc0 => // SOF0: baseline
-          if ((bytes(body) & 0xff) != 8) return None // 8-bit only
-          h = be16(body + 1); w = be16(body + 3)
-          nComp = bytes(body + 5) & 0xff
-          if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
-              (nComp != 1 && nComp != 3)) return None
-          compQ = new Array[Int](nComp)
-          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
-          var c = 0
-          while (c < nComp) {
-            val hv = bytes(body + 6 + c * 3 + 1) & 0xff
-            compH(c) = (hv >> 4) & 0xf; compV(c) = hv & 0xf
-            // sampling factors 1–2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
-            // — the layouts real crawls are made of; exotic ratios
-            // reject rather than risk a wrong upsample
-            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
-              return None
-            compQ(c) = bytes(body + 6 + c * 3 + 2) & 0xff
-            c += 1
-          }
-          if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // non-interleaved
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
-             0xcd | 0xce | 0xcf =>
-          return None // extended/progressive/arithmetic: out of envelope
-        case 0xdd => // DRI
-          restartInterval = be16(body)
-        case 0xda => // SOS
-          if (w == 0) return None // scan before frame
-          val ns = bytes(body) & 0xff
-          if (ns != nComp) return None
-          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
-          var c = 0
-          while (c < ns) {
-            compDc(c) = (bytes(body + 1 + c * 2 + 1) >> 4) & 0xf
-            compAc(c) = bytes(body + 1 + c * 2 + 1) & 0xf
-            c += 1
-          }
-          scanStart = next.toInt
-        case _ => // APPn/COM/...: skip
+
+    /** Entropy-decode one scan starting at `start`; returns the offset
+      * of the next marker after the entropy bytes, or -1 on corruption. */
+    def decodeScan(scomp: Array[Int], sdc: Array[Int], sac: Array[Int],
+                   ss: Int, se: Int, ah: Int, al: Int, start: Int): Int = {
+      val ns = scomp.length
+      val dcBand = ss == 0 && se == 0
+      val fullBand = ss == 0 && se == 63
+      if (progressive) {
+        // progressive scans carry either the DC band or one AC band,
+        // never both; AC bands are single-component (T.81 B.2.3)
+        if (ss == 0 && !dcBand) return -1
+        if (ss > 0 && (ns != 1 || se < ss || se > 63)) return -1
+        if (ah > 13 || al > 13) return -1
+      } else {
+        if (!fullBand || ah != 0 || al != 0) return -1
       }
-      off = next
-    }
-    var c = 0
-    while (c < nComp) {
-      if (compQ(c) > 3 || qt(compQ(c)) == null ||
-          dcT(compDc(c)) == null || acT(compAc(c)) == null) return None
-      c += 1
-    }
-    // ---- entropy decode: interleaved MCUs of v_c×h_c blocks/comp ----
-    val hmax = compH.max; val vmax = compV.max
-    val mcuW = 8 * hmax; val mcuH = 8 * vmax
-    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
-    // each component decodes at its own resolution; upsample at output
-    val planeW = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
-    val planes = Array.tabulate(nComp)(c =>
-      new Array[Double](planeW(c) * mcusY * 8 * compV(c)))
-    val reader = new BitReader(bytes, scanStart)
-    val dcPred = new Array[Int](nComp)
-    def huffDecode(table: Map[(Int, Int), Int]): Int = {
-      var code = 0
-      var len = 0
-      while (len < 16) {
-        code = (code << 1) | reader.bit()
-        len += 1
-        table.get((len, code)) match {
-          case Some(v) => return v
-          case None    =>
+      var i = 0
+      while (i < ns) {
+        // DC refinement is raw bits — no Huffman table needed
+        if ((dcBand || fullBand) && ah == 0 && dcT(sdc(i)) == null) return -1
+        if ((ss > 0 || fullBand) && acT(sac(i)) == null) return -1
+        i += 1
+      }
+      val reader = new BitReader(bytes, start)
+      java.util.Arrays.fill(dcPred, 0)
+      eobrun = 0
+      def huffDecode(table: Map[(Int, Int), Int]): Int = {
+        var code = 0
+        var len = 0
+        while (len < 16) {
+          code = (code << 1) | reader.bit()
+          len += 1
+          table.get((len, code)) match {
+            case Some(v) => return v
+            case None    =>
+          }
+          if (reader.bad) return -1
         }
-        if (reader.bad) return -1
+        -1
+      }
+      def fullBlock(si: Int, bx: Int, by: Int): Boolean = {
+        val ci = scomp(si)
+        val cf = coefs(ci)
+        val base = (by * blocksW(ci) + bx) * 64
+        val s = huffDecode(dcT(sdc(si)))
+        if (s < 0 || s > 11 || reader.bad) return false
+        dcPred(ci) += extend(reader.bits(s), s)
+        cf(base) = dcPred(ci)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(acT(sac(si)))
+          if (rs < 0 || reader.bad) return false
+          if (rs == 0x00) k = 64 // EOB
+          else if (rs == 0xf0) k += 16 // ZRL
+          else {
+            k += (rs >> 4)
+            if (k > 63) return false
+            val sz = rs & 0xf
+            cf(base + Zigzag(k)) = extend(reader.bits(sz), sz)
+            k += 1
+          }
+        }
+        !reader.bad
+      }
+      def dcFirst(si: Int, bx: Int, by: Int): Boolean = {
+        val ci = scomp(si)
+        val s = huffDecode(dcT(sdc(si)))
+        if (s < 0 || s > 11 || reader.bad) return false
+        dcPred(ci) += extend(reader.bits(s), s)
+        coefs(ci)((by * blocksW(ci) + bx) * 64) = dcPred(ci) << al
+        !reader.bad
+      }
+      def dcRefine(si: Int, bx: Int, by: Int): Boolean = {
+        val ci = scomp(si)
+        if (reader.bit() == 1)
+          coefs(ci)((by * blocksW(ci) + bx) * 64) |= (1 << al)
+        !reader.bad
+      }
+      def acFirst(si: Int, bx: Int, by: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true } // block inside an EOB run
+        val ci = scomp(si)
+        val cf = coefs(ci)
+        val base = (by * blocksW(ci) + bx) * 64
+        var k = ss
+        while (k <= se) {
+          val rs = huffDecode(acT(sac(si)))
+          if (rs < 0 || reader.bad) return false
+          val r = rs >> 4; val sz = rs & 15
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { // EOBn: this block plus (run-1) more end here
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += reader.bits(r)
+              k = se + 1
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            cf(base + Zigzag(k)) = extend(reader.bits(sz), sz) << al
+            k += 1
+          }
+        }
+        !reader.bad
+      }
+      // jdphuff.c decode_mcu_AC_refine: newly-nonzero symbols interleave
+      // with correction bits for already-nonzero coefficients; blocks
+      // covered by an EOB run still consume correction bits
+      def acRefine(si: Int, bx: Int, by: Int): Boolean = {
+        val ci = scomp(si)
+        val cf = coefs(ci)
+        val base = (by * blocksW(ci) + bx) * 64
+        val p1 = 1 << al; val m1 = -(1 << al)
+        var k = ss
+        if (eobrun == 0) {
+          var outer = true
+          while (outer && k <= se) {
+            val rs = huffDecode(acT(sac(si)))
+            if (rs < 0 || reader.bad) return false
+            var r = rs >> 4
+            var s = 0
+            if ((rs & 15) != 0) {
+              if ((rs & 15) != 1) return false // refinement admits only size 1
+              s = if (reader.bit() == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += reader.bits(r)
+              outer = false // rest of this block joins the EOB-run tail below
+            }
+            if (outer) {
+              // advance over r zero-history coefs, appending correction
+              // bits to nonzero-history ones along the way
+              var inner = true
+              while (inner && k <= se) {
+                val z = base + Zigzag(k)
+                if (cf(z) != 0) {
+                  if (reader.bit() == 1 && (cf(z) & p1) == 0)
+                    cf(z) += (if (cf(z) >= 0) p1 else m1)
+                  k += 1
+                } else {
+                  r -= 1
+                  if (r < 0) inner = false // the target zero position: land here
+                  else k += 1
+                }
+              }
+              if (s != 0) {
+                if (k > se) return false // run past the band: corrupt
+                cf(base + Zigzag(k)) = s
+              }
+              k += 1
+            }
+            if (reader.bad) return false
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) { // correction bits under the EOB run
+            val z = base + Zigzag(k)
+            if (cf(z) != 0) {
+              if (reader.bit() == 1 && (cf(z) & p1) == 0)
+                cf(z) += (if (cf(z) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        !reader.bad
+      }
+      def blockOf(si: Int, bx: Int, by: Int): Boolean =
+        if (fullBand) fullBlock(si, bx, by)
+        else if (dcBand) { if (ah == 0) dcFirst(si, bx, by) else dcRefine(si, bx, by) }
+        else { if (ah == 0) acFirst(si, bx, by) else acRefine(si, bx, by) }
+      if (ns > 1) {
+        // interleaved: the frame MCU grid, v×h blocks per component
+        val nMcu = mcusX * mcusY
+        var mcu = 0
+        while (mcu < nMcu) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!reader.restart()) return -1
+            java.util.Arrays.fill(dcPred, 0); eobrun = 0
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < ns) {
+            val ci = scomp(si)
+            var bi = 0
+            while (bi < compV(ci)) {
+              var bj = 0
+              while (bj < compH(ci)) {
+                if (!blockOf(si, mx * compH(ci) + bj, my * compV(ci) + bi))
+                  return -1
+                bj += 1
+              }
+              bi += 1
+            }
+            si += 1
+          }
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: the component's own (unpadded) block grid;
+        // restart intervals count blocks, not frame MCUs
+        val ci = scomp(0)
+        val bw = ((w * compH(ci) + hmax - 1) / hmax + 7) / 8
+        val bh = ((h * compV(ci) + vmax - 1) / vmax + 7) / 8
+        val nB = bw * bh
+        var b = 0
+        while (b < nB) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            if (!reader.restart()) return -1
+            java.util.Arrays.fill(dcPred, 0); eobrun = 0
+          }
+          if (!blockOf(0, b % bw, b / bw)) return -1
+          b += 1
+        }
+      }
+      if (reader.bad) return -1
+      // step to the next marker: skip pad bits, stuffed bytes, stray
+      // RSTs and 0xff fill
+      var p = reader.pos
+      while (p + 1 < bytes.length) {
+        if ((bytes(p) & 0xff) == 0xff) {
+          val m2 = bytes(p + 1) & 0xff
+          if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) p += 2
+          else if (m2 == 0xff) p += 1
+          else return p
+        } else p += 1
       }
       -1
     }
-    def decodeBlock(comp: Int, bx: Int, by: Int): Boolean = {
-      val q = qt(compQ(comp))
-      val coef = new Array[Double](64)
-      val s = huffDecode(dcT(compDc(comp)))
-      if (s < 0 || s > 11 || reader.bad) return false
-      dcPred(comp) += extend(reader.bits(s), s)
-      coef(0) = dcPred(comp).toDouble * q(0)
-      var k = 1
-      while (k < 64) {
-        val rs = huffDecode(acT(compAc(comp)))
-        if (rs < 0 || reader.bad) return false
-        if (rs == 0x00) k = 64 // EOB
-        else if (rs == 0xf0) k += 16 // ZRL
-        else {
-          k += (rs >> 4)
-          if (k > 63) return false
-          val sz = rs & 0xf
-          coef(Zigzag(k)) = extend(reader.bits(sz), sz).toDouble * q(Zigzag(k))
-          k += 1
+
+    // ---- marker walk until EOI (hostile-length posture) ----
+    var off = 2
+    var eoi = false
+    while (!eoi) {
+      if (off + 2 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xff) off += 1 // fill byte before a marker
+      else if (m == 0xd9) eoi = true
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // TEM / stray RST
+      else {
+        if (off + 4 > bytes.length) return None
+        val len = be16(off + 2)
+        val next = off + 2 + len
+        if (len < 2 || next <= off || next > bytes.length) return None
+        val body = off + 4
+        var scanEnd = -1
+        m match {
+          case 0xdb => // DQT: one or more tables per segment
+            var p = body
+            while (p < next) {
+              if (p >= bytes.length) return None
+              val pq = (bytes(p) >> 4) & 0xf
+              val tq = bytes(p) & 0xf
+              if (pq != 0 || tq > 3 || p + 65 > next) return None // 8-bit only
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+              qt(tq) = t
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables per segment
+            var p = body
+            while (p < next) {
+              val tc = (bytes(p) >> 4) & 0xf
+              val th = bytes(p) & 0xf
+              if (tc > 1 || th > 3 || p + 17 > next) return None
+              val b = new Array[Int](17)
+              var total = 0
+              var k = 1
+              while (k <= 16) { b(k) = bytes(p + k) & 0xff; total += b(k); k += 1 }
+              if (p + 17 + total > next) return None
+              val v = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
+              if (tc == 0) dcT(th) = buildDecode(b, v) else acT(th) = buildDecode(b, v)
+              p += 17 + total
+            }
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            if (w != 0) return None // one frame per stream
+            progressive = m == 0xc2
+            if ((bytes(body) & 0xff) != 8) return None // 8-bit only
+            h = be16(body + 1); w = be16(body + 3)
+            nComp = bytes(body + 5) & 0xff
+            if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
+                (nComp != 1 && nComp != 3)) return None
+            if (body + 6 + nComp * 3 > next) return None
+            compId = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp); compV = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = bytes(body + 6 + c * 3) & 0xff
+              val hv = bytes(body + 6 + c * 3 + 1) & 0xff
+              compH(c) = (hv >> 4) & 0xf; compV(c) = hv & 0xf
+              // sampling factors 1–2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+              // — the layouts real crawls are made of; exotic ratios
+              // reject rather than risk a wrong upsample
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return None
+              compQ(c) = bytes(body + 6 + c * 3 + 2) & 0xff
+              c += 1
+            }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // single-comp: no subsampling
+            hmax = compH.max; vmax = compV.max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            blocksW = Array.tabulate(nComp)(c2 => mcusX * compH(c2))
+            coefs = Array.tabulate(nComp)(c2 =>
+              new Array[Int](blocksW(c2) * mcusY * compV(c2) * 64))
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // extended/lossless/arithmetic: out of envelope
+          case 0xdd => // DRI
+            restartInterval = be16(body)
+          case 0xda => // SOS
+            if (w == 0) return None // scan before frame
+            val ns = bytes(body) & 0xff
+            if (ns < 1 || ns > 4 || body + 4 + ns * 2 > next) return None
+            val scomp = new Array[Int](ns)
+            val sdc = new Array[Int](ns); val sac = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = bytes(body + 1 + c * 2) & 0xff
+              val idx = compId.indexOf(cs)
+              if (idx < 0) return None
+              scomp(c) = idx
+              sdc(c) = (bytes(body + 2 + c * 2) >> 4) & 0xf
+              sac(c) = bytes(body + 2 + c * 2) & 0xf
+              if (sdc(c) > 3 || sac(c) > 3) return None
+              c += 1
+            }
+            val ss = bytes(body + 1 + ns * 2) & 0xff
+            val se = bytes(body + 2 + ns * 2) & 0xff
+            val ahal = bytes(body + 3 + ns * 2) & 0xff
+            scanEnd = decodeScan(scomp, sdc, sac, ss, se,
+              (ahal >> 4) & 0xf, ahal & 0xf, next)
+            if (scanEnd < 0) return None
+            sawScan = true
+          case _ => // APPn/COM/DNL/...: skip
         }
+        off = if (m == 0xda) scanEnd else next
       }
-      if (reader.bad) return false
-      val block = idct(coef)
-      var i = 0
-      while (i < 64) {
-        planes(comp)((by * 8 + i / 8) * planeW(comp) + bx * 8 + i % 8) =
-          block(i) + 128.0
-        i += 1
-      }
-      true
     }
-    var mcu = 0
-    val nMcu = mcusX * mcusY
-    while (mcu < nMcu) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        if (!reader.restart()) return None
-        java.util.Arrays.fill(dcPred, 0)
-      }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      var comp = 0
-      while (comp < nComp) {
+    if (!sawScan) return None
+    var c = 0
+    while (c < nComp) {
+      if (compQ(c) > 3 || qt(compQ(c)) == null) return None
+      c += 1
+    }
+    // ---- dequantize + IDCT every padded block into planar output ----
+    val planeW = blocksW.map(_ * 8)
+    val planes = Array.tabulate(nComp)(c2 =>
+      new Array[Double](planeW(c2) * mcusY * compV(c2) * 8))
+    c = 0
+    while (c < nComp) {
+      val q = qt(compQ(c))
+      val cf = coefs(c)
+      val bw = blocksW(c)
+      val nB = bw * mcusY * compV(c)
+      var b = 0
+      while (b < nB) {
+        val dq = new Array[Double](64)
         var i = 0
-        while (i < compV(comp)) {
-          var j = 0
-          while (j < compH(comp)) {
-            if (!decodeBlock(comp, mx * compH(comp) + j, my * compV(comp) + i))
-              return None
-            j += 1
-          }
+        while (i < 64) { dq(i) = cf(b * 64 + i).toDouble * q(i); i += 1 }
+        val block = idct(dq)
+        val bx = b % bw; val by = b / bw
+        i = 0
+        while (i < 64) {
+          planes(c)((by * 8 + i / 8) * planeW(c) + bx * 8 + i % 8) =
+            block(i) + 128.0
           i += 1
         }
-        comp += 1
+        b += 1
       }
-      mcu += 1
+      c += 1
     }
     // ---- upsample (nearest) + color convert to the BGR convention ----
     def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
-    def sample(c: Int, x: Int, yy: Int): Double =
-      planes(c)((yy * compV(c) / vmax) * planeW(c) + (x * compH(c) / hmax))
+    def sample(c2: Int, x: Int, yy: Int): Double =
+      planes(c2)((yy * compV(c2) / vmax) * planeW(c2) + (x * compH(c2) / hmax))
     val px = new Array[Byte](w * h * 3)
     var yy = 0
     while (yy < h) {

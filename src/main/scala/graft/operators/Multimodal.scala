@@ -1021,6 +1021,57 @@ object Multimodal {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Registered query (HARD oracle): perceptual dedup across the
+    * PROGRESSIVE/BASELINE JPEG boundary — the same photo saved
+    * interlaced vs sequential is the same photo, and a byte-level or
+    * even container-level dedup cannot see it. Both encoders quantize
+    * identical coefficients and successive approximation is lossless
+    * once Al reaches 0, so the two files decode BIT-IDENTICALLY and
+    * each planted cross-format pair sits at exactly Hamming 0 — closed
+    * form, quantization never enters the identity (it cancels, rather
+    * than being bypassed as in the lossless-upscale rows). Even ids
+    * put the SOF2 decode path (spectral selection, EOB runs,
+    * correction bits) on the oracle-verified path for half the corpus
+    * at every sf; the texture content equals the jpeg tier's, so the
+    * measured background floor (min non-planted Hamming 13,
+    * tools.JpegProbe) keeps false pairs out of the ≤ 4 gate. */
+  def multimodalDedupJpegProgressive(spark: SparkSession, dir: String,
+                                     limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(jpegProgSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=dHash64) signatures behind
+    * [[multimodalDedupJpegProgressive]]: even ids encode progressive,
+    * odd ids baseline; for doc_id < 10 the clone under doc_id + 10M is
+    * the SAME pixels saved in the OTHER frame type (both directions of
+    * the cross-format identity), every third id 4:2:0. */
+  def jpegProgSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        def hashOf(bytes: Array[Byte]): Long = {
+          val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
+          dHash64(dpx, dw, dh)
+        }
+        it.flatMap { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val px = MediaTransform.texturePixels(w, h, id)
+          val sub = id % 3 == 0
+          val base = (id, hashOf(
+            if (id % 2 == 0) JpegCodec.encodeProgressive(px, w, h, 90, sub)
+            else JpegCodec.encode(px, w, h, 90, sub)))
+          if (id < 10) {
+            val other = hashOf(
+              if (id % 2 == 0) JpegCodec.encode(px, w, h, 90, sub)
+              else JpegCodec.encodeProgressive(px, w, h, 90, sub))
+            Iterator(base, (id + 10000000L, other))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
   /** 64-bit aHash (frame-loudness delta hash) — the audio analogue of
     * [[dHash64]]: nearest-neighbor decimate the interleaved PCM stream
     * to 65 representative frames (frame j at index ⌊j·frames/65⌋ — the

@@ -341,16 +341,53 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.dHash64(u2px, u2w, u2h) === Multimodal.dHash64(spx, sw, sh))
     // truncated scan: must reject, never overrun or spin
     assert(JpegCodec.decode(jpg.take(jpg.length - 10)) === None)
-    // progressive (SOF2) is out of envelope: flip the SOF marker byte
+    // a full-band (Ss=0..63) scan inside a SOF2 frame is structurally
+    // invalid (progressive bans mixed DC+AC bands): flip the SOF marker
+    // on a baseline file and the decoder must reject, not mis-decode
     val prog = jpg.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
-    assert(JpegCodec.decode(prog) === None, "progressive must reject")
+    assert(JpegCodec.decode(prog) === None, "full-band scan in SOF2 must reject")
     // header-only stub (MediaEncoder.jpeg, no scan): undecodable
     assert(JpegCodec.decode(Multimodal.MediaEncoder.jpeg(16, 16, 3)) === None)
     assert(pixelsOf(Multimodal.MediaEncoder.jpeg(16, 16, 3)) === None)
     assert(JpegCodec.decode("hello".getBytes) === None)
+  }
+
+  test("progressive JPEG: decodes bit-identically to baseline at every size and subsampling") {
+    import Multimodal.MediaTransform._
+    import graft.operators.JpegCodec
+    // Successive approximation is lossless once Al reaches 0 and both
+    // encoders quantize identical coefficients, so the 10-scan
+    // progressive file must reproduce the EXACT baseline pixels — any
+    // EOB-run, ZRL-folding, or correction-bit-ordering bug in either
+    // direction breaks equality on hash-textured (worst-case) content.
+    for {
+      (w, h) <- Seq((8, 8), (23, 17), (16, 40), (41, 33))
+      sub <- Seq(false, true)
+      id <- Seq(7L, 42L, 1001L)
+    } {
+      val px = texturePixels(w, h, id)
+      val base = JpegCodec.decode(JpegCodec.encode(px, w, h, 90, sub)).get
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressive(px, w, h, 90, sub)).get
+      assert(prog._1 === base._1 && prog._2 === base._2,
+        s"dims w=$w h=$h sub=$sub id=$id")
+      assert(prog._3 === base._3,
+        s"pixel mismatch w=$w h=$h sub=$sub id=$id")
+    }
+    // smooth gradients too (long zero runs → deep EOB-run accumulation)
+    for ((w, h) <- Seq((32, 32), (24, 9))) {
+      val px = (0 until w * h * 3).map(i => ((i / 3) % 256).toByte).toArray
+      assert(JpegCodec.decode(JpegCodec.encodeProgressive(px, w, h, 90)).get._3 ===
+        JpegCodec.decode(JpegCodec.encode(px, w, h, 90)).get._3)
+    }
+    // the sniffer routes SOF2 files through the same seam
+    val px = texturePixels(23, 17, 42L)
+    val pj = JpegCodec.encodeProgressive(px, 23, 17, 90)
+    assert(pixelsOf(pj).get._3 === JpegCodec.decode(pj).get._3)
+    // truncating a mid-file scan must reject, never overrun
+    assert(JpegCodec.decode(pj.take(pj.length / 2)) === None)
   }
 
   test("JPEG perceptual dedup: lossless-upscale clones at Hamming 0, recompression near-invariant") {
@@ -375,6 +412,15 @@ class MultimodalSpec extends SparkSuite {
 
   test("multimodal_dedup_phash_jpeg finds exactly the planted clones, at Hamming 0") {
     val out = Multimodal.multimodalDedupPhashJpeg(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+  }
+
+  test("multimodal_dedup_jpeg_progressive finds exactly the cross-format clones, at Hamming 0") {
+    val out = Multimodal.multimodalDedupJpegProgressive(spark, SparkSpec.sfTiny)
       .as[(Long, Long, Int)].collect().sorted
     assert(out.length === 10, s"got ${out.toSeq}")
     out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
