@@ -254,6 +254,8 @@ object SparkEntry {
       Multimodal.multimodalDedupPhashPng(s, d)),
     "multimodal_dedup_phash_jpeg" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPhashJpeg(s, d)),
+    "multimodal_dedup_png_palette" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupPngPalette(s, d)),
     "multimodal_dedup_jpeg_progressive" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupJpegProgressive(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -264,6 +266,8 @@ object SparkEntry {
       Multimodal.multimodalVideoSample(s, d)),
     "multimodal_dedup_video_rescale" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupVideoRescale(s, d)),
+    "multimodal_dedup_video_mjpeg" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupVideoMjpeg(s, d)),
   )
 
   /** DSIR importance-weight oracle — shared verbatim between
@@ -2627,6 +2631,15 @@ object SparkEntry {
     "multimodal_dedup_phash_jpeg" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Full-matrix PNG twin: palette lookup, Adam7 deinterlace, 16-bit
+    // high-byte and depth-4 gray scaling are all LOSSLESS for this
+    // population, so a re-encode in any other variant decodes
+    // bit-identically and each planted cross-variant pair sits at
+    // Hamming 0 in closed form; background floor spec-measured on the
+    // row's own grayscale population.
+    "multimodal_dedup_png_palette" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Cross-format twin: the progressive and baseline encoders
     // quantize identical coefficients and successive approximation is
     // lossless at Al=0, so the two frame types decode bit-identically
@@ -2660,6 +2673,14 @@ object SparkEntry {
     // measured separation, so no non-planted pair reaches 6 votes.
     "multimodal_dedup_video_rescale" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 8 AS matched_frames
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Compressed-video twin: the clone frame-duplicates the DECODED
+    // MJPEG frames at 2x fps and re-encodes losslessly (raw DIB), so
+    // the floor-of-floor identity pins Hamming 0 in closed form no
+    // matter what per-frame quantization did; every base signature
+    // runs the full RIFF+JPEG decode, background floor spec-measured.
+    "multimodal_dedup_video_mjpeg" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Closed-form gradient replay: every surviving byte of the
     // decimated, re-encoded clip is an arithmetic function of

@@ -393,24 +393,28 @@ object Multimodal {
       * per-scanline defilter), closing the format gap that made
       * perceptual dedup BMP-only: PNG is one of the two formats real
       * crawls are actually made of, and a header-level parse cannot
-      * feed [[Multimodal.dHash64]]. Coverage: bit depth 8, color
-      * types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced — the
-      * overwhelming majority of web PNGs; palette (3) and gray+alpha
-      * (4), 16-bit depth, and Adam7 interlacing are rejected (None),
-      * never mis-decoded. All five filter types (None/Sub/Up/Average/
-      * Paeth) are reconstructed per the spec. Output is top-down
-      * unpadded BGR triples — the same convention as [[bmpPixels]],
-      * so the dHash path is byte-identical downstream of the decode
-      * (alpha is dropped; gray expands to B=G=R).
+      * feed [[Multimodal.dHash64]]. Coverage: the COMPLETE legal PNG
+      * matrix — color types 0 (gray, depths 1/2/4/8/16), 2 (RGB,
+      * 8/16), 3 (palette, 1/2/4/8 + PLTE), 4 (gray+alpha, 8/16) and
+      * 6 (RGBA, 8/16), non-interlaced AND Adam7-interlaced (seven
+      * passes, each defiltered independently per the spec). 16-bit
+      * samples take the high byte; sub-8 gray scales by 255/(2^d−1)
+      * (exact, since 1/3/15 divide 255); alpha is dropped; palette
+      * indexes must stay inside PLTE. All five filter types
+      * (None/Sub/Up/Average/Paeth) are reconstructed per the spec.
+      * Output is top-down unpadded BGR triples — the same convention
+      * as [[bmpPixels]], so the dHash path is byte-identical
+      * downstream of the decode (gray expands to B=G=R).
       *
       * Untrusted-media posture (the [[MediaDecoder.decodeWav]]
       * contract): chunk lengths advance in Long and must strictly
       * increase within bounds; dimensions are capped; the inflated
-      * stream must be EXACTLY h·(stride+1) bytes; any zlib error or
-      * bad filter byte returns None, never throws. Chunk CRCs are not
-      * verified (a corrupt-but-inflatable stream decodes to garbage
-      * pixels, which dedup treats as just another image — the lenient
-      * posture most production decoders take). */
+      * stream must be EXACTLY the per-pass filtered size; any zlib
+      * error, bad filter byte, or out-of-range palette index returns
+      * None, never throws. Chunk CRCs are not verified (a
+      * corrupt-but-inflatable stream decodes to garbage pixels, which
+      * dedup treats as just another image — the lenient posture most
+      * production decoders take). */
     def pngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
       if (bytes.length < 33 || !sig.indices.forall(i => bytes(i) == sig(i))) return None
@@ -425,15 +429,23 @@ object Multimodal {
       val channels = colorType match {
         case 0 => 1
         case 2 => 3
+        case 3 => 1
+        case 4 => 2
         case 6 => 4
-        case _ => return None // palette/gray+alpha: reject, don't guess
+        case _ => return None
       }
-      if (bitDepth != 8 || interlace != 0 || bytes(26) != 0 || bytes(27) != 0)
+      val depthOk = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+        case 3 => Set(1, 2, 4, 8)(bitDepth)
+        case _ => bitDepth == 8 || bitDepth == 16
+      }
+      if (!depthOk || interlace > 1 || bytes(26) != 0 || bytes(27) != 0)
         return None
       if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
-          w.toLong * h * channels > (1L << 30)) return None
-      // chunk walk: concatenate the IDAT stream (may span many chunks)
+          w.toLong * h * channels * 2 > (1L << 30)) return None
+      // chunk walk: PLTE + concatenate the IDAT stream (may span chunks)
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
       var off = 8L
       var sawEnd = false
       while (!sawEnd && off + 8 <= bytes.length) {
@@ -443,11 +455,28 @@ object Multimodal {
         val next = off + 12L + len
         if (next <= off || next > bytes.length.toLong) return None
         if (ctype == "IDAT") idat.write(bytes, off.toInt + 8, len)
+        if (ctype == "PLTE") {
+          if (len % 3 != 0 || len > 768 || len == 0) return None
+          plte = java.util.Arrays.copyOfRange(bytes, off.toInt + 8, off.toInt + 8 + len)
+        }
         if (ctype == "IEND") sawEnd = true
         off = next
       }
-      val stride = w * channels
-      val expected = h.toLong * (stride + 1)
+      if (colorType == 3 && plte == null) return None
+      // pass geometry: one full pass when non-interlaced, Adam7 else
+      val passes: Array[(Int, Int, Int, Int)] = // (x0, y0, dx, dy)
+        if (interlace == 0) Array((0, 0, 1, 1))
+        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val bitsPP = channels * bitDepth
+      def pwOf(p: (Int, Int, Int, Int)) = if (w > p._1) (w - p._1 + p._3 - 1) / p._3 else 0
+      def phOf(p: (Int, Int, Int, Int)) = if (h > p._2) (h - p._2 + p._4 - 1) / p._4 else 0
+      def strideOf(pw: Int): Int = (pw * bitsPP + 7) / 8
+      val expected = passes.map { p =>
+        val pw = pwOf(p); val ph = phOf(p)
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (strideOf(pw) + 1)
+      }.sum
+      if (expected <= 0 || expected > (1L << 30)) return None
       val raw = new Array[Byte](expected.toInt)
       val inf = new java.util.zip.Inflater()
       try {
@@ -461,113 +490,217 @@ object Multimodal {
         if (total != raw.length) return None
       } catch { case _: java.util.zip.DataFormatException => return None }
       finally inf.end()
-      // defilter in place per scanline, predictors over RECONSTRUCTED
-      // bytes (cur and prior line), per the spec
-      val bpp = channels
-      val recon = new Array[Byte](h * stride)
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (stride + 1)) & 0xff
-        if (f > 4) return None
-        val src = y * (stride + 1) + 1
-        val dst = y * stride
-        var i = 0
-        while (i < stride) {
-          val a = if (i >= bpp) recon(dst + i - bpp) & 0xff else 0
-          val b = if (y > 0) recon(dst - stride + i) & 0xff else 0
-          val c = if (y > 0 && i >= bpp) recon(dst - stride + i - bpp) & 0xff else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) / 2
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          }
-          recon(dst + i) = ((raw(src + i) & 0xff) + pred).toByte
-          i += 1
-        }
-        y += 1
-      }
-      // expand to the BGR convention of bmpPixels
+      val bpp = math.max(1, bitsPP / 8)
       val px = new Array[Byte](w * h * 3)
-      var j = 0
-      while (j < w * h) {
-        val o = j * 3
-        colorType match {
-          case 0 =>
-            val g = recon(j); px(o) = g; px(o + 1) = g; px(o + 2) = g
-          case 2 =>
-            px(o) = recon(j * 3 + 2); px(o + 1) = recon(j * 3 + 1); px(o + 2) = recon(j * 3)
-          case 6 =>
-            px(o) = recon(j * 4 + 2); px(o + 1) = recon(j * 4 + 1); px(o + 2) = recon(j * 4)
+      var rawOff = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val p = passes(pi)
+        val pw = pwOf(p); val ph = phOf(p)
+        if (pw > 0 && ph > 0) {
+          val stride = strideOf(pw)
+          // defilter this pass in place, predictors over RECONSTRUCTED
+          // bytes (cur and prior line OF THE SAME PASS), per the spec
+          val recon = new Array[Byte](ph * stride)
+          var y = 0
+          while (y < ph) {
+            val f = raw(rawOff + y * (stride + 1)) & 0xff
+            if (f > 4) return None
+            val src = rawOff + y * (stride + 1) + 1
+            val dst = y * stride
+            var i = 0
+            while (i < stride) {
+              val a = if (i >= bpp) recon(dst + i - bpp) & 0xff else 0
+              val b = if (y > 0) recon(dst - stride + i) & 0xff else 0
+              val c = if (y > 0 && i >= bpp) recon(dst - stride + i - bpp) & 0xff else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => a
+                case 2 => b
+                case 3 => (a + b) / 2
+                case 4 =>
+                  val pp = a + b - c
+                  val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              }
+              recon(dst + i) = ((raw(src + i) & 0xff) + pred).toByte
+              i += 1
+            }
+            y += 1
+          }
+          rawOff += ph * (stride + 1)
+          // scatter this pass's pixels into the full-image BGR grid
+          def sampleAt(row: Int, idx: Int): Int = bitDepth match {
+            case 16 => recon(row * stride + idx * 2) & 0xff // high byte
+            case 8  => recon(row * stride + idx) & 0xff
+            case d =>
+              val bitPos = idx * d
+              val b = recon(row * stride + (bitPos >> 3)) & 0xff
+              (b >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
+          }
+          val maxV = (1 << math.min(bitDepth, 8)) - 1
+          var yy = 0
+          while (yy < ph) {
+            var xx = 0
+            while (xx < pw) {
+              val o = ((p._2 + yy * p._4) * w + (p._1 + xx * p._3)) * 3
+              colorType match {
+                case 0 =>
+                  val v0 = sampleAt(yy, xx)
+                  val g = (if (bitDepth >= 8) v0 else v0 * 255 / maxV).toByte
+                  px(o) = g; px(o + 1) = g; px(o + 2) = g
+                case 2 =>
+                  px(o) = sampleAt(yy, xx * 3 + 2).toByte
+                  px(o + 1) = sampleAt(yy, xx * 3 + 1).toByte
+                  px(o + 2) = sampleAt(yy, xx * 3).toByte
+                case 3 =>
+                  val i2 = sampleAt(yy, xx)
+                  if (i2 * 3 + 2 >= plte.length) return None
+                  px(o) = plte(i2 * 3 + 2); px(o + 1) = plte(i2 * 3 + 1); px(o + 2) = plte(i2 * 3)
+                case 4 =>
+                  val g = sampleAt(yy, xx * 2).toByte
+                  px(o) = g; px(o + 1) = g; px(o + 2) = g
+                case 6 =>
+                  px(o) = sampleAt(yy, xx * 4 + 2).toByte
+                  px(o + 1) = sampleAt(yy, xx * 4 + 1).toByte
+                  px(o + 2) = sampleAt(yy, xx * 4).toByte
+              }
+              xx += 1
+            }
+            yy += 1
+          }
         }
-        j += 1
+        pi += 1
       }
       Some((w, h, px))
     }
 
     /** Encode top-down BGR triples as a REAL compressed PNG (zlib
-      * `Deflater` IDAT; gray takes the B channel, RGBA writes opaque
-      * alpha). The filter type CYCLES y mod 5 across scanlines, so a
-      * single encode → [[pngPixels]] round trip exercises every
-      * defilter branch — a predictor bug anywhere breaks the
-      * round-trip spec AND the planted-clone Hamming-0 identity, not
-      * just one fixture. */
-    def encodePng(px: Array[Byte], w: Int, h: Int, colorType: Int = 2): Array[Byte] = {
-      val bpp = colorType match {
+      * `Deflater` IDAT) across the full legal matrix the decoder
+      * covers: gray (depths 1/2/4/8/16 — sub-8 requires exactly-
+      * representable grays, the fixture contract), RGB (8/16), PALETTE
+      * (first-seen color order, PLTE, depths 1/2/4/8), gray+alpha and
+      * RGBA (opaque alpha), non-interlaced or ADAM7. 16-bit samples
+      * write v·257 (both bytes v) so the high-byte decode recovers v
+      * exactly — every variant is a LOSSLESS re-encode, which is what
+      * the planted-clone Hamming-0 identities ride. The filter type
+      * CYCLES y mod 5 within each pass, so a single encode →
+      * [[pngPixels]] round trip exercises every defilter branch — a
+      * predictor bug anywhere breaks the round-trip spec AND the
+      * oracle identity, not just one fixture. (Gray takes the B
+      * channel — the decode convention.) */
+    def encodePng(px: Array[Byte], w: Int, h: Int, colorType: Int = 2,
+                  bitDepth: Int = 8, interlace: Boolean = false): Array[Byte] = {
+      val channels = colorType match {
         case 0 => 1
         case 2 => 3
+        case 3 => 1
+        case 4 => 2
         case 6 => 4
         case _ => throw new IllegalArgumentException(s"colorType $colorType")
       }
-      val stride = w * bpp
-      val raw = new Array[Byte](h * (stride + 1))
-      val line = new Array[Byte](stride)
-      val prev = new Array[Byte](stride)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val o = (y * w + x) * 3
-          colorType match {
-            case 0 => line(x) = px(o) // gray = B channel, deterministic
-            case 2 =>
-              line(x * 3) = px(o + 2); line(x * 3 + 1) = px(o + 1); line(x * 3 + 2) = px(o)
-            case 6 =>
-              line(x * 4) = px(o + 2); line(x * 4 + 1) = px(o + 1)
-              line(x * 4 + 2) = px(o); line(x * 4 + 3) = 0xff.toByte
-          }
-          x += 1
+      val depthOk = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+        case 3 => Set(1, 2, 4, 8)(bitDepth)
+        case _ => bitDepth == 8 || bitDepth == 16
+      }
+      require(depthOk, s"depth $bitDepth unsupported for color type $colorType")
+      val palIdx = if (colorType == 3) {
+        val m = scala.collection.mutable.LinkedHashMap.empty[(Byte, Byte, Byte), Int]
+        var j = 0
+        while (j < w * h) {
+          val k = (px(j * 3), px(j * 3 + 1), px(j * 3 + 2))
+          if (!m.contains(k)) m(k) = m.size
+          j += 1
         }
-        val f = y % 5
-        raw(y * (stride + 1)) = f.toByte
-        var i = 0
-        while (i < stride) {
-          val a = if (i >= bpp) line(i - bpp) & 0xff else 0
-          val b = if (y > 0) prev(i) & 0xff else 0
-          val c = if (y > 0 && i >= bpp) prev(i - bpp) & 0xff else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) / 2
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          }
-          raw(y * (stride + 1) + 1 + i) = ((line(i) & 0xff) - pred).toByte
-          i += 1
+        require(m.size <= (1 << bitDepth),
+          s"${m.size} distinct colors exceed palette depth $bitDepth")
+        m
+      } else null
+      val maxV = (1 << math.min(bitDepth, 8)) - 1
+      def samplesOf(x: Int, y: Int): Array[Int] = {
+        val o = (y * w + x) * 3
+        colorType match {
+          case 0 =>
+            val g = px(o) & 0xff
+            if (bitDepth == 16) Array(g) // 16-bit writes (g, g) = g·257
+            else if (bitDepth == 8) Array(g)
+            else {
+              require(g * maxV % 255 == 0, s"gray $g not exact at depth $bitDepth")
+              Array(g * maxV / 255)
+            }
+          case 2 => Array(px(o + 2) & 0xff, px(o + 1) & 0xff, px(o) & 0xff)
+          case 3 => Array(palIdx((px(o), px(o + 1), px(o + 2))))
+          case 4 => Array(px(o) & 0xff, 0xff)
+          case 6 => Array(px(o + 2) & 0xff, px(o + 1) & 0xff, px(o) & 0xff, 0xff)
         }
-        System.arraycopy(line, 0, prev, 0, stride)
-        y += 1
+      }
+      val bitsPP = channels * bitDepth
+      val bpp = math.max(1, bitsPP / 8)
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (!interlace) Array((0, 0, 1, 1))
+        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val rawOut = new java.io.ByteArrayOutputStream()
+      passes.foreach { p =>
+        val pw = if (w > p._1) (w - p._1 + p._3 - 1) / p._3 else 0
+        val ph = if (h > p._2) (h - p._2 + p._4 - 1) / p._4 else 0
+        if (pw > 0 && ph > 0) {
+          val stride = (pw * bitsPP + 7) / 8
+          val prev = new Array[Byte](stride)
+          var yy = 0
+          while (yy < ph) {
+            val line = new Array[Byte](stride)
+            var bitPos = 0
+            var xx = 0
+            while (xx < pw) {
+              val s = samplesOf(p._1 + xx * p._3, p._2 + yy * p._4)
+              var c = 0
+              while (c < s.length) {
+                if (bitDepth == 16) {
+                  line(bitPos >> 3) = s(c).toByte
+                  line((bitPos >> 3) + 1) = s(c).toByte // v·257: both bytes v
+                  bitPos += 16
+                } else if (bitDepth == 8) {
+                  line(bitPos >> 3) = s(c).toByte
+                  bitPos += 8
+                } else {
+                  val shift = 8 - bitDepth - (bitPos & 7)
+                  line(bitPos >> 3) = (line(bitPos >> 3) | (s(c) << shift)).toByte
+                  bitPos += bitDepth
+                }
+                c += 1
+              }
+              xx += 1
+            }
+            val f = yy % 5
+            rawOut.write(f)
+            var i = 0
+            while (i < stride) {
+              val a = if (i >= bpp) line(i - bpp) & 0xff else 0
+              val b = if (yy > 0) prev(i) & 0xff else 0
+              val c2 = if (yy > 0 && i >= bpp) prev(i - bpp) & 0xff else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => a
+                case 2 => b
+                case 3 => (a + b) / 2
+                case 4 =>
+                  val pp = a + b - c2
+                  val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c2)
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c2
+              }
+              rawOut.write(((line(i) & 0xff) - pred) & 0xff)
+              i += 1
+            }
+            System.arraycopy(line, 0, prev, 0, stride)
+            yy += 1
+          }
+        }
       }
       val deflater = new java.util.zip.Deflater()
       val idat = try {
-        deflater.setInput(raw); deflater.finish()
+        deflater.setInput(rawOut.toByteArray); deflater.finish()
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
@@ -582,11 +715,18 @@ object Multimodal {
         b.array()
       }
       val ihdr = java.nio.ByteBuffer.allocate(13)
-        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+        .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(if (interlace) 1.toByte else 0.toByte).array()
       val out = new java.io.ByteArrayOutputStream()
       out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
       out.write(chunk("IHDR", ihdr))
+      if (colorType == 3) {
+        val pal = new Array[Byte](palIdx.size * 3)
+        palIdx.foreach { case ((b, g, r), i) =>
+          pal(i * 3) = r; pal(i * 3 + 1) = g; pal(i * 3 + 2) = b
+        }
+        out.write(chunk("PLTE", pal))
+      }
       out.write(chunk("IDAT", idat))
       out.write(chunk("IEND", Array.emptyByteArray))
       out.toByteArray
@@ -1021,6 +1161,66 @@ object Multimodal {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Registered query (HARD oracle): perceptual dedup across PNG's
+    * FULL legal matrix — palette (PLTE), Adam7 interlace, 16-bit and
+    * sub-8 depths — the variants web graphics are actually saved in
+    * (palette dominates icons/screenshots/charts; interlace was the
+    * web's default "progressive" mode for years). Every encode variant
+    * here is LOSSLESS (palette lookup is exact, 16-bit writes v·257 so
+    * the high byte recovers v, depth-4 grays are pre-quantized to
+    * multiples of 17), so a re-encode of the same pixels in ANY other
+    * variant decodes bit-identically and each planted cross-variant
+    * pair sits at exactly Hamming 0 — closed form. The population
+    * rotates base variants (depth-4 gray / Adam7 palette / plain
+    * palette), putting palette, sub-8, and interlaced decode on the
+    * oracle-verified path at every sf; clones re-encode as (Adam7)
+    * 16-bit gray, covering the rest. Grayscale hash textures give the
+    * same binomial-tail background as the BMP tier; the spec measures
+    * the pairwise floor on this row's own population. */
+  def multimodalDedupPngPalette(spark: SparkSession, dir: String,
+                                limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(pngPaletteSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=dHash64) signatures behind
+    * [[multimodalDedupPngPalette]]: gray textures (B channel of
+    * [[MediaTransform.texturePixels]], ≤ 256 distinct values — always
+    * palette-able), encoded id%5==0 → depth-4 gray (pre-quantized),
+    * id%2==0 → Adam7 palette, else plain palette; cross-variant
+    * clones planted for doc_id < 10. */
+  def pngPaletteSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        def hashOf(bytes: Array[Byte]): Long = {
+          val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
+          dHash64(dpx, dw, dh)
+        }
+        it.flatMap { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val c = MediaTransform.texturePixels(w, h, id)
+          val gray = Array.tabulate(w * h * 3) { i =>
+            val b = c((i / 3) * 3) & 0xff
+            (if (id % 5 == 0) 17 * (b / 17) else b).toByte // depth-4-exact grays
+          }
+          val baseBytes =
+            if (id % 5 == 0) MediaTransform.encodePng(gray, w, h, 0, 4)
+            else if (id % 2 == 0) MediaTransform.encodePng(gray, w, h, 3, 8, interlace = true)
+            else MediaTransform.encodePng(gray, w, h, 3, 8)
+          val base = (id, hashOf(baseBytes))
+          if (id < 10) {
+            val cloneBytes =
+              if (id % 5 == 0) MediaTransform.encodePng(gray, w, h, 3, 8, interlace = true)
+              else if (id % 2 == 0) MediaTransform.encodePng(gray, w, h, 0, 16)
+              else MediaTransform.encodePng(gray, w, h, 0, 16, interlace = true)
+            Iterator(base, (id + 10000000L, hashOf(cloneBytes)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
   /** Registered query (HARD oracle): perceptual dedup across the
     * PROGRESSIVE/BASELINE JPEG boundary — the same photo saved
     * interlaced vs sequential is the same photo, and a byte-level or
@@ -1240,6 +1440,54 @@ object Multimodal {
           // corpus-wide (measured: 915 false pairs at n=8..30)
           val n = 66 + (id % 60).toInt
           val clip = AviCodec.encode(
+            (0 until n).map(f => MediaTransform.texturePixels(w, h, id * 131 + f)),
+            w, h, fps = 10)
+          val (dw, dh, _, frames) = AviCodec.decode(clip).get
+          val base = (id, tHash64(frames))
+          if (id < 10) {
+            val dup = AviCodec.encode(frames.flatMap(f => Seq(f, f)), dw, dh, fps = 20)
+            val (_, _, _, reread) = AviCodec.decode(dup).get
+            Iterator(base, (id + 10000000L, tHash64(reread)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Registered query (HARD oracle): perceptual dedup over COMPRESSED
+    * video — Motion-JPEG clips decoded end-to-end (RIFF walk →
+    * per-frame [[JpegCodec]] → [[tHash64]]), the envelope a real
+    * capture-pipeline crawl needs. The planted clone for doc_id < 10
+    * frame-duplicates the DECODED frames at 2× fps and re-encodes
+    * LOSSLESSLY (raw DIB through the same container), so the
+    * floor-of-floor identity applies to exactly the pixels the MJPEG
+    * decode produced — per-frame quantization loss never enters the
+    * identity and each pair sits at Hamming 0 in closed form (the same
+    * lossless-re-encode trick as the still-JPEG row). Every base
+    * signature runs the full MJPEG decode, so the compressed path is
+    * on the oracle-verified path for the WHOLE population; background
+    * separation is the spec-measured pairwise floor over that
+    * population. */
+  def multimodalDedupVideoMjpeg(spark: SparkSession, dir: String,
+                                limit: Long = 300L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(mjpegSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=tHash64) signatures behind
+    * [[multimodalDedupVideoMjpeg]]: texture frames → MJPEG encode →
+    * container+JPEG decode → hash; lossless 2×-fps clones of the
+    * decoded frames planted for doc_id < 10. */
+  def mjpegSigs(spark: SparkSession, dir: String, limit: Long = 300L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + ((id / 8) % 8).toInt
+          // ≥ 66 frames so the 65-slot sampler never repeats a frame
+          // (the vhash lesson: repeated picks zero bits corpus-wide)
+          val n = 66 + (id % 40).toInt
+          val clip = AviCodec.encodeMjpeg(
             (0 until n).map(f => MediaTransform.texturePixels(w, h, id * 131 + f)),
             w, h, fps = 10)
           val (dw, dh, _, frames) = AviCodec.decode(clip).get

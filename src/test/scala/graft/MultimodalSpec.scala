@@ -419,6 +419,63 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("PNG full matrix: every legal (type, depth, interlace) round-trips losslessly; hostile variants reject") {
+    import Multimodal.MediaTransform._
+    val (w, h) = (23, 17) // odd dims: partial Adam7 passes, bit-packed tails
+    val c = texturePixels(w, h, 77L)
+    val gray = Array.tabulate(w * h * 3)(i => c((i / 3) * 3))
+    val gray4 = gray.map(b => (17 * ((b & 0xff) / 17)).toByte) // depth-4-exact
+    val gray2 = gray.map(b => (85 * ((b & 0xff) / 85)).toByte) // depth-2-exact
+    val gray1 = gray.map(b => (255 * ((b & 0xff) / 255)).toByte) // depth-1-exact
+    // (pixels, type, depth) — every decode path; each × both interlace modes
+    val cases = Seq(
+      (gray, 0, 8), (gray, 0, 16), (gray4, 0, 4), (gray2, 0, 2), (gray1, 0, 1),
+      (c, 2, 8), (c, 2, 16), (gray, 3, 8), (gray4, 3, 4),
+      (gray, 4, 8), (gray, 4, 16), (c, 6, 8), (c, 6, 16))
+    for ((px, ct, d) <- cases; il <- Seq(false, true)) {
+      val enc = encodePng(px, w, h, ct, d, il)
+      val (dw, dh, dec) = pngPixels(enc).getOrElse(
+        fail(s"type $ct depth $d interlace $il failed to decode"))
+      assert((dw, dh) === ((w, h)), s"type $ct depth $d interlace $il")
+      assert(dec === px, s"lossless round trip type $ct depth $d interlace $il")
+    }
+    // tiny interlaced images: empty Adam7 passes must not desync
+    for ((tw, th) <- Seq((1, 1), (3, 2), (8, 1), (2, 9))) {
+      val tpx = texturePixels(tw, th, 5L)
+      assert(pngPixels(encodePng(tpx, tw, th, 2, 8, interlace = true)).get._3 === tpx)
+    }
+    // palette with >depth colors must refuse to encode
+    assertThrows[IllegalArgumentException](encodePng(c, w, h, 3, 4))
+    // out-of-range palette index: patch the index stream → reject
+    val pal = encodePng(gray1, w, h, 3, 1) // 2-color palette, 1-bit indexes
+    assert(pngPixels(pal).get._3 === gray1)
+    // truncated IDAT rejects
+    val full = encodePng(gray, w, h, 3, 8)
+    assert(pngPixels(full.take(full.length - 16)) === None)
+    // a PLTE-less palette file rejects
+    val noPlte = encodePng(gray, w, h, 0, 8)
+    noPlte(25) = 3.toByte // lie: claim palette without a PLTE chunk
+    assert(pngPixels(noPlte) === None)
+  }
+
+  test("multimodal_dedup_png_palette finds exactly the cross-variant clones, at Hamming 0") {
+    val out = Multimodal.multimodalDedupPngPalette(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+    // background floor over the row's own grayscale population
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = Multimodal.pngPaletteSigs(spark, SparkSpec.sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10000000L)
+      .as[(Long, Long)].collect().map(_._2)
+    var minH = 64
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length)
+      minH = math.min(minH, hamming(sigs(i), sigs(j)))
+    assert(minH > 4, s"background floor $minH must clear the gate")
+  }
+
   test("multimodal_dedup_jpeg_progressive finds exactly the cross-format clones, at Hamming 0") {
     val out = Multimodal.multimodalDedupJpegProgressive(spark, SparkSpec.sfTiny)
       .as[(Long, Long, Int)].collect().sorted
@@ -439,14 +496,54 @@ class MultimodalSpec extends SparkSuite {
     frames.indices.foreach(i => assert(dec(i) === frames(i), s"frame $i"))
     // truncated mid-frame: reject, never overrun
     assert(AviCodec.decode(avi.take(avi.length - 20)) === None)
-    // compressed fourcc (MJPG) is out of envelope: patch strh handler
+    // an MJPG handler whose chunks are NOT JPEGs (a lying header on
+    // DIB payloads): reject, never mis-decode
     val mjpg = avi.clone()
     val at = (0 until mjpg.length - 8).find(i =>
       new String(mjpg, i, 4, "US-ASCII") == "vids").get
     "MJPG".getBytes("US-ASCII").copyToArray(mjpg, at + 4)
-    assert(AviCodec.decode(mjpg) === None, "compressed codec must reject")
+    assert(AviCodec.decode(mjpg) === None, "lying MJPG header must reject")
+    // a genuinely out-of-envelope codec fourcc: reject
+    val h264 = avi.clone()
+    "H264".getBytes("US-ASCII").copyToArray(h264, at + 4)
+    assert(AviCodec.decode(h264) === None, "inter-frame codec must reject")
     assert(AviCodec.decode("RIFFxxxxWAVE".getBytes) === None)
     assert(AviCodec.decode("hello".getBytes) === None)
+  }
+
+  test("MJPEG AVI: compressed round trip through JpegCodec; dedup row finds exactly the planted clones") {
+    import Multimodal.MediaTransform.texturePixels
+    import graft.operators.{AviCodec, JpegCodec}
+    val (w, h, n) = (13, 9, 7)
+    val frames = (0 until n).map(f => texturePixels(w, h, 1000L + f))
+    val avi = AviCodec.encodeMjpeg(frames, w, h, fps = 10)
+    val (dw, dh, fps, dec) = AviCodec.decode(avi).get
+    assert((dw, dh, fps, dec.length) === ((w, h, 10, n)))
+    // each frame decodes exactly as its standalone JPEG would — the
+    // container adds routing, not loss beyond the codec's own
+    frames.indices.foreach { i =>
+      val solo = JpegCodec.decode(JpegCodec.encode(frames(i), w, h, 90)).get._3
+      assert(dec(i) === solo, s"frame $i must equal its standalone decode")
+    }
+    // truncating the last frame's entropy data: reject, never overrun
+    assert(AviCodec.decode(avi.take(avi.length - 20)) === None)
+    // the registered query: exactly the planted lossless 2x-fps clones
+    val out = Multimodal.multimodalDedupVideoMjpeg(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, hm), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && hm === 0)
+    }
+    // background floor over the query's own non-planted population:
+    // min pairwise Hamming must clear the <= 4 gate
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = Multimodal.mjpegSigs(spark, SparkSpec.sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10000000L)
+      .as[(Long, Long)].collect().map(_._2)
+    var minH = 64
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length)
+      minH = math.min(minH, hamming(sigs(i), sigs(j)))
+    assert(minH > 4, s"background floor $minH must clear the gate")
   }
 
   test("tHash64: exact under 2x/3x fps frame duplication; vhash population floor clears the gate") {
