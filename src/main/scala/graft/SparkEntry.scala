@@ -256,6 +256,8 @@ object SparkEntry {
       Multimodal.multimodalDedupPhashJpeg(s, d)),
     "multimodal_dedup_png_palette" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPngPalette(s, d)),
+    "multimodal_dedup_gif" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupGif(s, d)),
     "multimodal_dedup_jpeg_progressive" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupJpegProgressive(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -2629,6 +2631,14 @@ object SparkEntry {
     // form no matter what quantization did; background floor 13
     // measured through the full lossy pipe (tools.JpegProbe).
     "multimodal_dedup_phash_jpeg" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // GIF twin: LZW round trip is lossless for palette images, so the
+    // 2x-upscale clone's dHash survives by the floor identity — each
+    // planted pair at Hamming 0 in closed form; interlaced encodes on
+    // both sides put the 4-pass path on the oracle; background floor
+    // spec-measured on the row's own grayscale population.
+    "multimodal_dedup_gif" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Full-matrix PNG twin: palette lookup, Adam7 deinterlace, 16-bit

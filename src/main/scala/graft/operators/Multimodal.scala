@@ -732,12 +732,14 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Container-SNIFFING pixel decode: BMP, PNG, or baseline JPEG by
-      * magic bytes — what an ingest that receives "an image" calls, so
-      * a PNG re-encode of a BMP (or a lossless re-encode of a decoded
-      * JPEG) deduplicates across containers. None ⇔ no magic matches
-      * or the body fails its format's decode (e.g. progressive JPEG,
-      * which [[JpegCodec.decode]] rejects rather than mis-decodes). */
+    /** Container-SNIFFING pixel decode: BMP, PNG, JPEG (baseline or
+      * progressive), or GIF by magic bytes — what an ingest that
+      * receives "an image" calls, so a PNG re-encode of a BMP (or a
+      * lossless re-encode of a decoded JPEG, or a GIF save of a
+      * palette image) deduplicates across containers. None ⇔ no magic
+      * matches or the body fails its format's decode (e.g. arithmetic-
+      * coded JPEG, which [[JpegCodec.decode]] rejects rather than
+      * mis-decodes). */
     def pixelsOf(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') bmpPixels(bytes)
       else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
@@ -745,6 +747,9 @@ object Multimodal {
       else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
                (bytes(1) & 0xff) == 0xd8)
         JpegCodec.decode(bytes)
+      else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+               bytes(2) == 'F' && bytes(3) == '8')
+        GifCodec.decode(bytes)
       else None
 
     /** splitmix64 finalizer (public-domain constants) — the avalanche
@@ -1216,6 +1221,53 @@ object Multimodal {
               else if (id % 2 == 0) MediaTransform.encodePng(gray, w, h, 0, 16)
               else MediaTransform.encodePng(gray, w, h, 0, 16, interlace = true)
             Iterator(base, (id + 10000000L, hashOf(cloneBytes)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Registered query (HARD oracle): perceptual dedup over GIF — the
+    * web's other ubiquitous palette format, decoded through a REAL
+    * variable-width LZW inflate ([[GifCodec]]). The planted clone for
+    * doc_id < 10 is the 2× nearest-neighbor upscale re-encoded through
+    * the SAME codec (GIF is lossless for palette images, so the dHash
+    * floor identity ⌊⌊2a⌋/2⌋=⌊a⌋ pins each pair at exactly Hamming 0 —
+    * closed form); interlaced encodes for half the population put the
+    * 4-pass deinterlace on the oracle path, and cross-container
+    * sniffing means a GIF save of an indexed PNG would pair the same
+    * way. Grayscale hash textures give the BMP tier's binomial-tail
+    * background; the spec measures the pairwise floor on this row's
+    * own population. */
+  def multimodalDedupGif(spark: SparkSession, dir: String,
+                         limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(gifSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=dHash64) signatures behind
+    * [[multimodalDedupGif]]: gray textures GIF-encoded (interlaced for
+    * even ids) → LZW decode → hash, 2× lossless-upscale clones planted
+    * for doc_id < 10 (clone interlace flipped, so both directions of
+    * the 4-pass path sit on the oracle). */
+  def gifSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        def hashOf(bytes: Array[Byte]): Long = {
+          val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
+          dHash64(dpx, dw, dh)
+        }
+        it.flatMap { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val c = MediaTransform.texturePixels(w, h, id)
+          val gray = Array.tabulate(w * h * 3)(i => c((i / 3) * 3))
+          val base = (id, hashOf(GifCodec.encode(gray, w, h, interlace = id % 2 == 0)))
+          if (id < 10) {
+            val up = GifCodec.encode(
+              MediaTransform.resizeNearest(gray, w, h, w * 2, h * 2),
+              w * 2, h * 2, interlace = id % 2 != 0)
+            Iterator(base, (id + 10000000L, hashOf(up)))
           } else Iterator(base)
         }
       }.toDF("doc_id", "simhash")

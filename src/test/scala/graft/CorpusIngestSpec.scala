@@ -495,10 +495,17 @@ class CorpusIngestSpec extends SparkSuite {
       stream.toDF().toDF("doc_id", "ts", "media"),
       s"$base/index", s"$base/corpus", s"$base/ckpt")
     try {
+      // a native GIF arrival: gray texture, palette-able by construction
+      def grayOf(w: Int, h: Int, id: Long): Array[Byte] = {
+        val c = MediaTransform.texturePixels(w, h, id)
+        Array.tabulate(w * h * 3)(i => c((i / 3) * 3))
+      }
+      val gif7 = graft.operators.GifCodec.encode(grayOf(14, 11, 7L), 14, 11)
       stream.addData(Seq(
         (1L, ts("2024-01-01 10:00:00"), bmp(1L)),
         (2L, ts("2024-01-01 10:00:01"),
-          MediaTransform.pngTexture(20, 20, 2L, 2)))) // native PNG arrival
+          MediaTransform.pngTexture(20, 20, 2L, 2)), // native PNG arrival
+        (7L, ts("2024-01-01 10:00:02"), gif7)))      // native GIF arrival
       q.processAllAvailable()
       stream.addData(Seq(
         (3L, ts("2024-01-01 10:30:00"), pngClone(bmp(1L), 2)),   // RGB PNG of BMP 1 → drop
@@ -506,15 +513,24 @@ class CorpusIngestSpec extends SparkSuite {
         (5L, ts("2024-01-01 10:30:02"), bmp(5L)),                // fresh BMP → admit
         // header-only PNG stub: sniffed as PNG but has no IDAT —
         // undecodable, so admit without indexing (the quarantine rule)
-        (6L, ts("2024-01-01 10:30:03"), Multimodal.MediaEncoder.png(16, 16, 2))))
+        (6L, ts("2024-01-01 10:30:03"), Multimodal.MediaEncoder.png(16, 16, 2)),
+        // cross-container clones of the indexed GIF: a PNG save and an
+        // interlaced 2x GIF re-encode — both must drop at Hamming 0
+        (8L, ts("2024-01-01 10:30:04"), pngClone(gif7, 2)),
+        (9L, ts("2024-01-01 10:30:05"), {
+          val (gw, gh, gpx) = MediaTransform.pixelsOf(gif7).get
+          graft.operators.GifCodec.encode(
+            MediaTransform.resizeNearest(gpx, gw, gh, gw * 2, gh * 2),
+            gw * 2, gh * 2, interlace = true)
+        })))
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
       val corpus = spark.read.parquet(s"$base/corpus")
         .select("doc_id").as[Long].collect().sorted
-      assert(corpus === Array(1L, 2L, 5L, 6L), s"got ${corpus.toSeq}")
+      assert(corpus === Array(1L, 2L, 5L, 6L, 7L), s"got ${corpus.toSeq}")
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").as[Long].collect().sorted
-      assert(indexed === Array(1L, 2L, 5L), "undecodable stub must not be indexed")
+      assert(indexed === Array(1L, 2L, 5L, 7L), "undecodable stub must not be indexed")
     } finally q.stop()
   }
 
@@ -546,6 +562,12 @@ class CorpusIngestSpec extends SparkSuite {
       stream.addData(Seq(
         (2L, ts("2024-01-01 10:30:00"), pngClone(jpg(1L))), // cross-container clone → drop
         (3L, ts("2024-01-01 10:30:01"), jpg(3L)),           // fresh jpeg → admit
+        // the SAME photo saved progressive (SOF2): decodes
+        // bit-identically to the indexed baseline → drop at Hamming 0
+        (5L, ts("2024-01-01 10:30:01"), {
+          val w = 8 + (1L % 32).toInt; val h = 8 + ((1L / 32) % 32).toInt
+          JpegCodec.encodeProgressive(MediaTransform.texturePixels(w, h, 1L), w, h, 90)
+        }),
         // header-only jpeg stub: sniffed but undecodable → admit, don't index
         (4L, ts("2024-01-01 10:30:02"), Multimodal.MediaEncoder.jpeg(16, 16, 3))))
       q.processAllAvailable()

@@ -476,6 +476,63 @@ class MultimodalSpec extends SparkSuite {
     assert(minH > 4, s"background floor $minH must clear the gate")
   }
 
+  test("GIF codec: LZW round trip lossless, interlace, width growth, table-full clears; hostile inputs reject") {
+    import Multimodal.MediaTransform._
+    import graft.operators.GifCodec
+    // gray textures: ≤256 distinct colors, palette-able by construction
+    for {
+      (w, h) <- Seq((8, 8), (23, 17), (41, 33), (1, 1), (2, 9))
+      il <- Seq(false, true)
+    } {
+      val c = texturePixels(w, h, 99L)
+      val gray = Array.tabulate(w * h * 3)(i => c((i / 3) * 3))
+      val gif = GifCodec.encode(gray, w, h, il)
+      val (dw, dh, dec) = GifCodec.decode(gif).getOrElse(
+        fail(s"w=$w h=$h interlace=$il failed to decode"))
+      assert((dw, dh) === ((w, h)))
+      assert(dec === gray, s"lossless round trip w=$w h=$h interlace=$il")
+    }
+    // few-color images use narrow initial code widths (minCodeSize 2)
+    val tiny = Array.tabulate(16 * 16 * 3)(i => if ((i / 3) % 3 == 0) 0.toByte else 85.toByte)
+    assert(GifCodec.decode(GifCodec.encode(tiny, 16, 16)).get._3 === tiny)
+    // a big 256-gray image forces code widths to grow through 10+ bits
+    // and (at this size) table-full clears — the full LZW state machine
+    val big = {
+      val c = texturePixels(150, 150, 7L)
+      Array.tabulate(150 * 150 * 3)(i => c((i / 3) * 3))
+    }
+    assert(GifCodec.decode(GifCodec.encode(big, 150, 150)).get._3 === big)
+    // the sniffer routes GIF87a/89a magic here
+    val c2 = texturePixels(12, 12, 3L)
+    val gray2 = Array.tabulate(12 * 12 * 3)(i => c2((i / 3) * 3))
+    val g2 = GifCodec.encode(gray2, 12, 12)
+    assert(pixelsOf(g2).get._3 === gray2)
+    // >256 distinct colors must refuse to encode
+    assertThrows[IllegalArgumentException](GifCodec.encode(texturePixels(23, 17, 1L), 23, 17))
+    // truncated LZW stream / torn sub-blocks: reject, never spin
+    assert(GifCodec.decode(g2.take(g2.length - 6)) === None)
+    assert(GifCodec.decode(g2.take(20)) === None)
+    assert(GifCodec.decode("GIF89a".getBytes) === None)
+    assert(GifCodec.decode("hello world".getBytes) === None)
+  }
+
+  test("multimodal_dedup_gif finds exactly the planted 2x GIF re-encodes, at Hamming 0") {
+    val out = Multimodal.multimodalDedupGif(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = Multimodal.gifSigs(spark, SparkSpec.sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10000000L)
+      .as[(Long, Long)].collect().map(_._2)
+    var minH = 64
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length)
+      minH = math.min(minH, hamming(sigs(i), sigs(j)))
+    assert(minH > 4, s"background floor $minH must clear the gate")
+  }
+
   test("multimodal_dedup_jpeg_progressive finds exactly the cross-format clones, at Hamming 0") {
     val out = Multimodal.multimodalDedupJpegProgressive(spark, SparkSpec.sfTiny)
       .as[(Long, Long, Int)].collect().sorted
