@@ -88,7 +88,11 @@ object DumpPlans {
       "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics",
       "multimodal_dedup_phash_png" -> "real zlib PNG decode in the partition-batched map (container-sniffing pixelsOf); pair stage identical to the BMP row — format coverage costs zero extra shuffles",
       "multimodal_dedup_phash_jpeg" -> "full baseline-JPEG decode (Huffman + IDCT) in the partition-batched map; clones re-encode decoded pixels losslessly so the oracle stays closed-form; same banded pair join",
+      "multimodal_dedup_png_palette" -> "palette/Adam7/16-bit PNG decodes in the partition-batched map — the full-matrix coverage row; pair stage identical to every other signature tier",
+      "multimodal_dedup_jpeg_progressive" -> "progressive (SOF2) decode on half the population — multi-scan coefficient accumulation is per-record map work, invisible to the plan; same banded pair join",
+      "multimodal_dedup_gif" -> "LZW GIF decode in the partition-batched map; interlaced encodes change bytes, not plan shape; same banded pair join",
       "multimodal_dedup_vhash" -> "RIFF/AVI container decode + temporal luminance hash in the partition-batched map; the video tier joins on the SAME banded Hamming machinery as image/audio/text",
+      "multimodal_dedup_video_mjpeg" -> "per-frame JPEG decode inside the video map — compressed-video coverage costs decode CPU, not shuffles; same banded pair join",
       "multimodal_dedup_video_rescale" -> "per-sampled-frame dHash witnesses packed into the numeric pair key; frame-level banded join then a position-aligned vote aggregate — candidate volume governed by frame similarity, never clips squared",
       "dedup_ngram_jaccard_staged" -> "forced 3-wave staged sweep: waves materialize during construction (localCheckpoint), so the pinned shape is the post-staging union + one (d1,d2) sum — per-wave shuffles never coexist",
       "dedup_keep_list" -> "greedy keep: pair frame's d2 side distinct + left anti against the corpus ids — rides the one cached pair pass",
