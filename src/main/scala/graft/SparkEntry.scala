@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Documents, Embeddings, Multimodal, Relational}
+import graft.operators.{Crawl, Documents, Embeddings, Multimodal, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -141,6 +141,10 @@ object SparkEntry {
     "filter_null_safe" -> (Relational.filterNullSafe _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     "scalar_string" -> (Relational.scalarString _),
+    // Crawl front end: the stages upstream of the documents table
+    "crawl_warc_ingest" -> (Crawl.crawlWarcIngest _),
+    "crawl_html_extract" -> (Crawl.crawlHtmlExtract _),
+    "crawl_robots_filter" -> (Crawl.crawlRobotsFilter _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_url" -> (Documents.dedupUrl _),
@@ -1250,6 +1254,43 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // WARC framing in closed form: the survivors are exactly the
+    // doc_id % 97 != 0 docs (the corrupt fixture lies about its
+    // Content-Length and must be quarantined WITHOUT eating the next
+    // record), url/status are generator arithmetic, and the payload
+    // length is the text length — a framing, header-parse, or resync
+    // bug changes rows or lengths and breaks the hash.
+    "crawl_warc_ingest" ->
+      """SELECT 'https://' || lang || '.example.com/warc/' || doc_id::VARCHAR AS url,
+        |       200 AS status, length(text)::BIGINT AS n_chars
+        |FROM documents WHERE doc_id % 97 != 0 ORDER BY url""".stripMargin,
+    // Extraction inverts the deterministic page chrome exactly: head
+    // (with a SKIP-marked title), in-body style and script blocks
+    // (the script contains markup — the tag-stripper trap), nav and
+    // footer chrome, entity escaping. The oracle states the result
+    // over the raw text; any leak or mis-decode breaks every row.
+    "crawl_html_extract" ->
+      """SELECT doc_id,
+        |       'Home | About Doc ' || doc_id::VARCHAR || ' ' ||
+        |       trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |       ' © 2024 Example' AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Robots compliance in closed form: the * group for lang-host
+    // disallows /r{k} (k = ascii(lang[0]) mod 5) with a longer Allow
+    // exception /r{k}/p3; decoy BadBot/Other groups must not apply.
+    // allowed ⇔ the path escapes the disallow or hits the exception.
+    "crawl_robots_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |                  ascii(substr(lang, 1, 1)) % 5 AS k,
+        |                  doc_id % 5 AS r, doc_id % 7 AS p
+        |           FROM documents)
+        |SELECT doc_id,
+        |       '/r' || r::VARCHAR || '/p' || p::VARCHAR AS url_path,
+        |       (r != k OR p = 3) AS allowed,
+        |       CASE WHEN r = k AND p = 3 THEN '/r' || k::VARCHAR || '/p3'
+        |            WHEN r = k THEN '/r' || k::VARCHAR
+        |            ELSE '' END AS matched_rule
+        |FROM d ORDER BY doc_id""".stripMargin,
     // URL canonicalization replayed step for step: same regexes (all
     // in the Java ∩ RE2 ∩ DuckDB subset; every one anchored or
     // match-to-end, so replace-first ≡ Spark's replace-all), same

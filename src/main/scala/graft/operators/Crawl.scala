@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The crawl FRONT END — the stages a web corpus passes through
+  * before it ever becomes the `documents` table the rest of the
+  * LLM-pipeline tier operates on:
+  *
+  *   WARC records → HTTP payloads → HTML text extraction →
+  *   robots.txt compliance → URL canonicalization+dedup
+  *   ([[Documents.urlCanonical]]) → content dedup (everything else).
+  *
+  * None of this exists in the reference (its surface is purely
+  * relational, SURVEY.md §2.6); it is the beyond-parity tier at the
+  * pipeline's mouth. Design rules are the house rules: parsing that
+  * fits relational form (robots.txt group scoping, rule matching) is
+  * windows + codegen'd string functions — zero UDFs; parsing that is
+  * genuinely byte-cursor work (WARC record walking) is a
+  * partition-batched map with the media tier's hostile-input posture
+  * (bounds-checked, resyncing, quarantine-don't-throw). Everything is
+  * embarrassingly parallel or a broadcast join — nothing here
+  * shuffles a corpus-sized key.
+  */
+object Crawl {
+
+  // ------------------------------------------------------------------
+  // robots.txt
+  // ------------------------------------------------------------------
+
+  /** Parse robots.txt texts into per-host (allow, prefix) rules,
+    * scoped to the `User-agent: *` groups — entirely relational
+    * (posexplode + two windows + codegen'd string ops, no UDF).
+    *
+    * Group semantics per the public robots.txt RFC (9309): a group is
+    * a maximal run of consecutive `User-agent:` lines followed by its
+    * rules; a group applies to us iff ANY of its agent lines is `*`;
+    * comments (`#…`) and unknown directives (Crawl-delay, Sitemap) are
+    * ignored; an empty Disallow value allows everything (dropped — it
+    * can never be a longest match against a non-empty Allow).
+    *
+    * Input: (host, robots_txt). Output: (host, allow: boolean,
+    * prefix, plen) — plen precomputed because longest-match is the
+    * match rule downstream. */
+  def robotsRules(robots: DataFrame): DataFrame = {
+    val lines = robots
+      .select(col("host"),
+        posexplode(split(col("robots_txt"), "\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+    val classified = lines
+      .withColumn("isUa", lower(col("line")).startsWith("user-agent:"))
+      .withColumn("uaVal",
+        when(col("isUa"), trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1))))
+      .withColumn("kind",
+        when(lower(col("line")).startsWith("allow:"), lit("allow"))
+          .when(lower(col("line")).startsWith("disallow:"), lit("disallow")))
+    // a group STARTS at a UA line not preceded by another UA line
+    val byPos = Window.partitionBy("host").orderBy("pos")
+    val grouped = classified
+      .withColumn("newGroup",
+        (col("isUa") && !coalesce(lag(col("isUa"), 1).over(byPos), lit(false)))
+          .cast("int"))
+      .withColumn("groupId", sum(col("newGroup")).over(byPos))
+    val starGroups = grouped
+      .filter(col("isUa"))
+      .groupBy("host", "groupId")
+      .agg(max((col("uaVal") === "*").cast("int")).as("isStar"))
+      .filter(col("isStar") === 1)
+      .select("host", "groupId")
+    grouped
+      .filter(col("kind").isNotNull)
+      .join(broadcast(starGroups), Seq("host", "groupId")) // keep * groups only
+      .select(col("host"), (col("kind") === "allow").as("allow"),
+        trim(regexp_extract(col("line"), "(?i)^(?:allow|disallow):(.*)$", 1)).as("prefix"))
+      .filter(length(col("prefix")) > 0) // empty Disallow = allow all
+      .withColumn("plen", length(col("prefix")))
+  }
+
+  /** The deterministic robots fixture behind [[crawlRobotsFilter]]:
+    * one robots.txt per lang-host, with a decoy `BadBot` group (its
+    * blanket Disallow must NOT apply to us), a `*` group whose
+    * Disallow prefix varies per host (`/r{k}`, k = ascii(lang[0]) mod
+    * 5) plus a longest-match Allow exception (`/r{k}/p3`), an ignored
+    * Crawl-delay, and a trailing non-star group — so agent scoping,
+    * comment stripping, and the longest-match/allow-wins precedence
+    * all sit on the oracle-verified path. */
+  private[graft] def robotsTxtExpr(lang: Column): Column = {
+    val k = (ascii(substring(lang, 1, 1)) % 5).cast("string")
+    concat(
+      lit("# robots for "), lang, lit(".example.com\n"),
+      lit("User-agent: BadBot\nDisallow: /\n\n"),
+      lit("User-agent: *\nDisallow: /r"), k,
+      lit(" # trailing comment\nAllow: /r"), k,
+      lit("/p3\nCrawl-delay: 1\nDisallow:\n\n"),
+      lit("User-agent: Other\nDisallow: /p\n"))
+  }
+
+  /** Registered query (HARD oracle): robots.txt COMPLIANCE — the
+    * crawl stage upstream of even URL dedup. Each doc's URL
+    * (`/r{doc_id%5}/p{doc_id%7}` on its lang host) is checked against
+    * its host's parsed rules under RFC 9309 precedence: the
+    * longest-matching rule wins, Allow wins ties, no match = allowed.
+    * Rules broadcast (robots corpora are tiny next to URL lists — a
+    * few KB per host); the URL side stays a pure map + broadcast join,
+    * no corpus-keyed shuffle. The oracle replays the whole outcome in
+    * closed form (k = ascii(lang[0]) mod 5 against the path
+    * arithmetic), so the windowed group-scoping parse, the decoy
+    * groups, and the precedence logic are all hash-verified at every
+    * sf. */
+  def crawlRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val urls = docs.select(
+      col("doc_id"),
+      concat(col("lang"), lit(".example.com")).as("host"),
+      concat(lit("/r"), (col("doc_id") % 5).cast("string"),
+        lit("/p"), (col("doc_id") % 7).cast("string")).as("url_path"))
+    val robots = docs.select(col("lang")).distinct()
+      .select(concat(col("lang"), lit(".example.com")).as("host"),
+        robotsTxtExpr(col("lang")).as("robots_txt"))
+    // the prefix predicate must live IN the left join: a doc whose
+    // host rules all fail the match must survive with null rule, not
+    // vanish behind a post-join filter
+    val rules = robotsRules(robots).withColumnRenamed("host", "rhost")
+    val matched = urls.join(broadcast(rules),
+      urls("host") === col("rhost") && urls("url_path").startsWith(col("prefix")),
+      "left")
+    // RFC 9309 precedence: longest rule wins, Allow beats Disallow on
+    // ties; prefix as the final tiebreak keeps the winner deterministic
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("plen").desc_nulls_last, col("allow").desc_nulls_last,
+        col("prefix").asc_nulls_last)
+    matched
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("url_path"),
+        coalesce(col("allow"), lit(true)).as("allowed"),
+        coalesce(col("prefix"), lit("")).as("matched_rule"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // HTML text extraction
+  // ------------------------------------------------------------------
+
+  /** Deterministic HTML wrapper behind [[crawlHtmlExtract]]: page
+    * chrome (head with title/style, a script whose BODY CONTAINS
+    * MARKUP — the classic tag-stripper trap — nav, h1, footer with an
+    * entity) around the doc text, entity-ESCAPED like a real
+    * generator would emit it. Extraction must invert this exactly. */
+  private[graft] def htmlWrapExpr(id: Column, text: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<html><head><title>SKIP Doc "), id.cast("string"),
+      lit("</title></head>\n<body><style>body { color: #333; }</style>"),
+      lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>\n"),
+      lit("""<script type="text/javascript">var x = "<div>not text</div>";</script>"""),
+      lit("<h1>Doc "), id.cast("string"), lit("</h1>\n<p>"), esc,
+      lit("</p>\n<footer>&copy; 2024 Example</footer></body></html>"))
+  }
+
+  /** HTML → text extraction as a codegen'd projection (the C4-style
+    * rule chain, no UDF): drop `<head>` wholesale, drop `<script>` and
+    * `<style>` BLOCKS (content included — a naive tag-strip leaks
+    * script bodies into the corpus), replace remaining tags with
+    * spaces, decode the core entities (amp LAST, so escaped text
+    * round-trips exactly), collapse whitespace. */
+  def htmlExtract(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?s)<head>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?si)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?si)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&copy;" -> "©",
+      "&amp;" -> "&") // amp strictly last
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Registered query (HARD oracle): HTML TEXT EXTRACTION — the stage
+    * between the HTTP payload and the `documents` table. Each doc's
+    * text is wrapped in deterministic page chrome (including the
+    * markup-inside-script trap and entity escaping) and extracted
+    * back; because extraction exactly inverts the wrapper, the oracle
+    * states the result in closed form over the raw text — a leaked
+    * script body, surviving tag, head-title leak, or entity
+    * mis-decode breaks the hash compare on every row. */
+  def crawlHtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        htmlExtract(htmlWrapExpr(col("doc_id"), col("text"))).as("extracted"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // WARC ingestion
+  // ------------------------------------------------------------------
+
+  /** Build one WARC/1.0 blob for a slice of docs: a `warcinfo` record
+    * then a `response` record per doc (WARC headers + nested HTTP/1.1
+    * response, Content-Length in BYTES over the HTTP block). Docs with
+    * doc_id % 97 == 0 are written CORRUPT (Content-Length overruns
+    * into the next record) — the quarantine fixture. */
+  private[graft] def warcBlob(docs: Iterator[(Long, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    wr("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 17\r\n\r\n" +
+      "software: graft\r\n" + "\r\n\r\n")
+    docs.foreach { case (id, lang, text) =>
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + text
+      val httpLen = http.getBytes("UTF-8").length
+      val stated = if (id % 97 == 0) httpLen + 7 else httpLen // corrupt fixture
+      wr(s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://$lang.example.com/warc/$id\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: $stated\r\n\r\n")
+      wr(http)
+      wr("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
+  /** Parse a WARC blob into (url, status, payload) response records —
+    * REAL byte-cursor record walking, the media tier's hostile-input
+    * posture: headers are read case-insensitively up to the blank
+    * line, Content-Length (mandatory) jumps over the payload — never
+    * a split on a separator string, because payloads may contain
+    * anything — and the `\r\n\r\n` record terminator is verified. A
+    * record whose stated length lies (terminator missing), whose
+    * headers are malformed, or whose Content-Length is absent is
+    * QUARANTINED: the cursor resyncs to the next `WARC/1.0\r\n`
+    * magic and parsing continues. Non-response records (warcinfo,
+    * request, metadata) parse and skip. */
+  private[graft] def warcParse(blob: Array[Byte]): Seq[(String, Int, String)] = {
+    val n = blob.length
+    val magic = "WARC/1.0\r\n".getBytes("UTF-8")
+    def at(off: Int, pat: Array[Byte]): Boolean =
+      off + pat.length <= n && pat.indices.forall(i => blob(off + i) == pat(i))
+    def findMagic(from: Int): Int = {
+      var p = math.max(from, 0)
+      while (p < n && !at(p, magic)) p += 1
+      if (p < n) p else -1
+    }
+    /** Read CRLF header lines from `off` until the blank line; returns
+      * (headers lowercased-key map, offset past the blank line) or
+      * null on malformed/unterminated headers. */
+    def headers(off: Int): (Map[String, String], Int) = {
+      var p = off
+      val m = Map.newBuilder[String, String]
+      while (p < n) {
+        var e = p
+        while (e + 1 < n && !(blob(e) == '\r' && blob(e + 1) == '\n')) e += 1
+        if (e + 1 >= n) return null // unterminated line
+        if (e == p) return (m.result(), e + 2) // blank line: headers done
+        val line = new String(blob, p, e - p, "UTF-8")
+        val ci = line.indexOf(':')
+        if (ci > 0) m += line.substring(0, ci).trim.toLowerCase -> line.substring(ci + 1).trim
+        p = e + 2
+      }
+      null
+    }
+    val outRows = Seq.newBuilder[(String, Int, String)]
+    var cursor = findMagic(0)
+    while (cursor >= 0 && cursor < n) {
+      var next = -2 // -2: fall through to resync
+      val h = headers(cursor + magic.length)
+      if (h != null) {
+        val (hdr, bodyOff) = h
+        hdr.get("content-length").flatMap(s => scala.util.Try(s.toLong).toOption) match {
+          case Some(len) if len >= 0 && bodyOff + len + 4 <= n.toLong =>
+            val end = (bodyOff + len).toInt
+            if (blob(end) == '\r' && blob(end + 1) == '\n' &&
+                blob(end + 2) == '\r' && blob(end + 3) == '\n') {
+              if (hdr.get("warc-type").contains("response")) {
+                // nested HTTP block: status line, headers, blank, payload
+                val body = new String(blob, bodyOff, (end - bodyOff), "UTF-8")
+                val split = body.indexOf("\r\n\r\n")
+                val statusOk = body.startsWith("HTTP/")
+                if (split >= 0 && statusOk) {
+                  val status = scala.util.Try(
+                    body.substring(0, split).split(" ")(1).toInt).getOrElse(-1)
+                  val url = hdr.getOrElse("warc-target-uri", "")
+                  if (status > 0 && url.nonEmpty)
+                    outRows += ((url, status, body.substring(split + 4)))
+                }
+                // a response without a valid HTTP block is quarantined
+                // by omission; the record itself framed correctly
+              }
+              next = end + 4
+            }
+          case _ => // missing/absurd Content-Length: quarantine + resync
+        }
+      }
+      cursor = if (next >= 0) { if (at(next, magic)) next else findMagic(next) }
+      else findMagic(cursor + magic.length) // lying record: resync
+    }
+    outRows.result()
+  }
+
+  /** Registered query (HARD oracle): WARC INGESTION — the pipeline's
+    * actual arrival format (Common Crawl ships WARC). Each partition's
+    * docs are written into one multi-record WARC blob (warcinfo +
+    * response records, ~1/97 of them CORRUPT with a lying
+    * Content-Length) and parsed back through the byte-cursor walker;
+    * output is (url, status, n_chars) per successfully-framed
+    * response. The oracle states the survivors in closed form —
+    * doc_id % 97 != 0, URL arithmetic, status 200, payload length =
+    * n_chars — so framing, header parsing, corruption quarantine, AND
+    * resync (each corrupt record sits immediately before a good one
+    * it must not eat) are all hash-verified at every sf. Partitioning
+    * never changes the result: records are self-contained, blobs are
+    * per-partition. */
+  def crawlWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        warcParse(warcBlob(it)).iterator.map { case (url, status, payload) =>
+          (url, status, payload.length.toLong)
+        }
+      }
+      .toDF("url", "status", "n_chars")
+      .orderBy("url")
+  }
+}
