@@ -145,6 +145,7 @@ object SparkEntry {
     "crawl_warc_ingest" -> (Crawl.crawlWarcIngest _),
     "crawl_html_extract" -> (Crawl.crawlHtmlExtract _),
     "crawl_robots_filter" -> (Crawl.crawlRobotsFilter _),
+    "crawl_pipeline" -> (Crawl.crawlPipeline _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_url" -> (Documents.dedupUrl _),
@@ -1291,6 +1292,21 @@ object SparkEntry {
         |            WHEN r = k THEN '/r' || k::VARCHAR
         |            ELSE '' END AS matched_rule
         |FROM d ORDER BY doc_id""".stripMargin,
+    // The composed front end in closed form: survivors are WARC-ok
+    // (doc_id % 97 != 0) AND robots-allowed (r != k OR p = 3), grouped
+    // by the canonical resource — the three URI surface variants all
+    // collapse onto it, the doc id rides the EXTRACTED text, so every
+    // stage is load-bearing in the hash.
+    "crawl_pipeline" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  ascii(substr(lang, 1, 1)) % 5 AS k,
+        |                  doc_id % 5 AS r, doc_id % 7 AS p
+        |           FROM documents),
+        |s AS (SELECT * FROM d WHERE doc_id % 97 != 0 AND (r != k OR p = 3))
+        |SELECT 'https://' || lang || '.example.com/r' || r::VARCHAR ||
+        |       '/p' || p::VARCHAR AS canonical_url,
+        |       min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // URL canonicalization replayed step for step: same regexes (all
     // in the Java ∩ RE2 ∩ DuckDB subset; every one anchored or
     // match-to-end, so replace-first ≡ Spark's replace-all), same

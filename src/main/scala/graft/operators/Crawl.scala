@@ -121,25 +121,31 @@ object Crawl {
     val robots = docs.select(col("lang")).distinct()
       .select(concat(col("lang"), lit(".example.com")).as("host"),
         robotsTxtExpr(col("lang")).as("robots_txt"))
-    // the prefix predicate must live IN the left join: a doc whose
-    // host rules all fail the match must survive with null rule, not
-    // vanish behind a post-join filter
-    val rules = robotsRules(robots).withColumnRenamed("host", "rhost")
-    val matched = urls.join(broadcast(rules),
-      urls("host") === col("rhost") && urls("url_path").startsWith(col("prefix")),
-      "left")
-    // RFC 9309 precedence: longest rule wins, Allow beats Disallow on
-    // ties; prefix as the final tiebreak keeps the winner deterministic
-    val byDoc = Window.partitionBy("doc_id")
-      .orderBy(col("plen").desc_nulls_last, col("allow").desc_nulls_last,
-        col("prefix").asc_nulls_last)
-    matched
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("url_path"),
-        coalesce(col("allow"), lit(true)).as("allowed"),
-        coalesce(col("prefix"), lit("")).as("matched_rule"))
+    robotsVerdict(urls, robotsRules(robots))
+      .select("doc_id", "url_path", "allowed", "matched_rule")
       .orderBy("doc_id")
+  }
+
+  /** Attach RFC 9309 verdicts to URL rows carrying (host, url_path):
+    * every input column survives, plus `allowed` and `matched_rule`.
+    * The prefix predicate lives IN the left join (a URL whose host
+    * rules all miss must survive with a null rule, not vanish behind a
+    * post-join filter); precedence is longest-rule-wins, Allow beats
+    * Disallow on ties (struct ordering is lexicographic, boolean
+    * false < true) — reduced by max_by instead of a window so the
+    * winner pre-aggregates MAP-SIDE: at crawl scale the per-URL
+    * shuffle carries one reduced row, not every matched rule. */
+  private[graft] def robotsVerdict(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val r = rules.withColumnRenamed("host", "rhost")
+    val keyCols = urls.columns.map(urls(_))
+    urls.join(broadcast(r),
+        urls("host") === col("rhost") && urls("url_path").startsWith(col("prefix")),
+        "left")
+      .groupBy(keyCols: _*)
+      .agg(max_by(struct(col("allow"), col("prefix")),
+        struct(coalesce(col("plen"), lit(-1)), col("allow"), col("prefix"))).as("w"))
+      .select(keyCols :+ coalesce(col("w.allow"), lit(true)).as("allowed")
+        :+ coalesce(col("w.prefix"), lit("")).as("matched_rule"): _*)
   }
 
   // ------------------------------------------------------------------
@@ -206,19 +212,25 @@ object Crawl {
     * response, Content-Length in BYTES over the HTTP block). Docs with
     * doc_id % 97 == 0 are written CORRUPT (Content-Length overruns
     * into the next record) — the quarantine fixture. */
-  private[graft] def warcBlob(docs: Iterator[(Long, String, String)]): Array[Byte] = {
+  private[graft] def warcBlob(docs: Iterator[(Long, String, String)]): Array[Byte] =
+    warcBlobRecords(docs.map { case (id, lang, text) =>
+      (s"https://$lang.example.com/warc/$id", text, id % 97 == 0)
+    })
+
+  /** The general record writer behind [[warcBlob]]: one `response`
+    * per (target-uri, payload, corrupt) triple, after a `warcinfo`. */
+  private[graft] def warcBlobRecords(recs: Iterator[(String, String, Boolean)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def wr(s: String): Unit = out.write(s.getBytes("UTF-8"))
     wr("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 17\r\n\r\n" +
       "software: graft\r\n" + "\r\n\r\n")
-    docs.foreach { case (id, lang, text) =>
-      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + text
+    recs.foreach { case (uri, payload, corrupt) =>
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + payload
       val httpLen = http.getBytes("UTF-8").length
-      val stated = if (id % 97 == 0) httpLen + 7 else httpLen // corrupt fixture
+      val stated = if (corrupt) httpLen + 7 else httpLen // lying length fixture
       wr(s"WARC/1.0\r\n" +
         s"WARC-Type: response\r\n" +
-        s"WARC-Target-URI: https://$lang.example.com/warc/$id\r\n" +
-        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
         s"Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: $stated\r\n\r\n")
       wr(http)
@@ -302,6 +314,62 @@ object Crawl {
       else findMagic(cursor + magic.length) // lying record: resync
     }
     outRows.result()
+  }
+
+  /** Registered query (HARD oracle): the WHOLE crawl front end
+    * composed end-to-end — the flagship of this tier. Per partition
+    * the docs are written into a real WARC blob whose response
+    * payloads are the HTML-wrapped texts and whose target URIs cycle
+    * three crawl-surface variants (plain / tracking-params /
+    * http+UPPERCASE-host+trailing-slash), ~1/97 corrupt; then the
+    * pipeline runs exactly as production would:
+    *
+    *   WARC framing → HTTP status gate → HTML text extraction (the
+    *   doc id is recovered FROM the extracted text, so extraction is
+    *   load-bearing, not decorative) → robots.txt compliance on the
+    *   parsed host/path → URL canonicalization → canonical-URL dedup
+    *   (keep min doc_id, count variants).
+    *
+    * The oracle states the survivors in closed form (WARC-ok ∧
+    * robots-allowed, grouped by the canonical resource), so a bug in
+    * ANY stage — framing, extraction inversion, group scoping,
+    * precedence, canonical equivalences, or the dedup key — changes
+    * rows and breaks the hash. Shape: partition-batched maps and one
+    * broadcast join until the single canonical-key aggregate. */
+  def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val hostE = concat(col("lang"), lit(".example.com"))
+    val pathE = concat(lit("/r"), (col("doc_id") % 5).cast("string"),
+      lit("/p"), (col("doc_id") % 7).cast("string"))
+    val v = col("doc_id") % 3
+    val uriE = when(v === 0, concat(lit("https://"), hostE, pathE))
+      .when(v === 1, concat(lit("https://"), hostE, pathE, lit("?utm_source=x&gclid=1")))
+      .otherwise(concat(lit("http://"), upper(hostE), pathE, lit("/")))
+    val parsed = docs
+      .select(uriE.as("uri"), htmlWrapExpr(col("doc_id"), col("text")).as("payload"),
+        (col("doc_id") % 97 === 0).as("corrupt"))
+      .as[(String, String, Boolean)]
+      .mapPartitions(it => warcParse(warcBlobRecords(it)).iterator)
+      .toDF("url", "status", "payload")
+    val extracted = parsed
+      .filter(col("status") === 200)
+      .select(col("url"), htmlExtract(col("payload")).as("extracted"))
+      .withColumn("doc_id",
+        regexp_extract(col("extracted"), "Doc (\\d+) ", 1).cast("long"))
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]*).*", 1)))
+      .withColumn("url_path",
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]*([^?#]*).*", 1))
+    val robots = docs.select(col("lang")).distinct()
+      .select(concat(col("lang"), lit(".example.com")).as("host"),
+        robotsTxtExpr(col("lang")).as("robots_txt"))
+    robotsVerdict(extracted, robotsRules(robots))
+      .filter(col("allowed"))
+      .select(col("doc_id"), Documents.urlCanonical(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_url")
   }
 
   /** Registered query (HARD oracle): WARC INGESTION — the pipeline's

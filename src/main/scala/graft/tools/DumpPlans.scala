@@ -84,6 +84,10 @@ object DumpPlans {
       "text_unigram_train" -> "corpus touched ONCE by the word-histogram agg; seed counting and every EM stage are vocab-sized; top-k via one window over the final counts",
       "text_unigram_encode" -> "per-DISTINCT-word Viterbi (the media-seam class) rejoins the corpus by measured broadcast; per-doc agg is map-side partial",
       "text_unigram_vocab" -> "final counts join the driver-held lp model by unconditional broadcast (vocab-sized); top-k limit",
+      "crawl_warc_ingest" -> "byte-cursor WARC framing is a partition-batched map — zero shuffles until the output sort; blobs are per-partition, records self-contained",
+      "crawl_html_extract" -> "the whole extraction rule chain is one codegen'd projection — a pure map, no UDF, no shuffle",
+      "crawl_robots_filter" -> "rules parse on the tiny robots side and BROADCAST; the URL side is map + broadcast join + map-side-partial max_by on the matched handful — no corpus-keyed window sort",
+      "crawl_pipeline" -> "the composed front end: partition-batched WARC map, codegen'd extraction projection, broadcast robots join with partial-agg verdict, ONE canonical-key aggregate — the only corpus-keyed shuffle in five stages",
       "multimodal_dedup_phash" -> "decode+dHash is a partition-batched map (the media byte seam); pairs ride the banded simhash self-join on 8-byte signatures",
       "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics",
       "multimodal_dedup_phash_png" -> "real zlib PNG decode in the partition-batched map (container-sniffing pixelsOf); pair stage identical to the BMP row — format coverage costs zero extra shuffles",

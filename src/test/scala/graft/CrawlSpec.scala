@@ -93,6 +93,28 @@ class CrawlSpec extends SparkSuite {
     assert(Crawl.warcParse("garbage".getBytes) === Seq())
   }
 
+  test("crawl_pipeline: the composed front end matches the closed form at every stage") {
+    val out = Crawl.crawlPipeline(spark, SparkSpec.sfTiny)
+      .as[(String, Long, Long)].collect()
+    val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val survivors = docs.filter { case (id, lang) =>
+      val k = lang(0).toInt % 5
+      val r = (id % 5).toInt; val p = (id % 7).toInt
+      id % 97 != 0 && (r != k || p == 3)
+    }
+    val expected = survivors
+      .groupBy { case (id, lang) =>
+        s"https://$lang.example.com/r${id % 5}/p${id % 7}"
+      }
+      .map { case (urlC, grp) => (urlC, grp.map(_._1).min, grp.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(out.toSeq === expected)
+    // sanity: all three stages actually pruned/merged something
+    assert(survivors.length < docs.length, "robots/warc must drop docs")
+    assert(out.length < survivors.length, "canonical dedup must merge variants")
+  }
+
   test("crawl_warc_ingest: survivors match the closed form; partitioning never changes rows") {
     val out = Crawl.crawlWarcIngest(spark, SparkSpec.sfTiny)
       .as[(String, Int, Long)].collect()
