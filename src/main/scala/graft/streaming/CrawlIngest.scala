@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Crawl, Documents}
+
+/** The crawl front end as an ARRIVAL-TIME stream — the streaming twin
+  * of [[graft.operators.Crawl.crawlPipeline]], completing the ingest
+  * matrix (exact hashes, text shingles, media signatures, embedding
+  * sketches, and now raw crawl traffic). WARC blobs arrive as binary
+  * rows; each micro-batch frames them, extracts text, applies robots
+  * compliance against the (tiny, broadcast) parsed rule set, and
+  * admits only resources whose CANONICAL URL has not been fetched
+  * before — first fetch wins, the arrival-order twin of the batch
+  * row's keep-min-id. The canonical-URL ledger and the corpus sink
+  * both ride [[ReplaySafeSink]]/[[RunToken]], so checkpoint retries
+  * reproduce their own first attempt and fresh-checkpoint incarnations
+  * never clobber history — the same replay contract as every other
+  * ingest here.
+  *
+  * Scale shape per batch: partition-batched WARC framing (records are
+  * self-contained, blobs never split), a codegen'd extraction
+  * projection, one broadcast robots join with a map-side-partial
+  * verdict, an in-batch canonical reduce, and ONE anti join against
+  * the standing ledger keyed by canonical URL — short keys, the
+  * cheapest standing state a crawl can keep. */
+object CrawlIngest {
+
+  /** Start the ingest: `blobs` streams (ts, blob) rows; `robots` is a
+    * static (host, robots_txt) frame parsed once up front. */
+  def ingestWarc(blobs: DataFrame, robots: DataFrame, ledgerDir: String,
+                 outDir: String, checkpointDir: String): StreamingQuery = {
+    val rules = Crawl.robotsRules(robots)
+    blobs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId,
+          RunToken.of(batch.sparkSession, checkpointDir), rules, ledgerDir, outDir)
+      }
+      .start()
+  }
+
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, token: String,
+                                  rules: DataFrame, ledgerDir: String,
+                                  outDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val parsed = batch.select(col("blob")).as[Array[Byte]]
+      .mapPartitions(it => it.flatMap(Crawl.warcParse))
+      .toDF("url", "status", "payload")
+    val extracted = parsed
+      .filter(col("status") === 200)
+      .select(col("url"), Crawl.htmlExtract(col("payload")).as("text"))
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]*).*", 1)))
+      .withColumn("url_path",
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]*([^?#]*).*", 1))
+    val allowed = Crawl.robotsVerdict(extracted, rules)
+      .filter(col("allowed"))
+      .select(col("url"), col("text"),
+        Documents.urlCanonical(col("url")).as("canonical_url"))
+    // in-batch first-fetch winner, fully deterministic (lexicographic
+    // (url, text) min) so a checkpoint retry reproduces byte-identical
+    // partitions even when one resource arrives twice in a batch
+    val inBatch = allowed
+      .groupBy("canonical_url")
+      .agg(min_by(struct(col("url"), col("text")),
+        struct(col("url"), col("text"))).as("w"))
+      .select(col("canonical_url"), col("w.url").as("url"), col("w.text").as("text"))
+    // standing-ledger gate: set-exclusion read, so a retry sees exactly
+    // the pre-batch fetch history (never its own first attempt)
+    val novel = ReplaySafeSink.standingRows(spark, ledgerDir, token, batchId) match {
+      case Some(led) =>
+        inBatch.join(led.select("canonical_url"), Seq("canonical_url"), "left_anti")
+      case None => inBatch
+    }
+    // persisted so the corpus and ledger writes see ONE row set (a
+    // recompute during the ledger write would re-read the ledger
+    // mid-append — the CorpusIngest consistency discipline)
+    novel.persist()
+    try {
+      ReplaySafeSink.writeBatch(novel, outDir, token, batchId)
+      ReplaySafeSink.writeBatch(novel.select("canonical_url"), ledgerDir, token, batchId)
+    } finally novel.unpersist()
+  }
+}

@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Crawl
+import graft.streaming.CrawlIngest
 
 /** The crawl front end: robots.txt group scoping and precedence, HTML
   * extraction inversion, WARC framing + quarantine + resync. */
@@ -113,6 +115,73 @@ class CrawlSpec extends SparkSuite {
     // sanity: all three stages actually pruned/merged something
     assert(survivors.length < docs.length, "robots/warc must drop docs")
     assert(out.length < survivors.length, "canonical dedup must merge variants")
+  }
+
+  test("streaming crawl ingest: robots gate, canonical first-fetch dedup across batches, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val base = new java.io.File("target/crawl-ingest-spec")
+    rm(base)
+    def page(text: String) = s"<body><p>$text</p></body>"
+    def blob(recs: (String, String, Boolean)*): Array[Byte] =
+      Crawl.warcBlobRecords(recs.iterator.map { case (u, t, c) => (u, page(t), c) })
+    val robots = Seq(("en.example.com",
+      "User-agent: *\nDisallow: /blocked\nAllow: /blocked/ok\n")).toDF("host", "robots_txt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val q = CrawlIngest.ingestWarc(
+      stream.toDF().toDF("ts", "blob"), robots,
+      s"$base/ledger", s"$base/corpus", s"$base/ckpt")
+    try {
+      val batch1 = blob(
+        ("https://en.example.com/a", "doc a", false),
+        ("https://en.example.com/blocked/x", "never admit", false), // robots
+        ("https://en.example.com/blocked/ok", "allow exception", false),
+        ("https://en.example.com/corrupt", "torn", true),           // quarantine
+        // same canonical resource twice in one batch (tracking params)
+        ("https://en.example.com/a?utm_source=x", "doc a refetch", false))
+      stream.addData(Seq((ts("2024-01-01 10:00:00"), batch1)))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$base/corpus")
+        .select("canonical_url", "text").as[(String, String)].collect().sortBy(_._1)
+      assert(c1.map(_._1).toSeq === Seq("https://en.example.com/a",
+        "https://en.example.com/blocked/ok"))
+      assert(c1(0)._2 === "doc a", "first-fetch winner must be deterministic")
+      // batch 2: refetch of /a via a different surface form → dropped
+      // against the STANDING ledger; one genuinely new resource
+      stream.addData(Seq((ts("2024-01-01 10:30:00"), blob(
+        ("http://WWW.EN.example.com/a/", "doc a again", false),
+        ("https://en.example.com/b", "doc b", false)))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
+      val c2 = spark.read.parquet(s"$base/corpus")
+        .select("canonical_url").as[String].collect().sorted
+      assert(c2.toSeq === Seq("https://en.example.com/a",
+        "https://en.example.com/b", "https://en.example.com/blocked/ok"))
+    } finally q.stop()
+    // checkpoint-retry batch 1: the set-exclusion read hides exactly the
+    // first attempt, so corpus and ledger come out identical
+    val again = Seq((ts("2024-01-01 10:00:00"), blob(
+      ("https://en.example.com/a", "doc a", false),
+      ("https://en.example.com/blocked/x", "never admit", false),
+      ("https://en.example.com/blocked/ok", "allow exception", false),
+      ("https://en.example.com/corrupt", "torn", true),
+      ("https://en.example.com/a?utm_source=x", "doc a refetch", false)))).toDF("ts", "blob")
+    CrawlIngest.processBatch(again, 0L,
+      graft.streaming.RunToken.of(spark, s"$base/ckpt"),
+      Crawl.robotsRules(robots), s"$base/ledger", s"$base/corpus")
+    val cR = spark.read.parquet(s"$base/corpus")
+      .select("canonical_url", "text").as[(String, String)].collect().sortBy(_._1)
+    assert(cR.map(_._1).toSeq === Seq("https://en.example.com/a",
+      "https://en.example.com/b", "https://en.example.com/blocked/ok"),
+      s"replay changed corpus: ${cR.toSeq}")
+    assert(cR(0)._2 === "doc a", "replay must reproduce the deterministic winner")
+    val lR = spark.read.parquet(s"$base/ledger")
+      .select("canonical_url").distinct().count()
+    assert(lR === 3L, "replay changed the ledger")
   }
 
   test("crawl_warc_ingest: survivors match the closed form; partitioning never changes rows") {
