@@ -176,6 +176,9 @@ object SparkEntry {
     "text_bpe_encode" -> (Documents.textBpeEncode _),
     "text_bpe_vocab" -> (Documents.textBpeVocab _),
     "text_unigram_train" -> (Documents.textUnigramTrain _),
+    "text_wordpiece_train" -> (Documents.textWordpieceTrain _),
+    "text_wordpiece_vocab" -> (Documents.textWordpieceVocab _),
+    "text_wordpiece_encode" -> (Documents.textWordpieceEncode _),
     "text_unigram_encode" -> (Documents.textUnigramEncode _),
     "text_unigram_vocab" -> (Documents.textUnigramVocab _),
     "text_langid" -> (Documents.textLangId _),
@@ -280,6 +283,52 @@ object SparkEntry {
   /** DSIR importance-weight oracle — shared verbatim between
     * `corpus_dsir` and the CTE of `corpus_dsir_select` so the two can
     * never drift. */
+  /** The WordPiece 3-round training chain, shared VERBATIM by the
+    * three text_wordpiece_* oracles so they can never drift: marked
+    * initial segmentation (c1, ##c2, ...), per-round token counts for
+    * the likelihood denominator, argmax by cnt/(cnt(a)*cnt(b)) as one
+    * IEEE double division of exact BIGINTs (no libm), double-space
+    * literal-replace rewrite with the right piece's ## stripped. */
+  private def wpRound(i: Int): String = {
+    val prev = if (i == 1) "seg0" else s"seg${i - 1}"
+    s"""tc$i AS (
+       |  SELECT tok, sum(c)::BIGINT AS tc
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(seg, ' +'),
+       |                                  x -> x <> '')) AS tok, c FROM $prev)
+       |  GROUP BY 1
+       |), p$i AS (
+       |  SELECT t[j] AS lhs, t[j + 1] AS rhs, sum(c)::BIGINT AS cnt
+       |  FROM (SELECT t, c, unnest(range(1, len(t))) AS j
+       |        FROM (SELECT list_filter(regexp_split_to_array(seg, ' +'),
+       |                                 x -> x <> '') AS t, c FROM $prev))
+       |  GROUP BY 1, 2
+       |), b$i AS (
+       |  SELECT p$i.lhs, p$i.rhs, p$i.cnt FROM p$i
+       |  JOIN tc$i ta ON ta.tok = p$i.lhs JOIN tc$i tb ON tb.tok = p$i.rhs
+       |  ORDER BY p$i.cnt::DOUBLE / (ta.tc::DOUBLE * tb.tc::DOUBLE) DESC,
+       |           p$i.lhs, p$i.rhs LIMIT 1
+       |), seg$i AS (
+       |  SELECT coalesce(' ' || array_to_string(list_filter(regexp_split_to_array(
+       |           replace(s.seg, ' ' || b.lhs || '  ' || b.rhs || ' ',
+       |                   ' ' || b.lhs || substr(b.rhs, 3) || ' '),
+       |           ' +'), x -> x <> ''), '  ') || ' ', s.seg) AS seg, s.c
+       |  FROM $prev s LEFT JOIN b$i b ON true
+       |)""".stripMargin
+  }
+  private val wpTrainCtes: String =
+    """words AS (
+      |  SELECT w, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |        FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1
+      |), seg0 AS (
+      |  SELECT ' ' || w[1] || '  ' || array_to_string(
+      |           list_transform(range(2, length(w) + 1), i -> '##' || w[i]), '  ')
+      |         || ' ' AS seg, c
+      |  FROM words
+      |), """.stripMargin + wpRound(1) + ", " + wpRound(2) + ", " + wpRound(3)
+
+
   private val dsirSql: String =
     """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       |              FROM documents),
@@ -2334,6 +2383,68 @@ object SparkEntry {
     // The fit chain is SHARED (unigramFitSql) with the vocab and
     // encode rows, which read v1 (the deployable scores) and b2 (the
     // final segmentations) off the same replay.
+    // The WordPiece trainer replayed round for round (wpTrainCtes):
+    // the likelihood argmax is one IEEE division of exact BIGINTs, so
+    // both engines rank candidates bit-identically; merged strips the
+    // right piece's continuation mark.
+    "text_wordpiece_train" -> ("WITH " + wpTrainCtes +
+      """ SELECT step, lhs, rhs, lhs || substr(rhs, 3) AS merged, cnt FROM (
+        |  SELECT 1 AS step, * FROM b1
+        |  UNION ALL SELECT 2, * FROM b2
+        |  UNION ALL SELECT 3, * FROM b3
+        |) ORDER BY step""".stripMargin),
+    // Train chain + the final segmentation's marked token inventory —
+    // the vocab.txt a BERT release ships.
+    "text_wordpiece_vocab" -> ("WITH " + wpTrainCtes +
+      """ SELECT tok, sum(c)::BIGINT AS cnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(seg, ' +'),
+        |                            x -> x <> '')) AS tok, c
+        |  FROM seg3)
+        |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 50""".stripMargin),
+    // Train chain, then greedy longest-match replayed relationally:
+    // the per-(word, position) maximal jump is a plain aggregate over
+    // word-position x vocab, and a recursive CTE walks the jumps —
+    // exactly the maximal-munch loop the Spark side runs per distinct
+    // word.
+    "text_wordpiece_encode" -> ("WITH RECURSIVE " + wpTrainCtes +
+      """, dw AS (
+        |  SELECT DISTINCT w
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''
+        |), vocab AS (
+        |  SELECT DISTINCT CASE WHEN i = 1 THEN w[1] ELSE '##' || w[i] END AS tok
+        |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM dw)
+        |  UNION SELECT lhs || substr(rhs, 3) FROM b1
+        |  UNION SELECT lhs || substr(rhs, 3) FROM b2
+        |  UNION SELECT lhs || substr(rhs, 3) FROM b3
+        |), jumps AS (
+        |  SELECT p.w, p.pos,
+        |         max(CASE WHEN p.pos = 1 THEN length(v.tok)
+        |                  ELSE length(v.tok) - 2 END)::BIGINT AS pl
+        |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM dw) p
+        |  JOIN vocab v ON
+        |    (p.pos = 1 AND v.tok NOT LIKE '##%' AND
+        |     v.tok = substr(p.w, 1, length(v.tok)))
+        |    OR (p.pos > 1 AND v.tok LIKE '##%' AND
+        |        substr(v.tok, 3) = substr(p.w, p.pos::INT, length(v.tok) - 2))
+        |  GROUP BY 1, 2
+        |), walk AS (
+        |  SELECT w, 1::BIGINT AS pos, 0::BIGINT AS n FROM dw
+        |  UNION ALL
+        |  SELECT walk.w, walk.pos + j.pl, walk.n + 1
+        |  FROM walk JOIN jumps j ON j.w = walk.w AND j.pos = walk.pos
+        |  WHERE walk.pos <= length(walk.w)
+        |), wt AS (SELECT w, n FROM walk WHERE pos = length(w) + 1),
+        |docw AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n)::BIGINT AS n_wp_tokens
+        |FROM docw JOIN wt USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "text_unigram_train" ->
       s"""$unigramFitSql
         |SELECT tok, cnt, rnk FROM (

@@ -1196,6 +1196,176 @@ object Documents {
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(spark, dir)
 
+  /** WORDPIECE training (Schuster & Nakajima 2012; the BERT tokenizer)
+    * — the third production trainer beside [[bpeTrain]] and
+    * [[unigramTrain]], completing the family a tokenizer-release
+    * pipeline actually chooses between. Same machinery as BPE — k
+    * greedy merges over the double-space word-histogram segmentation —
+    * with the two WordPiece differences:
+    *
+    *  - CONTINUATION MARKING: the initial segmentation is
+    *    [c₁, ##c₂, …, ##cₙ]; a merge keeps the left token's marking
+    *    and strips the right's `##`, so word-initial and word-internal
+    *    units count separately (the distinction BERT vocabularies
+    *    ship).
+    *  - LIKELIHOOD SCORE: the merged pair maximizes
+    *    cnt(ab) / (cnt(a)·cnt(b)) — the unigram-LM likelihood gain —
+    *    not raw pair count, so the per-round argmax needs the CURRENT
+    *    token counts too (a second vocab-sized aggregate). The score
+    *    is one IEEE division of exact BIGINTs (cast to double, no
+    *    libm), so Spark and DuckDB order candidates bit-identically;
+    *    ties break (lhs ASC, rhs ASC) on the [a-z#] alphabet.
+    *
+    * Cost shape is [[bpeFit]]'s: the corpus is touched once (the word
+    * histogram); each round is two vocab-sized aggregates, a 1-row
+    * argmax collect, and a literal-replace rewrite. */
+  private def wordpieceFit(spark: SparkSession, dir: String, k: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val words = unigramWords(spark, dir)
+    val toks = expr("filter(split(seg, ' +'), x -> x <> '')")
+    val marked = expr(
+      "transform(sequence(1, length(w)), i -> CASE WHEN i = 1 " +
+        "THEN substring(w, 1, 1) ELSE concat('##', substring(w, i, 1)) END)")
+    var seg = graft.Caches.persist(
+      words.select(bpeCanon(marked).as("seg"), col("c")))
+    val steps = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val tokCnt = seg.select(explode(toks).as("tok"), col("c"))
+        .groupBy("tok").agg(sum("c").as("tc"))
+      val best = seg
+        .select(toks.as("t"), col("c"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "j -> struct(element_at(t, j) AS lhs, element_at(t, j + 1) AS rhs))"))
+          .as("p"), col("c"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("c").as("cnt"))
+        .join(broadcast(tokCnt.withColumnRenamed("tok", "lhs")
+          .withColumnRenamed("tc", "ca")), Seq("lhs"))
+        .join(broadcast(tokCnt.withColumnRenamed("tok", "rhs")
+          .withColumnRenamed("tc", "cb")), Seq("rhs"))
+        .orderBy((col("cnt").cast("double") /
+          (col("ca").cast("double") * col("cb").cast("double"))).desc,
+          col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .select("lhs", "rhs", "cnt")
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = a + b.stripPrefix("##") // left marking survives the merge
+        steps += ((i, a, b, m, cnt))
+        seg = graft.Caches.persist(
+          seg.select(
+            replace(col("seg"), lit(s" $a  $b "), lit(s" $m ")).as("seg"),
+            col("c"))
+            .select(bpeCanon(toks).as("seg"), col("c")))
+      }
+    }
+    (steps.result(), seg)
+  }
+
+  /** Registered query (HARD oracle): the k WordPiece merge steps —
+    * (step, lhs, rhs, merged, cnt); cnt is the pair's corpus count
+    * (the score's exact numerator), the denominators being that
+    * round's token counts, which the DuckDB oracle recomputes and
+    * divides identically. */
+  def wordpieceTrain(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    wordpieceFit(spark, dir, k)._1.toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
+
+  def textWordpieceTrain(spark: SparkSession, dir: String): DataFrame =
+    wordpieceTrain(spark, dir)
+
+  /** The SHIPPED WordPiece vocabulary: the (marked) token inventory of
+    * the final histogram segmentation with corpus frequencies — the
+    * `vocab.txt` a BERT release packages. */
+  def wordpieceVocab(spark: SparkSession, dir: String, k: Int = 3,
+                     top: Int = 50): DataFrame = {
+    val (_, seg) = wordpieceFit(spark, dir, k)
+    seg.select(explode(expr("filter(split(seg, ' +'), x -> x <> '')")).as("tok"),
+        col("c"))
+      .groupBy("tok").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(top)
+  }
+
+  def textWordpieceVocab(spark: SparkSession, dir: String): DataFrame =
+    wordpieceVocab(spark, dir)
+
+  /** Greedy longest-match WordPiece segmentation length for one word —
+    * THE WordPiece inference algorithm (maximal munch with `##`
+    * continuations). `vocab` holds marked pieces; singles for every
+    * corpus character are in it by construction, so the walk always
+    * advances. */
+  private[graft] def wordpieceCount(w: String, vocab: Set[String],
+                                    maxLen: Int): Long = {
+    var pos = 0
+    var n = 0L
+    while (pos < w.length) {
+      var l = math.min(maxLen, w.length - pos)
+      var hit = 0
+      while (hit == 0 && l >= 1) {
+        val cand =
+          if (pos == 0) w.substring(0, l) else "##" + w.substring(pos, pos + l)
+        if (vocab.contains(cand)) hit = l else l -= 1
+      }
+      require(hit > 0, s"wordpieceCount: '$w' not coverable at $pos")
+      pos += hit
+      n += 1
+    }
+    n
+  }
+
+  /** Registered query (HARD oracle): WORDPIECE ENCODING — greedy
+    * longest-match against the trained inventory (every corpus
+    * character as a marked single — BERT vocabularies carry the whole
+    * alphabet — plus the k merged pieces), billed as per-document
+    * token counts. Same scale shape as [[bpeEncode]] /
+    * [[unigramEncode]]: the greedy walk runs once per DISTINCT word,
+    * joins back over a measured broadcast, and only the word explode
+    * and the per-doc aggregate touch the corpus. The DuckDB oracle
+    * precomputes the per-(word, position) maximal jump relationally
+    * and walks it with a recursive CTE — the same greedy, so counts
+    * are integer-exact. */
+  def wordpieceEncode(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val merges = wordpieceFit(spark, dir, k)._1
+    val docWords = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val distinctW = docWords.select("w").distinct()
+    // the alphabet tier of the vocabulary: every character of every
+    // corpus word, marked by position class
+    val singles = distinctW
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> CASE WHEN i = 1 " +
+          "THEN substring(w, 1, 1) ELSE concat('##', substring(w, i, 1)) END)"))
+        .as("tok"))
+      .distinct()
+      .as[String].collect().toSet
+    val vocab = singles ++ merges.map(_._4)
+    val maxLen = vocab.iterator.map(t => t.stripPrefix("##").length).max
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    val wordTokens = distinctW.as[String]
+      .map(w => (w, wordpieceCount(w, vocabB.value, maxLen)))
+      .toDF("w", "w_toks")
+    docWords
+      .join(Ops.broadcastIfFits(wordTokens), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_toks")).as("n_wp_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def textWordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    wordpieceEncode(spark, dir)
+
   /** UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
     * `unigram` model) — the other trainer a training-data pipeline
     * ships beside [[bpeTrain]], via Viterbi hard-EM over the WORD

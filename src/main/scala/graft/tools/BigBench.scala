@@ -207,7 +207,11 @@ object BigBenchLlm {
       "multimodal_dedup_phash_png", "multimodal_dedup_phash_jpeg",
       "multimodal_dedup_vhash", "multimodal_video_sample",
       "multimodal_dedup_video_rescale",
-      "dedup_ngram_jaccard_staged")
+      "dedup_ngram_jaccard_staged",
+      "multimodal_dedup_png_palette", "multimodal_dedup_jpeg_progressive",
+      "multimodal_dedup_gif", "multimodal_dedup_video_mjpeg",
+      "crawl_warc_ingest", "crawl_html_extract", "crawl_robots_filter",
+      "crawl_pipeline")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

@@ -282,6 +282,76 @@ class CorpusSpec extends SparkSuite {
     assert(got.size === 3 && got.map(_._1) === Seq(1, 2, 3))
   }
 
+  test("WordPiece training matches a local likelihood-greedy replay over marked token lists") {
+    val got = Documents.wordpieceTrain(spark, dir, k = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // independent replay: marked histograms (c1, ##c2, ...), pair AND
+    // token counts re-derived each round, argmax by the likelihood
+    // score cnt/(cnt(a)*cnt(b)) with (lhs, rhs) tie-break
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val wc = scala.collection.mutable.Map.empty[List[String], Long]
+    texts.foreach { t =>
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 2).foreach { w =>
+        val ts = w.head.toString :: w.tail.map(c => "##" + c).toList
+        wc(ts) = wc.getOrElse(ts, 0L) + 1L
+      }
+    }
+    var hist = wc.toMap
+    val want = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    for (i <- 1 to 3) {
+      val tc = scala.collection.mutable.Map.empty[String, Long]
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      hist.foreach { case (ts, c) =>
+        ts.foreach(t => tc(t) = tc.getOrElse(t, 0L) + c)
+        ts.zip(ts.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      val ((a, b), cnt) = pc.toSeq.minBy { case ((l, r), c) =>
+        (-(c.toDouble / (tc(l).toDouble * tc(r).toDouble)), l, r)
+      }
+      val m = a + b.stripPrefix("##")
+      want += ((i, a, b, m, cnt))
+      hist = hist.map { case (ts, c) =>
+        ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ m
+          else acc :+ t
+        }.toList -> c
+      }
+    }
+    assert(got === want.toSeq)
+    // the score must differ from raw-count BPE: the likelihood argmax
+    // favours rarer-unit pairs — and continuation marks must survive
+    assert(got.forall(s => s._3.startsWith("##")),
+      "every right-hand piece is word-internal by construction")
+  }
+
+  test("WordPiece encode is maximal munch; per-doc counts bounded by words and chars") {
+    import graft.operators.Documents.wordpieceCount
+    // hand vocab: longest match must win, continuation marks honored
+    val v = Set("u", "n", "##n", "##a", "##b", "##l", "##e", "un", "##able")
+    assert(wordpieceCount("unable", v, 5) === 2L, "un + ##able")
+    assert(wordpieceCount("nab", v, 5) === 3L, "n + ##a + ##b")
+    assert(wordpieceCount("u", v, 5) === 1L)
+    // greedy, not optimal: 'unn' takes 'un' then '##n' (2), never u+nn
+    assert(wordpieceCount("unn", v, 5) === 2L)
+    val out = Documents.wordpieceEncode(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val chars = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty) }
+      .toMap
+    out.foreach { case (id, nWords, nToks) =>
+      val ws = chars(id)
+      assert(nWords === ws.length.toLong, s"doc $id")
+      assert(nToks >= nWords && nToks <= ws.map(_.length).sum.toLong,
+        s"doc $id: $nToks outside [words, chars]")
+    }
+    // merges must actually compress: strictly fewer tokens than chars
+    assert(out.map(_._3).sum < chars.values.map(_.map(_.length).sum.toLong).sum)
+  }
+
   test("dedup savings report replays the keep-min-id decision with token weights") {
     val got = Documents.corpusDedupSavings(spark, dir)
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
