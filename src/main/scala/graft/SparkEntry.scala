@@ -256,6 +256,8 @@ object SparkEntry {
       Multimodal.multimodalThumbnail(s, d)),
     "multimodal_audio_sample" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalAudioSample(s, d)),
+    "multimodal_audio_features" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalAudioFeatures(s, d)),
     "multimodal_dedup_phash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupPhash(s, d)),
     "multimodal_dedup_phash_png" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -2801,6 +2803,14 @@ object SparkEntry {
     "multimodal_dedup_phash_jpeg" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // Bin-centered two-tone fixture: zero spectral leakage, so the
+    // radix-2 FFT's top-2 magnitude bins are closed forms of the
+    // generator arithmetic — quantization noise sits ~5 orders of
+    // magnitude under the lines, and the outputs are integers.
+    "multimodal_audio_features" ->
+      """SELECT doc_id, (3 + doc_id % 100)::INT AS peak_bin,
+        |       (110 + doc_id % 17)::INT AS second_bin
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     // GIF twin: LZW round trip is lossless for palette images, so the
     // 2x-upscale clone's dHash survives by the floor identity — each
     // planted pair at Hamming 0 in closed form; interlaced encodes on

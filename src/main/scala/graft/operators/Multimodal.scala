@@ -1324,6 +1324,114 @@ object Multimodal {
       }.toDF("doc_id", "simhash")
   }
 
+  /** In-place iterative radix-2 FFT (Cooley–Tukey, bit-reversal
+    * permutation) — the real DSP primitive behind
+    * [[multimodalAudioFeatures]]. `re`/`im` length must be a power of
+    * two. Plain textbook double math; the consumers read INTEGER
+    * arg-max bins whose margins dwarf any twiddle-ulp wobble, so the
+    * registered outputs are hash-stable across JVMs. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"fft: length $n not a power of two")
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Two-tone test fixture behind [[multimodalAudioFeatures]]: 16-bit
+    * mono PCM whose samples are A1·sin(2π·k1·t/N) + A2·sin(2π·k2·t/N)
+    * — both frequencies BIN-CENTERED for the N-point analysis window,
+    * so the spectrum has exactly two lines (zero leakage) and the
+    * top-2 bins are closed forms of (k1, k2). */
+  private[graft] def wavTwoTone(nFrames: Int, n: Int, k1: Int, k2: Int): Array[Byte] = {
+    val out = MediaEncoder.wav(11025, 1, nFrames)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var t = 0
+    while (t < nFrames) {
+      val s = 9000.0 * StrictMath.sin(2.0 * math.Pi * k1 * t / n) +
+        4000.0 * StrictMath.sin(2.0 * math.Pi * k2 * t / n)
+      bb.putShort(44 + t * 2, math.round(s).toShort)
+      t += 1
+    }
+    out
+  }
+
+  /** Registered query (HARD oracle): AUDIO SPECTRAL FEATURES — the
+    * feature-extraction stage an audio-embedding pipeline runs before
+    * any model sees a clip (dominant and secondary tone bins over an
+    * FFT analysis window; Shazam-class fingerprints and MFCC chains
+    * start exactly here). Each doc's two-tone WAV goes through the
+    * REAL byte codec and a REAL radix-2 FFT; the reported features are
+    * integer arg-max bins over |X[k]| for k in 1..N/2. The fixture's
+    * tones are bin-centered (zero spectral leakage), so the oracle
+    * states both bins in closed form — peak = 3 + doc_id % 100,
+    * second = 110 + doc_id % 17, disjoint ranges — while 16-bit
+    * quantization noise sits ~5 orders of magnitude under the line
+    * amplitudes; a bit-reversal, twiddle, or butterfly bug scrambles
+    * the arg-max and breaks the hash on every row. Pure map — the
+    * same embarrassingly-parallel shape as every per-doc media stage. */
+  def multimodalAudioFeatures(spark: SparkSession, dir: String,
+                              limit: Long = 500L, n: Int = 256): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val k1 = 3 + (id % 100).toInt
+          val k2 = 110 + (id % 17).toInt
+          val clip = wavTwoTone(n + (id % 64).toInt, n, k1, k2)
+          val (_, channels, _, samples) = MediaTransform.wavSamples(clip).get
+          val re = new Array[Double](n); val im = new Array[Double](n)
+          var t = 0
+          while (t < n) { re(t) = samples(t * channels).toDouble; t += 1 }
+          fft(re, im)
+          def mag2(k: Int) = re(k) * re(k) + im(k) * im(k)
+          var best = 1; var second = 2
+          var k = 2
+          while (k <= n / 2) {
+            if (mag2(k) > mag2(best)) { second = best; best = k }
+            else if (k != best && mag2(k) > mag2(second)) second = k
+            k += 1
+          }
+          (id, best, second)
+        }
+      }.toDF("doc_id", "peak_bin", "second_bin")
+      .orderBy("doc_id")
+  }
+
   /** 64-bit aHash (frame-loudness delta hash) — the audio analogue of
     * [[dHash64]]: nearest-neighbor decimate the interleaved PCM stream
     * to 65 representative frames (frame j at index ⌊j·frames/65⌋ — the

@@ -211,7 +211,9 @@ object BigBenchLlm {
       "multimodal_dedup_png_palette", "multimodal_dedup_jpeg_progressive",
       "multimodal_dedup_gif", "multimodal_dedup_video_mjpeg",
       "crawl_warc_ingest", "crawl_html_extract", "crawl_robots_filter",
-      "crawl_pipeline")
+      "crawl_pipeline",
+      "text_wordpiece_train", "text_wordpiece_vocab", "text_wordpiece_encode",
+      "multimodal_audio_features")
     // optional 2nd arg: comma-separated query subset (re-measuring one
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))

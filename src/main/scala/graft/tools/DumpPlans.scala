@@ -92,6 +92,8 @@ object DumpPlans {
       "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics",
       "multimodal_dedup_phash_png" -> "real zlib PNG decode in the partition-batched map (container-sniffing pixelsOf); pair stage identical to the BMP row — format coverage costs zero extra shuffles",
       "multimodal_dedup_phash_jpeg" -> "full baseline-JPEG decode (Huffman + IDCT) in the partition-batched map; clones re-encode decoded pixels losslessly so the oracle stays closed-form; same banded pair join",
+      "multimodal_audio_features" -> "codec decode + radix-2 FFT per record in the partition-batched map — a pure map, only the output sort exchanges",
+      "text_wordpiece_encode" -> "greedy longest-match once per DISTINCT word, measured-broadcast join back to the word stream, one per-doc aggregate — the bpe/unigram encode shape",
       "multimodal_dedup_png_palette" -> "palette/Adam7/16-bit PNG decodes in the partition-batched map — the full-matrix coverage row; pair stage identical to every other signature tier",
       "multimodal_dedup_jpeg_progressive" -> "progressive (SOF2) decode on half the population — multi-scan coefficient accumulation is per-record map work, invisible to the plan; same banded pair join",
       "multimodal_dedup_gif" -> "LZW GIF decode in the partition-batched map; interlaced encodes change bytes, not plan shape; same banded pair join",

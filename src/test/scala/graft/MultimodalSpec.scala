@@ -542,6 +542,40 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("radix-2 FFT matches a direct DFT; audio features report the planted tone bins exactly") {
+    // the FFT against an O(n²) direct DFT on pseudo-random data — any
+    // bit-reversal, twiddle, or butterfly bug shows up at double scale
+    val n = 64
+    val rnd = new scala.util.Random(7)
+    val re = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val im = new Array[Double](n)
+    val (r2, i2) = (re.clone(), im.clone())
+    Multimodal.fft(r2, i2)
+    for (k <- 0 until n) {
+      var dr = 0.0; var di = 0.0
+      for (t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        dr += re(t) * math.cos(a) - im(t) * math.sin(a)
+        di += re(t) * math.sin(a) + im(t) * math.cos(a)
+      }
+      assert(math.abs(r2(k) - dr) < 1e-9 && math.abs(i2(k) - di) < 1e-9, s"bin $k")
+    }
+    // linearity sanity: a pure bin-centered tone concentrates in one bin
+    val tr = Array.tabulate(n)(t => math.sin(2 * math.Pi * 5 * t / n))
+    val ti = new Array[Double](n)
+    Multimodal.fft(tr, ti)
+    val mags = (1 to n / 2).map(k => tr(k) * tr(k) + ti(k) * ti(k))
+    assert(mags.indexOf(mags.max) + 1 === 5)
+    // the registered row: every doc's (peak, second) equals the
+    // generator arithmetic through the real WAV codec
+    val out = Multimodal.multimodalAudioFeatures(spark, SparkSpec.sfTiny)
+      .as[(Long, Int, Int)].collect()
+    assert(out.length === 500)
+    out.foreach { case (id, p, s) =>
+      assert(p === 3 + (id % 100).toInt && s === 110 + (id % 17).toInt, s"doc $id")
+    }
+  }
+
   test("AVI round trip: decode(encode(frames)) is frame-identical; hostile inputs reject") {
     import Multimodal.MediaTransform.texturePixels
     import graft.operators.AviCodec
