@@ -51,6 +51,12 @@ object Crawl {
         posexplode(split(col("robots_txt"), "\n")).as(Seq("pos", "raw")))
       .select(col("host"), col("pos"),
         trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      // blank (and comment-only) lines are dropped BEFORE the group
+      // window: RFC 9309's grammar allows them between stacked
+      // user-agent lines of ONE group, so a lag over raw lines would
+      // split "User-agent: *<blank>User-agent: x" into two groups and
+      // silently detach the rules from *
+      .filter(length(col("line")) > 0)
     val classified = lines
       .withColumn("isUa", lower(col("line")).startsWith("user-agent:"))
       .withColumn("uaVal",
@@ -58,7 +64,8 @@ object Crawl {
       .withColumn("kind",
         when(lower(col("line")).startsWith("allow:"), lit("allow"))
           .when(lower(col("line")).startsWith("disallow:"), lit("disallow")))
-    // a group STARTS at a UA line not preceded by another UA line
+    // a group STARTS at a UA line whose previous surviving line is not
+    // a UA line
     val byPos = Window.partitionBy("host").orderBy("pos")
     val grouped = classified
       .withColumn("newGroup",
@@ -71,13 +78,28 @@ object Crawl {
       .agg(max((col("uaVal") === "*").cast("int")).as("isStar"))
       .filter(col("isStar") === 1)
       .select("host", "groupId")
-    grouped
+    val withPrefix = grouped
       .filter(col("kind").isNotNull)
       .join(broadcast(starGroups), Seq("host", "groupId")) // keep * groups only
       .select(col("host"), (col("kind") === "allow").as("allow"),
         trim(regexp_extract(col("line"), "(?i)^(?:allow|disallow):(.*)$", 1)).as("prefix"))
       .filter(length(col("prefix")) > 0) // empty Disallow = allow all
+    // RFC 9309 wildcards compiled to a per-rule anchored regex: `*`
+    // matches any span, a TRAILING `$` anchors the end, everything
+    // else is literal (regex metacharacters escaped — a hostile
+    // robots.txt must not inject syntax). Specificity (plen) stays the
+    // RAW rule length, the convention Google's matcher uses.
+    val anchored = col("prefix").endsWith("$")
+    val core = when(anchored,
+      expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
+    val escaped = regexp_replace(core,
+      "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|])", "\\\\$1")
+    withPrefix
       .withColumn("plen", length(col("prefix")))
+      .withColumn("rx", concat(lit("^"),
+        regexp_replace(escaped, "\\*", ".*"),
+        when(anchored, lit("$")).otherwise(lit(""))))
+      .select("host", "allow", "prefix", "plen", "rx")
   }
 
   /** The deterministic robots fixture behind [[crawlRobotsFilter]]:
@@ -139,7 +161,8 @@ object Crawl {
     val r = rules.withColumnRenamed("host", "rhost")
     val keyCols = urls.columns.map(urls(_))
     urls.join(broadcast(r),
-        urls("host") === col("rhost") && urls("url_path").startsWith(col("prefix")),
+        urls("host") === col("rhost") &&
+          expr("url_path rlike rx"), // per-rule compiled RFC 9309 pattern
         "left")
       .groupBy(keyCols: _*)
       .agg(max_by(struct(col("allow"), col("prefix")),
@@ -361,6 +384,11 @@ object Crawl {
         lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]*).*", 1)))
       .withColumn("url_path",
         regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]*([^?#]*).*", 1))
+      // the document body has served its purpose (the id proves
+      // extraction ran) — drop it BEFORE the verdict aggregate so the
+      // only corpus-keyed shuffle carries ids and short URLs, not page
+      // text riding a group-by key
+      .drop("extracted")
     val robots = docs.select(col("lang")).distinct()
       .select(concat(col("lang"), lit(".example.com")).as("host"),
         robotsTxtExpr(col("lang")).as("robots_txt"))

@@ -992,7 +992,11 @@ object JpegCodec {
             if ((bytes(body) & 0xff) != 8) return None // 8-bit only
             h = be16(body + 1); w = be16(body + 3)
             nComp = bytes(body + 5) & 0xff
-            if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
+            // total-pixel cap (the pngPixels/GifCodec posture): a
+            // 25-byte header must not command multi-GB coefficient
+            // grids, and the padded grid arithmetic below must never
+            // overflow Int — 2^26 pixels (8k×8k) is the envelope
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
                 (nComp != 1 && nComp != 3)) return None
             if (body + 6 + nComp * 3 > next) return None
             compId = new Array[Int](nComp)

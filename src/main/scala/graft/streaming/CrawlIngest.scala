@@ -32,7 +32,13 @@ object CrawlIngest {
     * static (host, robots_txt) frame parsed once up front. */
   def ingestWarc(blobs: DataFrame, robots: DataFrame, ledgerDir: String,
                  outDir: String, checkpointDir: String): StreamingQuery = {
-    val rules = Crawl.robotsRules(robots)
+    // parse the rules ONCE and pin them as a local relation: robots
+    // corpora are tiny by contract (KBs per host), and an unpersisted
+    // lazy plan would re-run the windowed parse in every micro-batch
+    val spark = robots.sparkSession
+    val parsedRules = Crawl.robotsRules(robots)
+    val rules = spark.createDataFrame(
+      java.util.Arrays.asList(parsedRules.collect(): _*), parsedRules.schema)
     blobs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.streaming.{CorpusIngest, EmbedIngest, NearDupIngest}
+import graft.streaming.{CorpusIngest, CrawlIngest, EmbedIngest, NearDupIngest}
 
 /** Streaming-tier throughput at scale: drive the BigBenchLlm document
   * corpus through the ingest stages as a real file-source stream
@@ -10,7 +10,12 @@ import graft.streaming.{CorpusIngest, EmbedIngest, NearDupIngest}
   * and report docs/sec end to end — checkpointing, ledger/index reads,
   * Bloom maintenance and all sink writes included. Usage:
   *
-  *   runMain graft.tools.IngestBench <rows> <exact|near|embed> [filesPerTrigger]
+  *   runMain graft.tools.IngestBench <rows> <exact|near|embed|crawl> [filesPerTrigger]
+  *
+  * `crawl` packs the corpus into multi-record WARC blobs FIRST (an
+  * untimed batch prep), then streams the blobs through the full
+  * front end - framing, extraction, robots, canonical-URL ledger -
+  * so docs/sec prices exactly the arrival-time pipeline.
   *
   * Emits one JSON line; results recorded in BIGBENCH.md. */
 object IngestBench {
@@ -30,10 +35,35 @@ object IngestBench {
     val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(basePath)) fs.delete(basePath, true)
 
-    val schema = spark.read.parquet(srcDir).schema
+    // crawl prep (untimed): ~1000-doc WARC blobs with refetch variants
+    // (id % 200: a tracking-param duplicate the ledger must drop),
+    // robots-blocked paths (id % 11) and corrupt records (id % 97)
+    val crawlBlobDir = s"$base/warc"
+    if (mode == "crawl") {
+      import spark.implicits._
+      spark.read.parquet(srcDir).select("doc_id", "lang", "text")
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.grouped(1000).map { grp =>
+            val recs = grp.iterator.flatMap { case (id, lang, text) =>
+              val path = if (id % 11 == 0) s"/blocked/$id" else s"/d/$id"
+              val uri = s"https://$lang.example.com$path"
+              val page = "<body><nav><a href=\"/\">Home</a></nav><p>" + text + "</p></body>"
+              val rec = Seq((uri, page, id % 97 == 0))
+              if (id % 200 == 0 && id % 11 != 0)
+                rec :+ ((uri + "?utm_source=bench", page, false))
+              else rec
+            }
+            graft.operators.Crawl.warcBlobRecords(recs)
+          }
+        }.toDF("blob")
+        .write.mode("overwrite").parquet(crawlBlobDir)
+    }
+    val streamSrc = if (mode == "crawl") crawlBlobDir else srcDir
+    val schema = spark.read.parquet(streamSrc).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(srcDir)
+      .parquet(streamSrc)
 
     val t0 = System.nanoTime()
     val q = mode match {
@@ -60,6 +90,12 @@ object IngestBench {
               .as("ts"),
             col("embedding")),
           s"$base/index", s"$base/corpus", s"$base/ckpt")
+      case "crawl" =>
+        import spark.implicits._
+        val robots = Seq.tabulate(5)(i => (s"l$i.example.com",
+          "User-agent: *\nDisallow: /blocked\n")).toDF("host", "robots_txt")
+        CrawlIngest.ingestWarc(stream, robots,
+          s"$base/ledger", s"$base/corpus", s"$base/ckpt")
       case other => sys.error(s"unknown mode $other")
     }
     q.processAllAvailable()

@@ -32,6 +32,44 @@ class CrawlSpec extends SparkSuite {
     // BadBot's blanket Disallow and Other's rule must NOT appear; the
     // multi-UA group (GoodBot + *) applies; empty Disallow is dropped
     assert(rules.toSeq === Seq((false, "/private", 8), (true, "/private/ok", 11)))
+    // RFC 9309 allows blank/comment lines BETWEEN stacked user-agent
+    // lines of one group — the rules must still bind to *
+    val gap =
+      """User-agent: *
+        |
+        |# which bots this applies to continues...
+        |User-agent: googlebot
+        |Disallow: /private
+        |""".stripMargin
+    val gapRules = Crawl.robotsRules(Seq(("g.example.com", gap)).toDF("host", "robots_txt"))
+      .select("allow", "prefix").as[(Boolean, String)].collect()
+    assert(gapRules.toSeq === Seq((false, "/private")),
+      "a blank line between stacked UA lines must not split the group")
+  }
+
+  test("robots wildcards: * spans, trailing $ anchors, metacharacters stay literal") {
+    val txt =
+      """User-agent: *
+        |Disallow: /*.php
+        |Disallow: /private*
+        |Disallow: /exact$
+        |Allow: /private*/ok
+        |""".stripMargin
+    val robots = Seq(("w.example.com", txt)).toDF("host", "robots_txt")
+    val urls = Seq(
+      (1L, "w.example.com", "/page.php"),          // /*.php → blocked
+      (2L, "w.example.com", "/a/b/deep.php"),      // /*.php matches any depth
+      (3L, "w.example.com", "/page.phpx"),         // .php not at a boundary: still matches prefix-wise? no — /*.php has no anchor, '/page.phpx' contains '.php' → blocked (RFC semantics: pattern matches a PREFIX of the path)
+      (4L, "w.example.com", "/privateX/y"),        // /private* → blocked
+      (5L, "w.example.com", "/privateX/ok"),       // longer Allow wins
+      (6L, "w.example.com", "/exact"),             // /exact$ → blocked
+      (7L, "w.example.com", "/exactly"),           // $ anchor: NOT blocked
+      (8L, "w.example.com", "/clean")              // no rule
+    ).toDF("doc_id", "host", "url_path")
+    val got = Crawl.robotsVerdict(urls, Crawl.robotsRules(robots))
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true, 6L -> false, 7L -> true, 8L -> true))
   }
 
   test("crawl_robots_filter: precedence (longest wins, allow beats disallow), decoys ignored") {

@@ -349,6 +349,15 @@ class MultimodalSpec extends SparkSuite {
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(JpegCodec.decode(prog) === None, "full-band scan in SOF2 must reject")
+    // a 25-byte hostile header declaring 46341x46341 (whose padded
+    // coefficient grid would overflow Int) must REJECT, never throw —
+    // the decoder has a total-pixel envelope like pngPixels/GifCodec
+    val huge = jpg.clone()
+    val sofDims = (0 until huge.length - 1).find(i =>
+      (huge(i) & 0xff) == 0xff && (huge(i + 1) & 0xff) == 0xc0).get + 5
+    huge(sofDims) = (46341 >> 8).toByte; huge(sofDims + 1) = (46341 & 0xff).toByte
+    huge(sofDims + 2) = (46341 >> 8).toByte; huge(sofDims + 3) = (46341 & 0xff).toByte
+    assert(JpegCodec.decode(huge) === None, "overflowing dims must reject")
     // header-only stub (MediaEncoder.jpeg, no scan): undecodable
     assert(JpegCodec.decode(Multimodal.MediaEncoder.jpeg(16, 16, 3)) === None)
     assert(pixelsOf(Multimodal.MediaEncoder.jpeg(16, 16, 3)) === None)
