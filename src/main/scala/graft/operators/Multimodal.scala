@@ -1628,14 +1628,14 @@ object Multimodal {
     * separation is the spec-measured pairwise floor over that
     * population. */
   def multimodalDedupVideoMjpeg(spark: SparkSession, dir: String,
-                                limit: Long = 300L, maxHamming: Int = 4): DataFrame =
+                                limit: Long = 150L, maxHamming: Int = 4): DataFrame =
     Documents.simhashPairs(mjpegSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=tHash64) signatures behind
     * [[multimodalDedupVideoMjpeg]]: texture frames → MJPEG encode →
     * container+JPEG decode → hash; lossless 2×-fps clones of the
     * decoded frames planted for doc_id < 10. */
-  def mjpegSigs(spark: SparkSession, dir: String, limit: Long = 300L): DataFrame = {
+  def mjpegSigs(spark: SparkSession, dir: String, limit: Long = 150L): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id")).filter(col("doc_id") < limit)
@@ -1645,8 +1645,10 @@ object Multimodal {
           val w = 8 + (id % 8).toInt
           val h = 8 + ((id / 8) % 8).toInt
           // ≥ 66 frames so the 65-slot sampler never repeats a frame
-          // (the vhash lesson: repeated picks zero bits corpus-wide)
-          val n = 66 + (id % 40).toInt
+          // (the vhash lesson: repeated picks zero bits corpus-wide);
+          // 150 docs × ~78 frames keeps the full-sweep cost of ~150k
+          // per-frame JPEG decodes inside the registry's envelope
+          val n = 66 + (id % 24).toInt
           val clip = AviCodec.encodeMjpeg(
             (0 until n).map(f => MediaTransform.texturePixels(w, h, id * 131 + f)),
             w, h, fps = 10)
