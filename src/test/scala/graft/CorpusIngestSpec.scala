@@ -740,15 +740,32 @@ class CorpusIngestSpec extends SparkSuite {
         // 10-frame clip: decodes but is too short to signature — the
         // admit-don't-index rule, not a poison pill
         (5L, ts("2024-01-01 10:30:02"),
-          AviCodec.encode((0 until 10).map(f => texturePixels(8, 8, 999L + f)), 8, 8, 10))))
+          AviCodec.encode((0 until 10).map(f => texturePixels(8, 8, 999L + f)), 8, 8, 10)),
+        // native COMPRESSED arrival: an MJPEG clip admits and indexes
+        // through the same seam (its tHash is over the DECODED frames,
+        // so the guaranteed drop below is the mjpegSigs identity
+        // streamed — lossless re-encode of decoded pixels, never a
+        // cross-quantization comparison)
+        (6L, ts("2024-01-01 10:30:03"), {
+          val (w, h, _, frames) = AviCodec.decode(clip(6L)).get
+          AviCodec.encodeMjpeg(frames, w, h, 10) // native MJPEG arrival → admit+index
+        })))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (7L, ts("2024-01-01 10:55:00"), { // lossless 2x of the DECODED MJPEG → drop
+          val (w, h, _, frames) = AviCodec.decode(clip(6L)).get
+          val mj = AviCodec.encodeMjpeg(frames, w, h, 10)
+          val (dw, dh, _, dec) = AviCodec.decode(mj).get
+          AviCodec.encode(dec.flatMap(f => Seq(f, f)), dw, dh, 20)
+        })))
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
       val corpus = spark.read.parquet(s"$base/corpus")
         .select("doc_id").as[Long].collect().sorted
-      assert(corpus === Array(1L, 2L, 4L, 5L), s"got ${corpus.toSeq}")
+      assert(corpus === Array(1L, 2L, 4L, 5L, 6L), s"got ${corpus.toSeq}")
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").as[Long].collect().sorted
-      assert(indexed === Array(1L, 2L, 4L), "the short clip must not be indexed")
+      assert(indexed === Array(1L, 2L, 4L, 6L), "the short clip must not be indexed")
     } finally q.stop()
   }
 
