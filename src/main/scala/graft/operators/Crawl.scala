@@ -373,7 +373,12 @@ object Crawl {
       .select(uriE.as("uri"), htmlWrapExpr(col("doc_id"), col("text")).as("payload"),
         (col("doc_id") % 97 === 0).as("corrupt"))
       .as[(String, String, Boolean)]
-      .mapPartitions(it => warcParse(warcBlobRecords(it)).iterator)
+      // bounded blobs (~1000 records), not one per partition: a 10M-doc
+      // corpus puts ~300k docs in a partition, and 32 concurrent
+      // multi-hundred-MB ByteArrayOutputStreams is a heap blowout —
+      // records are self-contained, so chunking never changes a row
+      .mapPartitions(_.grouped(1000).flatMap(g =>
+        warcParse(warcBlobRecords(g.iterator))))
       .toDF("url", "status", "payload")
     val extracted = parsed
       .filter(col("status") === 200)
@@ -418,11 +423,12 @@ object Crawl {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
-      .mapPartitions { it =>
-        warcParse(warcBlob(it)).iterator.map { case (url, status, payload) =>
+      // the same bounded-blob discipline as crawlPipeline: memory per
+      // task stays ~1 MB at ANY corpus size
+      .mapPartitions(_.grouped(1000).flatMap(g =>
+        warcParse(warcBlob(g.iterator)).map { case (url, status, payload) =>
           (url, status, payload.length.toLong)
-        }
-      }
+        }))
       .toDF("url", "status", "n_chars")
       .orderBy("url")
   }
