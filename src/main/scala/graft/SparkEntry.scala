@@ -268,6 +268,8 @@ object SparkEntry {
       Multimodal.multimodalDedupPngPalette(s, d)),
     "multimodal_dedup_gif" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupGif(s, d)),
+    "multimodal_dedup_webp" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupWebp(s, d)),
     "multimodal_dedup_jpeg_progressive" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupJpegProgressive(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -1306,16 +1308,20 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
-    // WARC framing in closed form: the survivors are exactly the
-    // doc_id % 97 != 0 docs (the corrupt fixture lies about its
-    // Content-Length and must be quarantined WITHOUT eating the next
-    // record), url/status are generator arithmetic, and the payload
-    // length is the text length — a framing, header-parse, or resync
-    // bug changes rows or lengths and breaks the hash.
+    // WARC framing in closed form over the MIXED gzip/plain fixture:
+    // survivors are exactly the docs that pass BOTH quarantine
+    // classes — doc_id % 97 != 0 (the lying-Content-Length record,
+    // WARC-level, inside either wrapper) and doc_id % 202 != 0 (the
+    // flipped-deflate-byte gzip member, CRC-rejected whole; even ids
+    // are the gzip-member half of the fixture) — with url/status
+    // generator arithmetic and payload length = text length. A
+    // framing, gzip-walk, header-parse, or resync bug changes rows or
+    // lengths and breaks the hash.
     "crawl_warc_ingest" ->
       """SELECT 'https://' || lang || '.example.com/warc/' || doc_id::VARCHAR AS url,
         |       200 AS status, length(text)::BIGINT AS n_chars
-        |FROM documents WHERE doc_id % 97 != 0 ORDER BY url""".stripMargin,
+        |FROM documents WHERE doc_id % 97 != 0 AND doc_id % 202 != 0
+        |ORDER BY url""".stripMargin,
     // Extraction inverts the deterministic page chrome exactly: head
     // (with a SKIP-marked title), in-body style and script blocks
     // (the script contains markup — the tag-stripper trap), nav and
@@ -2817,6 +2823,15 @@ object SparkEntry {
     // both sides put the 4-pass path on the oracle; background floor
     // spec-measured on the row's own grayscale population.
     "multimodal_dedup_gif" ->
+      """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // WebP twin: VP8L is lossless, so the 2x-upscale clone's dHash
+    // survives by the floor identity — each planted pair at Hamming 0
+    // in closed form; SUBTRACT_GREEN on half the population puts the
+    // transform inverse on the oracle path, and WebpSpec's
+    // libwebp-encoded golden corpus pins spec compliance (predictors,
+    // palettes, cache, plane-coded LZ77) beyond the fixture subset.
+    "multimodal_dedup_webp" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
     // Full-matrix PNG twin: palette lookup, Adam7 deinterlace, 16-bit

@@ -99,7 +99,12 @@ object Crawl {
       .withColumn("rx", concat(lit("^"),
         regexp_replace(escaped, "\\*", ".*"),
         when(anchored, lit("$")).otherwise(lit(""))))
-      .select("host", "allow", "prefix", "plen", "rx")
+      // wild marks the rules that genuinely need the regex engine; the
+      // rest (the overwhelming majority of real robots rules) are
+      // plain prefixes the verdict join matches with startswith — a
+      // codegen'd byte compare instead of a per-row Pattern.compile
+      .withColumn("wild", col("prefix").contains("*") || anchored)
+      .select("host", "allow", "prefix", "plen", "rx", "wild")
   }
 
   /** The deterministic robots fixture behind [[crawlRobotsFilter]]:
@@ -126,9 +131,10 @@ object Crawl {
     * (`/r{doc_id%5}/p{doc_id%7}` on its lang host) is checked against
     * its host's parsed rules under RFC 9309 precedence: the
     * longest-matching rule wins, Allow wins ties, no match = allowed.
-    * Rules broadcast (robots corpora are tiny next to URL lists — a
-    * few KB per host); the URL side stays a pure map + broadcast join,
-    * no corpus-keyed shuffle. The oracle replays the whole outcome in
+    * Rules ride the measured-broadcast decision (KBs per host, but
+    * the frame scales with distinct hosts — see [[robotsVerdict]]);
+    * the URL side stays a pure map + one join, no corpus-keyed
+    * shuffle. The oracle replays the whole outcome in
     * closed form (k = ascii(lang[0]) mod 5 against the path
     * arithmetic), so the windowed group-scoping parse, the decoy
     * groups, and the precedence logic are all hash-verified at every
@@ -156,13 +162,27 @@ object Crawl {
     * Disallow on ties (struct ordering is lexicographic, boolean
     * false < true) — reduced by max_by instead of a window so the
     * winner pre-aggregates MAP-SIDE: at crawl scale the per-URL
-    * shuffle carries one reduced row, not every matched rule. */
-  private[graft] def robotsVerdict(urls: DataFrame, rules: DataFrame): DataFrame = {
-    val r = rules.withColumnRenamed("host", "rhost")
+    * shuffle carries one reduced row, not every matched rule.
+    *
+    * The rule side goes through [[Ops.broadcastIfFits]], not an
+    * unconditional broadcast hint: rules are KBs per host, but the
+    * frame scales with DISTINCT hosts, and a production crawl has
+    * millions of them — past the measured budget the host-equality
+    * key degrades to a shuffled join instead of OOMing the executors.
+    * Matching takes the codegen'd `startswith` fast path for plain
+    * prefix rules; only rules carrying `*`/`$` (rare in real robots
+    * files) pay the per-row regex. */
+  private[graft] def robotsVerdict(urls: DataFrame, rules: DataFrame,
+                                   broadcastBudget: Long = Ops.DefaultBroadcastBudget): DataFrame = {
+    // rename BEFORE the hint: a Project stacked on top of the hint
+    // node would hide it from the join's hint extraction
+    val r = Ops.broadcastIfFits(rules.withColumnRenamed("host", "rhost"), broadcastBudget)
     val keyCols = urls.columns.map(urls(_))
-    urls.join(broadcast(r),
-        urls("host") === col("rhost") &&
-          expr("url_path rlike rx"), // per-rule compiled RFC 9309 pattern
+    val ruleMatches = when(col("wild"),
+      expr("url_path rlike rx")) // per-rule compiled RFC 9309 pattern
+      .otherwise(expr("startswith(url_path, prefix)"))
+    urls.join(r,
+        urls("host") === col("rhost") && ruleMatches,
         "left")
       .groupBy(keyCols: _*)
       .agg(max_by(struct(col("allow"), col("prefix")),
@@ -230,36 +250,135 @@ object Crawl {
   // WARC ingestion
   // ------------------------------------------------------------------
 
-  /** Build one WARC/1.0 blob for a slice of docs: a `warcinfo` record
-    * then a `response` record per doc (WARC headers + nested HTTP/1.1
-    * response, Content-Length in BYTES over the HTTP block). Docs with
-    * doc_id % 97 == 0 are written CORRUPT (Content-Length overruns
-    * into the next record) — the quarantine fixture. */
-  private[graft] def warcBlob(docs: Iterator[(Long, String, String)]): Array[Byte] =
-    warcBlobRecords(docs.map { case (id, lang, text) =>
-      (s"https://$lang.example.com/warc/$id", text, id % 97 == 0)
-    })
-
-  /** The general record writer behind [[warcBlob]]: one `response`
-    * per (target-uri, payload, corrupt) triple, after a `warcinfo`. */
-  private[graft] def warcBlobRecords(recs: Iterator[(String, String, Boolean)]): Array[Byte] = {
+  /** Build one WARC blob for a slice of docs in the MIXED framing the
+    * parser must survive in the wild: a plain `warcinfo` record, then a
+    * `response` record per doc — even doc_ids written as individual
+    * gzip members (the `.warc.gz` convention: one RFC 1952 member per
+    * record, so readers can split and seek), odd ones as plain
+    * WARC/1.0 bytes. Two independent corruption fixtures ride along:
+    * doc_id % 97 == 0 records LIE about Content-Length (the WARC-level
+    * quarantine fixture, inside whichever wrapper), and gzip members
+    * for doc_id % 202 == 0 get a deflate byte flipped (the gzip-level
+    * quarantine fixture — the member must be skipped whole without
+    * eating its neighbors). */
+  private[graft] def warcBlob(docs: Iterator[(Long, String, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def wr(s: String): Unit = out.write(s.getBytes("UTF-8"))
-    wr("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 17\r\n\r\n" +
-      "software: graft\r\n" + "\r\n\r\n")
-    recs.foreach { case (uri, payload, corrupt) =>
-      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + payload
-      val httpLen = http.getBytes("UTF-8").length
-      val stated = if (corrupt) httpLen + 7 else httpLen // lying length fixture
-      wr(s"WARC/1.0\r\n" +
-        s"WARC-Type: response\r\n" +
-        s"WARC-Target-URI: $uri\r\n" +
-        s"Content-Type: application/http; msgtype=response\r\n" +
-        s"Content-Length: $stated\r\n\r\n")
-      wr(http)
-      wr("\r\n\r\n")
+    out.write(warcinfoBytes)
+    docs.foreach { case (id, lang, text) =>
+      val rec = recordBytes(s"https://$lang.example.com/warc/$id", text, id % 97 == 0)
+      if (id % 2 == 0) {
+        val gz = gzMember(rec)
+        // flip one byte mid-deflate-stream: CRC/inflate must reject it
+        if (id % 202 == 0) gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x5a).toByte
+        out.write(gz)
+      } else out.write(rec)
     }
     out.toByteArray
+  }
+
+  private def warcinfoBytes: Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 17\r\n\r\n" +
+      "software: graft\r\n" + "\r\n\r\n").getBytes("UTF-8")
+
+  /** One plain `response` record: WARC headers + nested HTTP/1.1
+    * response, Content-Length in BYTES over the HTTP block; `corrupt`
+    * makes the stated length overrun into the next record. */
+  private[graft] def recordBytes(uri: String, payload: String, corrupt: Boolean): Array[Byte] = {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + payload
+    val httpLen = http.getBytes("UTF-8").length
+    val stated = if (corrupt) httpLen + 7 else httpLen // lying length fixture
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: $stated\r\n\r\n" + http + "\r\n\r\n").getBytes("UTF-8")
+  }
+
+  /** The all-plain record writer (used by [[crawlPipeline]] and the
+    * streaming fixtures): one `response` per (target-uri, payload,
+    * corrupt) triple, after a `warcinfo`. */
+  private[graft] def warcBlobRecords(recs: Iterator[(String, String, Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(warcinfoBytes)
+    recs.foreach { case (uri, payload, corrupt) =>
+      out.write(recordBytes(uri, payload, corrupt))
+    }
+    out.toByteArray
+  }
+
+  /** The all-gzip record writer — a spec-conformant `.warc.gz` blob
+    * (every record its own gzip member), for fixtures exercising the
+    * pure-gzip arrival path end-to-end. */
+  private[graft] def warcBlobRecordsGz(recs: Iterator[(String, String, Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gzMember(warcinfoBytes))
+    recs.foreach { case (uri, payload, corrupt) =>
+      out.write(gzMember(recordBytes(uri, payload, corrupt)))
+    }
+    out.toByteArray
+  }
+
+  /** Compress one record into one RFC 1952 gzip member. */
+  private[graft] def gzMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec); gz.close()
+    bos.toByteArray
+  }
+
+  /** Walk one gzip member starting at `off`: full RFC 1952 header
+    * (FEXTRA / FNAME / FCOMMENT / FHCRC optional fields), raw-deflate
+    * inflate bounded by `maxOut` (decompression-bomb guard), then
+    * CRC32 + ISIZE trailer verification — the checks a real archive
+    * reader performs, so a flipped byte anywhere in the member is
+    * caught even when the deflate stream still "inflates". Returns
+    * (decompressed bytes, offset past the member's trailer) or None on
+    * ANY malformation; the caller quarantines and resyncs — this
+    * function never throws. */
+  private[graft] def gunzipMember(blob: Array[Byte], off: Int,
+                                  maxOut: Int = 64 << 20): Option[(Array[Byte], Int)] = {
+    val n = blob.length
+    if (off + 10 > n || blob(off) != 0x1f || blob(off + 1) != 0x8b.toByte ||
+        blob(off + 2) != 0x08) return None
+    val flg = blob(off + 3) & 0xff
+    if ((flg & 0xe0) != 0) return None // RFC 1952 reserved bits must be 0
+    var p = off + 10
+    if ((flg & 0x04) != 0) { // FEXTRA: 2-byte little-endian length + data
+      if (p + 2 > n) return None
+      p += 2 + ((blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8))
+      if (p > n) return None
+    }
+    def skipZeroTerminated(): Boolean = {
+      while (p < n && blob(p) != 0) p += 1
+      if (p >= n) false else { p += 1; true }
+    }
+    if ((flg & 0x08) != 0 && !skipZeroTerminated()) return None // FNAME
+    if ((flg & 0x10) != 0 && !skipZeroTerminated()) return None // FCOMMENT
+    if ((flg & 0x02) != 0) { p += 2; if (p > n) return None }   // FHCRC
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(blob, p, n - p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val w = try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (w > 0) {
+          if (out.size() + w > maxOut) return None // bomb: quarantine whole member
+          out.write(buf, 0, w)
+        } else if (!inf.finished() && inf.needsInput()) return None // truncated
+      }
+      val data = out.toByteArray
+      val tOff = p + inf.getBytesRead.toInt
+      if (tOff + 8 > n) return None
+      def le32(o: Int): Long =
+        (blob(o) & 0xffL) | ((blob(o + 1) & 0xffL) << 8) |
+          ((blob(o + 2) & 0xffL) << 16) | ((blob(o + 3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      if (crc.getValue != le32(tOff)) return None
+      if ((data.length.toLong & 0xffffffffL) != le32(tOff + 4)) return None
+      Some((data, tOff + 8))
+    } finally inf.end()
   }
 
   /** Parse a WARC blob into (url, status, payload) response records —
@@ -270,17 +389,37 @@ object Crawl {
     * anything — and the `\r\n\r\n` record terminator is verified. A
     * record whose stated length lies (terminator missing), whose
     * headers are malformed, or whose Content-Length is absent is
-    * QUARANTINED: the cursor resyncs to the next `WARC/1.0\r\n`
-    * magic and parsing continues. Non-response records (warcinfo,
-    * request, metadata) parse and skip. */
-  private[graft] def warcParse(blob: Array[Byte]): Seq[(String, Int, String)] = {
+    * QUARANTINED: the cursor resyncs to the next sync point and
+    * parsing continues. Non-response records (warcinfo, request,
+    * metadata) parse and skip.
+    *
+    * Framing is sniffed PER SYNC POINT, not per blob: production crawl
+    * archives ship `.warc.gz` with one gzip member per record (Common
+    * Crawl's convention), so a sync point is either the plain
+    * `WARC/1.0\r\n` magic or a gzip member header (`1f 8b 08`). A gzip
+    * member is walked with [[gunzipMember]] (full RFC 1952 header,
+    * CRC32+ISIZE verified, output bounded) and its decompressed bytes
+    * parsed with this same walker — so a member holding several
+    * records, or a whole-file single-member archive, both work. A
+    * member that fails to inflate or verify is quarantined whole and
+    * the cursor resyncs past it without eating its neighbors. Nesting
+    * depth is capped at 2: gzip-in-gzip is not an archive format, and
+    * an unbounded recursion on crafted input is exactly the
+    * hostile-input class this walker exists to refuse. */
+  private[graft] def warcParse(blob: Array[Byte]): Seq[(String, Int, String)] =
+    warcParseAt(blob, 0)
+
+  private def warcParseAt(blob: Array[Byte], depth: Int): Seq[(String, Int, String)] = {
     val n = blob.length
     val magic = "WARC/1.0\r\n".getBytes("UTF-8")
     def at(off: Int, pat: Array[Byte]): Boolean =
       off + pat.length <= n && pat.indices.forall(i => blob(off + i) == pat(i))
+    def atGz(off: Int): Boolean =
+      depth < 2 && off + 3 <= n && blob(off) == 0x1f &&
+        blob(off + 1) == 0x8b.toByte && blob(off + 2) == 0x08
     def findMagic(from: Int): Int = {
       var p = math.max(from, 0)
-      while (p < n && !at(p, magic)) p += 1
+      while (p < n && !at(p, magic) && !atGz(p)) p += 1
       if (p < n) p else -1
     }
     /** Read CRLF header lines from `off` until the blank line; returns
@@ -304,37 +443,48 @@ object Crawl {
     val outRows = Seq.newBuilder[(String, Int, String)]
     var cursor = findMagic(0)
     while (cursor >= 0 && cursor < n) {
-      var next = -2 // -2: fall through to resync
-      val h = headers(cursor + magic.length)
-      if (h != null) {
-        val (hdr, bodyOff) = h
-        hdr.get("content-length").flatMap(s => scala.util.Try(s.toLong).toOption) match {
-          case Some(len) if len >= 0 && bodyOff + len + 4 <= n.toLong =>
-            val end = (bodyOff + len).toInt
-            if (blob(end) == '\r' && blob(end + 1) == '\n' &&
-                blob(end + 2) == '\r' && blob(end + 3) == '\n') {
-              if (hdr.get("warc-type").contains("response")) {
-                // nested HTTP block: status line, headers, blank, payload
-                val body = new String(blob, bodyOff, (end - bodyOff), "UTF-8")
-                val split = body.indexOf("\r\n\r\n")
-                val statusOk = body.startsWith("HTTP/")
-                if (split >= 0 && statusOk) {
-                  val status = scala.util.Try(
-                    body.substring(0, split).split(" ")(1).toInt).getOrElse(-1)
-                  val url = hdr.getOrElse("warc-target-uri", "")
-                  if (status > 0 && url.nonEmpty)
-                    outRows += ((url, status, body.substring(split + 4)))
-                }
-                // a response without a valid HTTP block is quarantined
-                // by omission; the record itself framed correctly
-              }
-              next = end + 4
-            }
-          case _ => // missing/absurd Content-Length: quarantine + resync
+      if (atGz(cursor)) {
+        gunzipMember(blob, cursor) match {
+          case Some((data, nxt)) =>
+            outRows ++= warcParseAt(data, depth + 1)
+            cursor = if (nxt < n && (at(nxt, magic) || atGz(nxt))) nxt
+                     else findMagic(nxt)
+          case None => // corrupt/truncated member: quarantine + resync
+            cursor = findMagic(cursor + 3)
         }
+      } else {
+        var next = -2 // -2: fall through to resync
+        val h = headers(cursor + magic.length)
+        if (h != null) {
+          val (hdr, bodyOff) = h
+          hdr.get("content-length").flatMap(s => scala.util.Try(s.toLong).toOption) match {
+            case Some(len) if len >= 0 && bodyOff + len + 4 <= n.toLong =>
+              val end = (bodyOff + len).toInt
+              if (blob(end) == '\r' && blob(end + 1) == '\n' &&
+                  blob(end + 2) == '\r' && blob(end + 3) == '\n') {
+                if (hdr.get("warc-type").contains("response")) {
+                  // nested HTTP block: status line, headers, blank, payload
+                  val body = new String(blob, bodyOff, (end - bodyOff), "UTF-8")
+                  val split = body.indexOf("\r\n\r\n")
+                  val statusOk = body.startsWith("HTTP/")
+                  if (split >= 0 && statusOk) {
+                    val status = scala.util.Try(
+                      body.substring(0, split).split(" ")(1).toInt).getOrElse(-1)
+                    val url = hdr.getOrElse("warc-target-uri", "")
+                    if (status > 0 && url.nonEmpty)
+                      outRows += ((url, status, body.substring(split + 4)))
+                  }
+                  // a response without a valid HTTP block is quarantined
+                  // by omission; the record itself framed correctly
+                }
+                next = end + 4
+              }
+            case _ => // missing/absurd Content-Length: quarantine + resync
+          }
+        }
+        cursor = if (next >= 0) { if (at(next, magic) || atGz(next)) next else findMagic(next) }
+        else findMagic(cursor + magic.length) // lying record: resync
       }
-      cursor = if (next >= 0) { if (at(next, magic)) next else findMagic(next) }
-      else findMagic(cursor + magic.length) // lying record: resync
     }
     outRows.result()
   }
@@ -406,18 +556,23 @@ object Crawl {
   }
 
   /** Registered query (HARD oracle): WARC INGESTION — the pipeline's
-    * actual arrival format (Common Crawl ships WARC). Each partition's
-    * docs are written into one multi-record WARC blob (warcinfo +
-    * response records, ~1/97 of them CORRUPT with a lying
-    * Content-Length) and parsed back through the byte-cursor walker;
-    * output is (url, status, n_chars) per successfully-framed
-    * response. The oracle states the survivors in closed form —
-    * doc_id % 97 != 0, URL arithmetic, status 200, payload length =
-    * n_chars — so framing, header parsing, corruption quarantine, AND
-    * resync (each corrupt record sits immediately before a good one
-    * it must not eat) are all hash-verified at every sf. Partitioning
-    * never changes the result: records are self-contained, blobs are
-    * per-partition. */
+    * actual arrival format (Common Crawl ships `.warc.gz`). Each
+    * chunk's docs are written into one MIXED blob: even doc_ids as
+    * individual gzip members (the real `.warc.gz` convention), odd
+    * ones as plain WARC/1.0 records — so both framing paths are on
+    * the oracle-verified path at every sf. Two corruption fixtures
+    * ride along: ~1/97 records lie about Content-Length (WARC-level
+    * quarantine, inside either wrapper) and ~1/202 gzip members get a
+    * flipped deflate byte (gzip-level quarantine — CRC32 rejects the
+    * member whole). Output is (url, status, n_chars) per
+    * successfully-framed response. The oracle states the survivors in
+    * closed form — doc_id % 97 != 0 AND doc_id % 202 != 0, URL
+    * arithmetic, status 200, payload length = n_chars — so framing,
+    * gzip member walking, header parsing, both quarantine classes,
+    * AND resync (each corrupt record/member sits immediately before a
+    * good one it must not eat) are all hash-verified at every sf.
+    * Partitioning never changes the result: records are
+    * self-contained, blobs are per-chunk. */
   def crawlWarcIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")

@@ -1926,6 +1926,37 @@ object Documents {
     * id. Singletons never appear in the edge list, so the caller
     * re-attaches them (see [[dedupClusters]]). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // memoized by INPUT key, the bucketCounts precedent: the result is
+    // built from localCheckpoints (fresh LogicalRDDs), so persist()'s
+    // semantic-hash dedup can never hit — without the memo every
+    // cluster-family rider in a shared-pass session (Bench's family
+    // block, BigBench --shared, a production release run) re-pays the
+    // whole star-contraction iteration on the same edge frame.
+    //
+    // The canonicalized plan STRING alone is NOT a safe key here: a
+    // LocalRelation (in-memory edges) and a LogicalRDD (checkpointed
+    // pair frames) both print schema without content, so two DIFFERENT
+    // edge sets of the same shape would collide — a memo hit returns
+    // another graph's labeling outright. The key therefore also
+    // carries each leaf's IDENTITY: the RDD id for LogicalRDDs, the
+    // data's hashCode for LocalRelations (content hash for UnsafeRows,
+    // object identity otherwise — a missed reuse, never a collision);
+    // scan-based leaves are already distinguished by their paths in
+    // the canonical string.
+    val analyzed = pairs.queryExecution.analyzed
+    val leafIds = analyzed.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.LogicalRDD => s"rdd:${l.rdd.id}"
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${l.data.hashCode}"
+      case other => other.getClass.getName
+    }
+    graft.Caches.memoFrame(pairs.sparkSession,
+      ("connectedComponents", analyzed.canonicalized.toString, leafIds, maxIter)) {
+      connectedComponentsRun(pairs, maxIter)
+    }
+  }
+
+  private def connectedComponentsRun(pairs: DataFrame, maxIter: Int): DataFrame = {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))

@@ -750,6 +750,10 @@ object Multimodal {
       else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
                bytes(2) == 'F' && bytes(3) == '8')
         GifCodec.decode(bytes)
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+               bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+               bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')
+        WebpCodec.decode(bytes) // lossless VP8L; lossy VP8 rejects inside
       else None
 
     /** splitmix64 finalizer (public-domain constants) — the avalanche
@@ -1267,6 +1271,54 @@ object Multimodal {
             val up = GifCodec.encode(
               MediaTransform.resizeNearest(gray, w, h, w * 2, h * 2),
               w * 2, h * 2, interlace = id % 2 != 0)
+            Iterator(base, (id + 10000000L, hashOf(up)))
+          } else Iterator(base)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Registered query (HARD oracle): perceptual dedup over WebP —
+    * the web's #2 image format, decoded through a REAL VP8L bitstream
+    * walk ([[WebpCodec]]: canonical prefix codes, transforms, the
+    * plane-coded LZ77 neighborhood). VP8L is lossless, so the planted
+    * clone for doc_id < 10 (the 2× nearest-neighbor upscale
+    * re-encoded through the same codec) sits at exactly Hamming 0 by
+    * the dHash floor identity ⌊⌊2a⌋/2⌋=⌊a⌋ — closed form. Half the
+    * population encodes through the SUBTRACT_GREEN transform so the
+    * transform-inverse path is oracle-verified at every sf, and
+    * cross-container sniffing means a WebP save of the same pixels in
+    * any other lossless container pairs identically.
+    * Spec-compliance against reference-libwebp bitstreams (predictor
+    * tiles, palettes, color cache, meta groups) is pinned separately
+    * by WebpSpec's golden corpus. */
+  def multimodalDedupWebp(spark: SparkSession, dir: String,
+                          limit: Long = 500L, maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(webpSigs(spark, dir, limit), maxHamming)
+
+  /** The (doc_id, simhash=dHash64) signatures behind
+    * [[multimodalDedupWebp]]: hash textures VP8L-encoded
+    * (SUBTRACT_GREEN for even ids), 2× lossless-upscale clones planted
+    * for doc_id < 10 (clone transform flipped, so both the plain and
+    * subtract-green decode paths sit on the oracle). */
+  def webpSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .as[Long]
+      .mapPartitions { it =>
+        def hashOf(bytes: Array[Byte]): Long = {
+          val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
+          dHash64(dpx, dw, dh)
+        }
+        it.flatMap { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          val px = MediaTransform.texturePixels(w, h, id)
+          val base = (id, hashOf(WebpCodec.encode(px, w, h, subtractGreen = id % 2 == 0)))
+          if (id < 10) {
+            val up = WebpCodec.encode(
+              MediaTransform.resizeNearest(px, w, h, w * 2, h * 2),
+              w * 2, h * 2, subtractGreen = id % 2 != 0)
             Iterator(base, (id + 10000000L, hashOf(up)))
           } else Iterator(base)
         }

@@ -11,7 +11,7 @@ import graft.operators.{Crawl, Documents}
   * matrix (exact hashes, text shingles, media signatures, embedding
   * sketches, and now raw crawl traffic). WARC blobs arrive as binary
   * rows; each micro-batch frames them, extracts text, applies robots
-  * compliance against the (tiny, broadcast) parsed rule set, and
+  * compliance against the persisted parsed rule set, and
   * admits only resources whose CANONICAL URL has not been fetched
   * before — first fetch wins, the arrival-order twin of the batch
   * row's keep-min-id. The canonical-URL ledger and the corpus sink
@@ -22,8 +22,9 @@ import graft.operators.{Crawl, Documents}
   *
   * Scale shape per batch: partition-batched WARC framing (records are
   * self-contained, blobs never split), a codegen'd extraction
-  * projection, one broadcast robots join with a map-side-partial
-  * verdict, an in-batch canonical reduce, and ONE anti join against
+  * projection, one measured-broadcast robots join with a
+  * map-side-partial verdict, an in-batch canonical reduce, and ONE
+  * anti join against
   * the standing ledger keyed by canonical URL — short keys, the
   * cheapest standing state a crawl can keep. */
 object CrawlIngest {
@@ -32,13 +33,15 @@ object CrawlIngest {
     * static (host, robots_txt) frame parsed once up front. */
   def ingestWarc(blobs: DataFrame, robots: DataFrame, ledgerDir: String,
                  outDir: String, checkpointDir: String): StreamingQuery = {
-    // parse the rules ONCE and pin them as a local relation: robots
-    // corpora are tiny by contract (KBs per host), and an unpersisted
-    // lazy plan would re-run the windowed parse in every micro-batch
-    val spark = robots.sparkSession
-    val parsedRules = Crawl.robotsRules(robots)
-    val rules = spark.createDataFrame(
-      java.util.Arrays.asList(parsedRules.collect(): _*), parsedRules.schema)
+    // parse the rules ONCE and persist the parsed frame (an
+    // unpersisted lazy plan would re-run the windowed parse in every
+    // micro-batch). Persist, NOT a driver collect + local-relation
+    // pin: the rule frame scales with distinct hosts, and a
+    // production crawl's millions of hosts would OOM the driver long
+    // before any per-host contract is violated. robotsVerdict's
+    // measured-broadcast decision then memoizes over this same
+    // persisted plan, so executors see a broadcast only while it fits.
+    val rules = graft.Caches.persist(Crawl.robotsRules(robots))
     blobs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -166,11 +166,6 @@ object BigBenchLlm {
       base.unionAll(dups)
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      spark.range(0, rows, 1, 32).select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(vec_id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
-          .as("embedding"),
-        pmod(col("id"), lit(64)).cast("int").as("label"))
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
     def timeIt(f: => Unit): Double = {
@@ -218,6 +213,17 @@ object BigBenchLlm {
     // operator shouldn't cost a full sweep)
     val names = args.lift(1).map(_.split(",").toSeq.filter(allNames.contains))
       .getOrElse(allNames)
+    // embeddings cost as much disk as the documents (64 floats/row);
+    // generate them only when the selected subset reads them, with
+    // their OWN _SUCCESS gate so a later full run backfills them
+    if (names.exists(n => n.contains("embed") || n == "dedup_semantic") &&
+        !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+      spark.range(0, rows, 1, 32).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> CAST(pmod(xxhash64(vec_id, j), 2000) / 1000.0 - 1.0 AS FLOAT))")
+          .as("embedding"),
+        pmod(col("id"), lit(64)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
     // --shared: keep operator-internal persists ACROSS queries — the
     // measurement mode for the pair-riding family (leakage / leakfree /
     // cluster-stats / savings), whose production semantics is exactly
@@ -226,15 +232,28 @@ object BigBenchLlm {
     // default (release between queries) stays the standalone
     // fresh-plan convention of every other tier.
     val shared = args.contains("--shared")
-    val results = names.map { n =>
-      // fresh-plan end-to-end run, then (unless --shared) release
-      // operator-internal persists so the next operator starts cold
-      // (scoped release, not the old blanket clearCache which also
-      // evicted caller-owned caches)
+    // The pair-riding family shares one pair+CC pass per release in
+    // production; benched with per-row release its numbers were
+    // ORDER-sensitive across sweeps (round-13 BIGBENCH.md note). Same
+    // discipline as graft.Bench: the family runs LAST in fixed order,
+    // dedup_clusters pays the shared floor, riders report net cost,
+    // one release closes the family.
+    val pairFamily = Seq("dedup_clusters", "dedup_ngram_jaccard",
+      "dedup_containment", "dedup_source_matrix", "dedup_keep_list",
+      "dedup_cluster_keep", "dedup_cluster_stats", "corpus_dedup_savings",
+      "corpus_split_leakage", "corpus_split_leakfree")
+    val ordered = names.filterNot(pairFamily.contains) ++
+      pairFamily.filter(names.contains)
+    val results = ordered.map { n =>
+      // fresh-plan end-to-end run, then (unless --shared or inside the
+      // pair family) release operator-internal persists so the next
+      // operator starts cold (scoped release, not the old blanket
+      // clearCache which also evicted caller-owned caches)
       val t = timeIt(noop(graft.SparkEntry.queries(n)(spark, dir)))
-      if (!shared) graft.Caches.release(spark)
+      if (!shared && !pairFamily.contains(n)) graft.Caches.release(spark)
       n -> t
     }
+    graft.Caches.release(spark)
     def jmap(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(s"""{"rows":$rows,"llm_end_to_end":${jmap(results)}}""")

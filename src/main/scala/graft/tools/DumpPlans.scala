@@ -86,8 +86,8 @@ object DumpPlans {
       "text_unigram_vocab" -> "final counts join the driver-held lp model by unconditional broadcast (vocab-sized); top-k limit",
       "crawl_warc_ingest" -> "byte-cursor WARC framing is a partition-batched map — zero shuffles until the output sort; blobs are per-partition, records self-contained",
       "crawl_html_extract" -> "the whole extraction rule chain is one codegen'd projection — a pure map, no UDF, no shuffle",
-      "crawl_robots_filter" -> "rules parse on the tiny robots side and BROADCAST; the URL side is map + broadcast join + map-side-partial max_by on the matched handful — no corpus-keyed window sort",
-      "crawl_pipeline" -> "the composed front end: partition-batched WARC map, codegen'd extraction projection, broadcast robots join with partial-agg verdict, ONE canonical-key aggregate — the only corpus-keyed shuffle in five stages",
+      "crawl_robots_filter" -> "rules parse ONCE into a persisted frame; the verdict join broadcasts only while the measured size fits (shuffled hash join past the budget — the million-host regime); plain prefix rules match via codegen'd startswith, regex only for */$ rules; map-side-partial max_by — no corpus-keyed window sort",
+      "crawl_pipeline" -> "the composed front end: partition-batched WARC map (mixed gzip/plain framing), codegen'd extraction projection, measured-broadcast robots join with partial-agg verdict, ONE canonical-key aggregate — the only corpus-keyed shuffle in five stages",
       "multimodal_dedup_phash" -> "decode+dHash is a partition-batched map (the media byte seam); pairs ride the banded simhash self-join on 8-byte signatures",
       "multimodal_dedup_ahash" -> "audio twin of the phash row: decode+aHash map, then the SAME banded Hamming join — the image/audio tiers inherit the text tier's shuffle economics",
       "multimodal_dedup_phash_png" -> "real zlib PNG decode in the partition-batched map (container-sniffing pixelsOf); pair stage identical to the BMP row — format coverage costs zero extra shuffles",
@@ -112,7 +112,40 @@ object DumpPlans {
       "agg_approx_percentile" -> "ApproximatePercentile partial+final ObjectHashAggregate beside the exact percentile twin (the honesty contract; sketch-only at 100 TB)",
       "events_window" -> "tumbling window aggregate: one (user_id, window) hash exchange with map-side partials",
       "join_range" -> "banded range join: both sides bucket by time band, equi join within band + residual — never a cartesian",
-      "text_quality" -> "single-pass quality scoring: every ratio folds in one projection + one ungrouped agg for the corpus means — no per-feature rescans")
+      "text_quality" -> "single-pass quality scoring: every ratio folds in one projection + one ungrouped agg for the corpus means — no per-feature rescans",
+      "multimodal_dedup_webp" -> "VP8L decode (canonical prefix codes, transforms, plane-coded LZ77) in the partition-batched map — WebP coverage costs decode CPU, not shuffles; same banded pair join as every signature tier",
+      "tpch_q2_min_cost" -> "min-cost-per-part subquery aggregates partsupp once and joins back; region/nation/supplier dims broadcast",
+      "tpch_q3_shipping" -> "date filters pushed to both fact scans; top-10 via TakeOrderedAndProject",
+      "tpch_q7_volume" -> "the nation-pair predicate rides broadcast nation dims; each fact table shuffles once on its join key",
+      "tpch_q8_share" -> "star join with broadcast dims; the per-year market share divides two conditional sums from ONE aggregated frame",
+      "tpch_q11_stock" -> "the group-sum HAVING threshold is a scalar aggregate broadcast back — partsupp scans twice but never shuffles twice on value",
+      "tpch_q12_priority" -> "shipmode + date bands pushed to the lineitem scan; one orderkey join; both priority counts are conditional sums in one aggregate",
+      "tpch_q13_distribution" -> "customer LEFT OUTER orders with the comment filter as scan-level predicate; two-level aggregate (per-customer count, then histogram)",
+      "tpch_q14_promo" -> "one shipdate month joins part; promo share is a conditional sum pair in a single ungrouped aggregate",
+      "tpch_q15_top_supplier" -> "the revenue view aggregates lineitem once; max revenue is a 1-row broadcast joined back as the filter",
+      "tpch_q16_supplier_cnt" -> "complaint suppliers excluded by anti join; distinct supplier counts per (brand,type,size) in one aggregate",
+      "tpch_q17_small_qty" -> "per-part average quantity aggregated once and joined back to the same scan; brand/container filters pushed",
+      "tpch_q20_promotion" -> "nested EXISTS chain as semi joins; the part-prefix filter prunes before any join",
+      "tpch_q22_opportunity" -> "country-code substring predicate at the scan; NOT EXISTS as anti join; the balance cutoff is a scalar broadcast",
+      "embed_ann_ivf" -> "coarse quantizer routes queries to probed cells; posting lists persisted cid-partitioned — only probed cells are scanned, never the whole corpus",
+      "embed_ann_ivfpq" -> "IVF cell probe + codegen'd ADC distance over PQ codes; exact rerank only on ADC survivors",
+      "embed_knn_filtered" -> "the metadata predicate applies BEFORE any distance work — brute-force cosine only on the filtered slice",
+      "embed_outliers" -> "one pass of centroid distances; the outlier threshold is a 1-row quantile aggregate broadcast back",
+      "embed_pca" -> "the Gram matrix folds in ONE ungrouped aggregate over outer products (its exchanges carry d×d partials, not vectors); the projection back is a broadcast map — the corpus never shuffles by key",
+      "embed_quantize" -> "Lloyd rounds over persisted assignments; the k-sized centroid map is the only collect",
+      "events_funnel" -> "all funnel stages resolve inside one user_id-clustered window pass — one events exchange",
+      "events_markov" -> "per-user session + lag windows feed a transition aggregate — exchanges carry slim (user, state) rows and the final matrix is state-pair-sized",
+      "events_anomaly" -> "per-user mean/stddev window and the residual test share one user_id exchange",
+      "events_window_sliding" -> "sliding windows explode map-side into overlapping buckets; one (user, window) exchange with partials",
+      "events_json_props" -> "JSON extraction is a codegen'd projection feeding the group aggregate — no UDF, one exchange",
+      "corpus_mix" -> "per-source quotas come from a source-sized aggregate broadcast back into one corpus pass",
+      "corpus_upsert" -> "incoming batch merges against the corpus by ONE doc_id-keyed join; precedence is a per-key reduce, not a window sort",
+      "corpus_release_diff" -> "two release ledgers joined on the content key; added/removed/changed classified in one pass",
+      "pipeline_curate" -> "the composed curation chain fuses its stage predicates into few corpus passes — stages are projections, not rescans",
+      "layout_zorder" -> "the Morton key is a codegen'd projection; the rewrite range-partitions on it so 2-D windows prune files",
+      "group_pivot" -> "pivot lowers to ONE hash aggregate over (key × pivot-value) conditional sums — no per-value scans",
+      "doc_pack_sequences" -> "greedy bin packing via a running-token-sum window over one ordered exchange",
+      "text_gopher_rules" -> "every Gopher rule feature folds into one codegen'd projection; the verdict is a single filter pass")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")

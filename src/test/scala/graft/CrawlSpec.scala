@@ -199,6 +199,19 @@ class CrawlSpec extends SparkSuite {
         .select("canonical_url").as[String].collect().sorted
       assert(c2.toSeq === Seq("https://en.example.com/a",
         "https://en.example.com/b", "https://en.example.com/blocked/ok"))
+      // batch 3 arrives as a real .warc.gz blob (one gzip member per
+      // record): the same walker admits the new resource; the standing
+      // ledger still drops the refetch surface variant
+      stream.addData(Seq((ts("2024-01-01 11:00:00"), Crawl.warcBlobRecordsGz(Seq(
+        ("https://en.example.com/c", page("doc c"), false),
+        ("https://en.example.com/b?utm_source=x", page("doc b refetch"), false)).iterator))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"gzip batch must not fail: ${q.exception}")
+      val c3 = spark.read.parquet(s"$base/corpus")
+        .select("canonical_url").as[String].collect().sorted
+      assert(c3.toSeq === Seq("https://en.example.com/a",
+        "https://en.example.com/b", "https://en.example.com/blocked/ok",
+        "https://en.example.com/c"))
     } finally q.stop()
     // checkpoint-retry batch 1: the set-exclusion read hides exactly the
     // first attempt, so corpus and ledger come out identical
@@ -214,12 +227,13 @@ class CrawlSpec extends SparkSuite {
     val cR = spark.read.parquet(s"$base/corpus")
       .select("canonical_url", "text").as[(String, String)].collect().sortBy(_._1)
     assert(cR.map(_._1).toSeq === Seq("https://en.example.com/a",
-      "https://en.example.com/b", "https://en.example.com/blocked/ok"),
+      "https://en.example.com/b", "https://en.example.com/blocked/ok",
+      "https://en.example.com/c"),
       s"replay changed corpus: ${cR.toSeq}")
     assert(cR(0)._2 === "doc a", "replay must reproduce the deterministic winner")
     val lR = spark.read.parquet(s"$base/ledger")
       .select("canonical_url").distinct().count()
-    assert(lR === 3L, "replay changed the ledger")
+    assert(lR === 4L, "replay changed the ledger")
   }
 
   test("crawl_warc_ingest: survivors match the closed form; partitioning never changes rows") {
@@ -227,12 +241,121 @@ class CrawlSpec extends SparkSuite {
       .as[(String, Int, Long)].collect()
     val docs = Tables.load(spark, SparkSpec.sfTiny, "documents")
       .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
-    val expected = docs.filter(_._1 % 97 != 0)
+    // both quarantine classes: % 97 lying Content-Length (WARC level),
+    // % 202 flipped deflate byte (gzip member level)
+    val expected = docs.filter(d => d._1 % 97 != 0 && d._1 % 202 != 0)
       .map(d => (s"https://${d._2}.example.com/warc/${d._1}", 200, d._3.length.toLong))
       .sortBy(_._1)
     assert(out.toSeq === expected.toSeq)
     // blobs are per-partition; records are self-contained
     val repart = Crawl.crawlWarcIngest(spark, SparkSpec.sfTiny)
     assert(repart.count() === expected.length.toLong)
+  }
+
+  test("WARC gzip: mixed plain/member blobs frame; corrupt members quarantine without eating neighbors") {
+    // 202 → gzip member with a flipped deflate byte (must vanish WHOLE,
+    // neighbors intact); 194 = 2·97 → VALID gzip member whose inner
+    // record lies about Content-Length (the WARC-level quarantine must
+    // fire inside the decompressed member); evens gzip, odds plain
+    val docs = Seq(
+      (201L, "en", "plain before"),
+      (202L, "en", "corrupt gz member"),
+      (203L, "de", "plain after"),
+      (204L, "fr", "good gz member"),
+      (194L, "es", "lying record in valid member"),
+      (195L, "zh", "plain tail"))
+    val blob = Crawl.warcBlob(docs.iterator)
+    // the fixture really mixes framings: plain magic AND gzip magic
+    def count(pat: Array[Byte]): Int =
+      (0 to blob.length - pat.length).count(o => pat.indices.forall(i => blob(o + i) == pat(i)))
+    assert(count("WARC/1.0\r\n".getBytes) >= 4, "plain records present")
+    assert(count(Array(0x1f.toByte, 0x8b.toByte, 0x08.toByte)) >= 3, "gzip members present")
+    val rows = Crawl.warcParse(blob).sortBy(_._1)
+    assert(rows.map(_._1) === Seq(
+      "https://de.example.com/warc/203",
+      "https://en.example.com/warc/201",
+      "https://fr.example.com/warc/204",
+      "https://zh.example.com/warc/195"))
+    assert(rows.map(_._3) === Seq("plain after", "plain before",
+      "good gz member", "plain tail"))
+  }
+
+  test("WARC gzip: spec-conformant .warc.gz (member per record) and whole-file single member both parse") {
+    val recs = Seq(
+      ("https://en.example.com/1", "<p>one</p>", false),
+      ("https://en.example.com/2", "<p>two</p>", true), // lying length
+      ("https://en.example.com/3", "<p>three</p>", false))
+    // one gzip member per record — the Common Crawl convention
+    val perRecord = Crawl.warcParse(Crawl.warcBlobRecordsGz(recs.iterator)).sortBy(_._1)
+    assert(perRecord.map(_._1) ===
+      Seq("https://en.example.com/1", "https://en.example.com/3"))
+    assert(perRecord.map(_._3) === Seq("<p>one</p>", "<p>three</p>"))
+    // tolerant reading: the ENTIRE multi-record plain blob inside one
+    // gzip member (whole-file compression) must parse identically
+    val whole = Crawl.warcParse(Crawl.gzMember(Crawl.warcBlobRecords(recs.iterator))).sortBy(_._1)
+    assert(whole === perRecord)
+  }
+
+  test("gunzipMember: trailer verification, truncation, reserved bits — quarantine, never throw") {
+    val rec = Crawl.recordBytes("https://x.example.com/a", "payload", corrupt = false)
+    val member = Crawl.gzMember(rec)
+    val ok = Crawl.gunzipMember(member, 0)
+    assert(ok.isDefined)
+    assert(ok.get._1.toSeq === rec.toSeq, "decompressed bytes must round-trip")
+    assert(ok.get._2 === member.length, "next offset must land past the trailer")
+    // flipped CRC byte: inflate may still 'succeed' — the trailer check must reject
+    val badCrc = member.clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 0x1).toByte
+    assert(Crawl.gunzipMember(badCrc, 0).isEmpty, "CRC mismatch must quarantine")
+    // truncated member (mid-deflate): no throw, no partial output
+    assert(Crawl.gunzipMember(member.take(member.length / 2), 0).isEmpty)
+    // RFC 1952 reserved FLG bits must be zero
+    val badFlg = member.clone()
+    badFlg(3) = (badFlg(3) | 0x80).toByte
+    assert(Crawl.gunzipMember(badFlg, 0).isEmpty)
+    // concatenated members walk by returned offsets
+    val two = member ++ Crawl.gzMember(rec)
+    val first = Crawl.gunzipMember(two, 0).get
+    assert(Crawl.gunzipMember(two, first._2).isDefined)
+  }
+
+  test("robotsVerdict: past the broadcast budget the rules join degrades to shuffle, byte-identical") {
+    val txt = "User-agent: *\nDisallow: /blocked\nAllow: /blocked/ok\nDisallow: /*.php\n"
+    val robots = Seq(("h.example.com", txt)).toDF("host", "robots_txt")
+    val urls = (1L to 50L).map(i =>
+      (i, "h.example.com", if (i % 3 == 0) s"/blocked/p$i"
+         else if (i % 7 == 0) s"/page$i.php" else s"/ok/p$i"))
+      .toDF("doc_id", "host", "url_path")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // the plans below prove the HINT's decision
+    try {
+      // the cached rules side embeds its OWN materialization plan
+      // (which legitimately contains robotsRules' inner starGroups
+      // broadcast) in the plan dump — assert only on the verdict
+      // join's shape ABOVE the InMemoryRelation
+      def topPlan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+      val fits = Crawl.robotsVerdict(urls, Crawl.robotsRules(robots))
+      val fitsPlan = topPlan(fits)
+      assert(fitsPlan.contains("BroadcastHashJoin"),
+        "rules fit at test scale — expected broadcast:\n" + fitsPlan.take(3000))
+      val a = fits.orderBy("doc_id").collect().toSeq
+      graft.Caches.release(spark)
+      // 1-byte budget: the measured decision must flip to a shuffled
+      // join — the 100×-crawl regime where distinct hosts outgrow the
+      // executors — with the SAME verdicts
+      val degraded = Crawl.robotsVerdict(urls, Crawl.robotsRules(robots), broadcastBudget = 1L)
+      val degradedPlan = topPlan(degraded)
+      assert(!degradedPlan.contains("BroadcastHashJoin"),
+        "past the budget the rules join must degrade:\n" + degradedPlan.take(3000))
+      assert(degradedPlan.contains("SortMergeJoin") || degradedPlan.contains("ShuffledHashJoin"),
+        "expected a shuffled join past the budget:\n" + degradedPlan.take(3000))
+      val b = degraded.orderBy("doc_id").collect().toSeq
+      assert(a === b, "join regime must never change verdicts")
+    } finally {
+      spark.conf.set(key, prev)
+      graft.Caches.release(spark)
+    }
   }
 }

@@ -542,6 +542,23 @@ class MultimodalSpec extends SparkSuite {
     assert(minH > 4, s"background floor $minH must clear the gate")
   }
 
+  test("multimodal_dedup_webp finds exactly the planted 2x VP8L re-encodes, at Hamming 0") {
+    val out = Multimodal.multimodalDedupWebp(spark, SparkSpec.sfTiny)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out.length === 10, s"got ${out.toSeq}")
+    out.zipWithIndex.foreach { case ((d1, d2, h), i) =>
+      assert(d1 === i.toLong && d2 === i + 10000000L && h === 0)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = Multimodal.webpSigs(spark, SparkSpec.sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10000000L)
+      .as[(Long, Long)].collect().map(_._2)
+    var minH = 64
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length)
+      minH = math.min(minH, hamming(sigs(i), sigs(j)))
+    assert(minH > 4, s"background floor $minH must clear the gate")
+  }
+
   test("multimodal_dedup_jpeg_progressive finds exactly the cross-format clones, at Hamming 0") {
     val out = Multimodal.multimodalDedupJpegProgressive(spark, SparkSpec.sfTiny)
       .as[(Long, Long, Int)].collect().sorted
