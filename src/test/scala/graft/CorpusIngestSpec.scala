@@ -501,11 +501,14 @@ class CorpusIngestSpec extends SparkSuite {
         Array.tabulate(w * h * 3)(i => c((i / 3) * 3))
       }
       val gif7 = graft.operators.GifCodec.encode(grayOf(14, 11, 7L), 14, 11)
+      val webp10 = graft.operators.WebpCodec.encode(
+        MediaTransform.texturePixels(18, 13, 10L), 18, 13)
       stream.addData(Seq(
         (1L, ts("2024-01-01 10:00:00"), bmp(1L)),
         (2L, ts("2024-01-01 10:00:01"),
           MediaTransform.pngTexture(20, 20, 2L, 2)), // native PNG arrival
-        (7L, ts("2024-01-01 10:00:02"), gif7)))      // native GIF arrival
+        (7L, ts("2024-01-01 10:00:02"), gif7),       // native GIF arrival
+        (10L, ts("2024-01-01 10:00:03"), webp10)))   // native WebP (VP8L) arrival
       q.processAllAvailable()
       stream.addData(Seq(
         (3L, ts("2024-01-01 10:30:00"), pngClone(bmp(1L), 2)),   // RGB PNG of BMP 1 → drop
@@ -522,15 +525,25 @@ class CorpusIngestSpec extends SparkSuite {
           graft.operators.GifCodec.encode(
             MediaTransform.resizeNearest(gpx, gw, gh, gw * 2, gh * 2),
             gw * 2, gh * 2, interlace = true)
-        })))
+        }),
+        // WebP both directions: a VP8L save of the indexed BMP and a
+        // PNG save of the indexed WebP — lossless re-encodes, so both
+        // drop at Hamming 0 through the sniffing decode
+        (11L, ts("2024-01-01 10:30:06"), {
+          val (bw, bh, bpx) = MediaTransform.pixelsOf(bmp(1L)).get
+          graft.operators.WebpCodec.encode(
+            MediaTransform.resizeNearest(bpx, bw, bh, bw * 2, bh * 2),
+            bw * 2, bh * 2, subtractGreen = true)
+        }),
+        (12L, ts("2024-01-01 10:30:07"), pngClone(webp10, 2))))
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"batch must not fail: ${q.exception}")
       val corpus = spark.read.parquet(s"$base/corpus")
         .select("doc_id").as[Long].collect().sorted
-      assert(corpus === Array(1L, 2L, 5L, 6L, 7L), s"got ${corpus.toSeq}")
+      assert(corpus === Array(1L, 2L, 5L, 6L, 7L, 10L), s"got ${corpus.toSeq}")
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").as[Long].collect().sorted
-      assert(indexed === Array(1L, 2L, 5L, 7L), "undecodable stub must not be indexed")
+      assert(indexed === Array(1L, 2L, 5L, 7L, 10L), "undecodable stub must not be indexed")
     } finally q.stop()
   }
 
