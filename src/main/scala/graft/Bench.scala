@@ -106,14 +106,18 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     var cold = List.empty[(String, Double)]
-    def sweep(names: Seq[String], releaseEach: Boolean): Seq[(String, Double)] =
+    def sweep(names: Seq[String], releaseEach: Boolean,
+              beforeRun: String => Unit = _ => ()): Seq[(String, Double)] =
       names.flatMap { name =>
         try {
+          beforeRun(name)
           val coldT = runOnce(name) // warm-up; JIT + plan cost
+          beforeRun(name)
           val t1 = runOnce(name)
+          def timed() = { beforeRun(name); runOnce(name) }
           val med =
-            if (t1 < 0.2 || coldT > 0.5) math.min(t1, runOnce(name)) // 2 runs, floor
-            else Seq(t1, runOnce(name), runOnce(name)).sorted.apply(1) // 3 runs, median
+            if (t1 < 0.2 || coldT > 0.5) math.min(t1, timed()) // 2 runs, floor
+            else Seq(t1, timed(), timed()).sorted.apply(1) // 3 runs, median
           cold ::= (name, coldT) // recorded only once the timed runs succeed
           Some(name -> med)
         } catch {
@@ -132,10 +136,20 @@ object Bench {
         }
       }
     val results = sweep(headlineAll, releaseEach = true) ++ {
-      val fam = sweep(pairFamily, releaseEach = false)
+      // The floor row's runs must each CONTAIN the connected-components
+      // pass: the CC memo (Caches.memoFrame) would otherwise serve the
+      // warm-up's labeling to every timed run and the reported median
+      // would be rider-net, not the family floor. Clearing only the
+      // memo (inputs stay persisted) makes each run re-pay exactly the
+      // pass the row is chartered to charge; the last run re-populates
+      // the memo, so the riders still measure net against it.
+      val fam = sweep(pairFamily, releaseEach = false,
+        beforeRun = n => if (n == pairFamily.headOption.getOrElse("")) Caches.clearMemoFrames(spark))
       Caches.release(spark)
       fam
     }
+    val (isolated, isolatedSkipped) =
+      BenchIsolate.classify(results, errors.map(_._1).toSet, pairFamily.toSet, sfDir)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -150,7 +164,16 @@ object Bench {
     // `runs` stays NUMERIC (minimum timed runs — r11 briefly shipped the
     // string "2-3", breaking int-parsing consumers); the adaptive
     // scheme is named in `run_scheme` instead.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"load_s":$loadS,"runs":2,"run_scheme":"adaptive_min2_med3","errors":$errJson,"sf":${jstr(sfDir)}}"""
+    // `isolated` self-contains the placement classification the warm
+    // gate used to do by hand: rows whose in-sweep median breached the
+    // gate ratio vs the previous record were re-run in a FRESH JVM
+    // (TimeQuery, median of 3 warm runs) and both values are recorded —
+    // no prose needed to tell a plan regression from a sweep-position
+    // artifact.
+    val isoJson = isolated.map { case (k, (sweepV, isoV)) =>
+      s"${jstr(k)}:{\"sweep\":$sweepV,\"isolated\":$isoV}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold":${jmap(cold.reverse)},"isolated":$isoJson,"isolated_skipped":$isolatedSkipped,"load_s":$loadS,"runs":2,"run_scheme":"adaptive_min2_med3","errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(line)
     // Stdout-tail capture truncated round 6's line mid-JSON, losing the
     // per-query timings; persist the full line so round-over-round
@@ -196,4 +219,117 @@ object Bench {
     println(compact)
     spark.stop()
   }
+}
+
+/** The in-sweep vs isolated classification, automated (round-15 judge
+  * item): a bench row whose median moved against the previous round's
+  * record can be a real plan regression or a sweep-placement artifact
+  * (JIT/page-cache/GC state from whatever ran before it — the r13/r14
+  * records both carried hand-run TimeQuery triples to tell the two
+  * apart). This module finds the breaching rows and re-runs each in a
+  * FRESH JVM so the artifact carries both numbers.
+  */
+object BenchIsolate {
+  /** Gate: in-sweep median > ratio × previous AND the delta clears an
+    * absolute floor (sub-second swings are jitter nobody classifies —
+    * same doctrine as tools/bench_diff.py --warm's 2 s floor, scaled to
+    * this sweep's mostly sub-second rows). */
+  private val Ratio = 1.5
+  private val FloorSeconds = 1.0
+  /** Each isolated run forks a JVM (~30 s session startup at sf0.1);
+    * cap the pass so one bad host day can't double the bench wall. The
+    * artifact reports how many breaches were left unclassified. */
+  private val MaxIsolated = 6
+
+  /** Returns (name -> (inSweepMedian, isolatedMedian), breaches left
+    * unclassified by the cap). Pair-family rows are excluded by
+    * contract: their in-sweep numbers are net-of-shared-floor, and an
+    * isolated run re-pays the floor — the two are incomparable. */
+  def classify(results: Seq[(String, Double)], errored: Set[String],
+               pairFamily: Set[String], sfDir: String): (Seq[(String, (Double, Double))], Int) = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("0")) return (Nil, 0)
+    val prev = previousMedians(sfDir)
+    if (prev.isEmpty) return (Nil, 0)
+    val breaches = results.filter { case (name, v) =>
+      !pairFamily.contains(name) && !errored.contains(name) &&
+        prev.get(name).exists(old => v > Ratio * old && v - old > FloorSeconds)
+    }
+    val (run, skipped) = breaches.splitAt(MaxIsolated)
+    val classified = run.flatMap { case (name, sweepV) =>
+      isolatedMedian(name, sfDir).map(iso => name -> (sweepV, iso))
+    }
+    (classified, skipped.size + (run.size - classified.size))
+  }
+
+  /** Previous record: SPARK_GRAFT_BENCH_PREV if set, else the
+    * highest-round BENCH_LOCAL_rN / BENCH_rN artifact in cwd whose sf
+    * basename matches this run's. Jackson (on the Spark classpath)
+    * handles both the raw bench line and the driver's "parsed"
+    * wrapper. */
+  private def previousMedians(sfDir: String): Map[String, Double] = try {
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
+    val candidates: Seq[java.io.File] = explicit match {
+      case Some(f) => Seq(f)
+      case None =>
+        val rx = "BENCH(?:_LOCAL)?_r(\\d+).*\\.json".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => f.getName match {
+            case rx(n) => Some((n.toInt, f))
+            case _     => None
+          }).sortBy(-_._1).map(_._2)
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sfName = new java.io.File(sfDir).getName
+    candidates.iterator.flatMap { f =>
+      try {
+        var node = om.readTree(f)
+        if (node.has("parsed") && !node.get("parsed").isNull) node = node.get("parsed")
+        val sfOk = !node.has("sf") ||
+          new java.io.File(node.get("sf").asText("")).getName == sfName
+        val qs = node.get("queries")
+        if (sfOk && qs != null && qs.isObject && qs.size() > 0) {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          Some(b.result())
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption().getOrElse(Map.empty)
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Fork graft.tools.TimeQuery in a fresh JVM (same classpath,
+    * module opens and -Xmx as this one), 4 runs; return the median of
+    * the 3 warm runs. None if the fork fails — the breach then counts
+    * as unclassified rather than silently passing. */
+  private def isolatedMedian(name: String, sfDir: String): Option[Double] = try {
+    import scala.jdk.CollectionConverters._
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+    val keep = new scala.collection.mutable.ArrayBuffer[String]
+    var i = 0
+    while (i < jvm.length) {
+      val a = jvm(i)
+      if (a == "--add-opens" || a == "--add-exports") {
+        if (i + 1 < jvm.length) { keep += a; keep += jvm(i + 1); i += 1 }
+      } else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=") ||
+                 a.startsWith("-Xmx") || a.startsWith("-Dspark.")) keep += a
+      i += 1
+    }
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ keep ++ Seq("-cp", System.getProperty("java.class.path"),
+      "graft.tools.TimeQuery", name, "4", sfDir)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val ok = p.waitFor() == 0
+    val times = "run \\d+: ([0-9.]+) s".r
+      .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+    if (ok && times.size >= 4) {
+      val warm = times.drop(1).sorted
+      Some(warm(warm.size / 2))
+    } else None
+  } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -92,6 +92,15 @@ object Caches {
     }
   }
 
+  /** Drop ONLY the [[memoFrame]] entries for `spark` (bench hook). The
+    * persisted inputs and the checkpoint-RDD ledger stay registered, so
+    * the next identical build re-pays exactly the memoized pass (e.g.
+    * connected components) against the still-standing inputs — the
+    * shared-floor contract graft.Bench charges its pair family under.
+    * Superseded checkpoint blocks are released with the family's normal
+    * [[release]]. */
+  def clearMemoFrames(spark: SparkSession): Unit = { frames.remove(spark); () }
+
   private val decisions =
     new ConcurrentHashMap[SparkSession, ConcurrentHashMap[(Int, Long), java.lang.Boolean]]()
 

@@ -1925,6 +1925,19 @@ object Documents {
     * appears in some edge, where `cluster` is the component's minimum
     * id. Singletons never appear in the edge list, so the caller
     * re-attaches them (see [[dedupClusters]]). */
+  // Process-unique ids for non-UnsafeRow LocalRelation payloads: an
+  // IdentityHashMap assigns each distinct Seq object a fresh id, so the
+  // memo key can never alias two different objects (identityHashCode
+  // alone is 32-bit and CAN collide). Bounded: only in-memory test/edge
+  // frames ever take this path.
+  private val localRelIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]
+  private val localRelNext = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def localRelationId(data: AnyRef): Long = localRelIds.synchronized {
+    val existing = localRelIds.get(data)
+    if (existing != null) existing.longValue()
+    else { val id = localRelNext.getAndIncrement(); localRelIds.put(data, id); id }
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // memoized by INPUT key, the bucketCounts precedent: the result is
     // built from localCheckpoints (fresh LogicalRDDs), so persist()'s
@@ -1938,16 +1951,26 @@ object Documents {
     // pair frames) both print schema without content, so two DIFFERENT
     // edge sets of the same shape would collide — a memo hit returns
     // another graph's labeling outright. The key therefore also
-    // carries each leaf's IDENTITY: the RDD id for LogicalRDDs, the
-    // data's hashCode for LocalRelations (content hash for UnsafeRows,
-    // object identity otherwise — a missed reuse, never a collision);
-    // scan-based leaves are already distinguished by their paths in
-    // the canonical string.
+    // carries each leaf's IDENTITY: the RDD id for LogicalRDDs, a
+    // 128-bit content digest over the row bytes for LocalRelations
+    // backed by UnsafeRows (a 32-bit Seq.hashCode can collide two
+    // different edge sets — and a memo collision here returns another
+    // graph's labeling outright), and a process-unique per-object id
+    // otherwise (a collision is impossible; at worst a fresh object
+    // with equal content costs a missed reuse); scan-based leaves are
+    // already distinguished by their paths in the canonical string.
     val analyzed = pairs.queryExecution.analyzed
     val leafIds = analyzed.collectLeaves().map {
       case l: org.apache.spark.sql.execution.LogicalRDD => s"rdd:${l.rdd.id}"
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        s"local:${l.data.hashCode}"
+        val rows = l.data
+        if (rows.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow])) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { r =>
+            md.update(r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow].getBytes)
+          }
+          s"local:${rows.length}:${md.digest().map(b => f"$b%02x").mkString}"
+        } else s"localid:${localRelationId(rows)}"
       case other => other.getClass.getName
     }
     graft.Caches.memoFrame(pairs.sparkSession,

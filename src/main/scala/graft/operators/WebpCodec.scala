@@ -199,12 +199,21 @@ object WebpCodec {
       if (s0 >= alphabetSize) return null
       if (numSymbols == 1) {
         lengths(s0) = 1 // buildCode's single-symbol path makes it 0-bit
+        if (br.overrun) null else buildCode(lengths)
       } else {
         val s1 = br.bits(8)
         if (s1 >= alphabetSize || s1 == s0) return null
-        lengths(s0) = 1; lengths(s1) = 1
+        // RFC 9649 assigns bit 0 to the FIRST-TRANSMITTED symbol, not the
+        // numerically lower one — canonical construction would silently
+        // swap the two when s0 > s1 (libwebp's encoder always sorts, so
+        // goldens can't catch it). Build the 1-bit code in transmission
+        // order directly: read() walks sorted(codeV - firstCode) so
+        // sorted=(s0,s1) maps bit 0 -> s0, bit 1 -> s1.
+        if (br.overrun) return null
+        val counts = new Array[Int](16); counts(1) = 2
+        new PrefixCode(-1, counts, new Array[Int](16), new Array[Int](16),
+                       Array(s0, s1))
       }
-      if (br.overrun) null else buildCode(lengths)
     } else {
       val numLenCodes = 4 + br.bits(4)
       if (numLenCodes > 19) return null
@@ -359,7 +368,11 @@ object WebpCodec {
         if (idx > maxIdx) maxIdx = idx
       }
       numGroups = maxIdx + 1
-      if (numGroups > 1024) return null // hostile meta image
+      // The 16-bit meta index legally allows up to 65536 entropy groups;
+      // the per-group cost is bounded anyway (5 prefix codes each, all
+      // read from the same bounded stream), so cap at the spec maximum
+      // rather than an arbitrary 1024 that quarantined valid large images.
+      if (numGroups > 65536) return null // hostile meta image
     }
     val groups = new Array[Group](numGroups)
     var g = 0

@@ -104,6 +104,22 @@ object IngestBench {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(streamSrc)
 
+    // per-batch trigger durations: the ledger-growth curve. Registered
+    // BEFORE the ingest call below — the call starts the query, and a
+    // listener added after start can miss the earliest micro-batches,
+    // skewing first_decile_batch_ms toward later (slower) batches.
+    val batchMs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ms = e.progress.durationMs.getOrDefault("triggerExecution", 0L)
+        if (e.progress.numInputRows > 0) batchMs.put(e.progress.batchId, ms)
+      }
+    }
+    spark.streams.addListener(listener)
+
     val t0 = System.nanoTime()
     val q = mode match {
       case "exact" =>
@@ -137,18 +153,6 @@ object IngestBench {
           s"$base/ledger", s"$base/corpus", s"$base/ckpt")
       case other => sys.error(s"unknown mode $other")
     }
-    // per-batch trigger durations: the ledger-growth curve
-    val batchMs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val ms = e.progress.durationMs.getOrDefault("triggerExecution", 0L)
-        if (e.progress.numInputRows > 0) batchMs.put(e.progress.batchId, ms)
-      }
-    }
-    spark.streams.addListener(listener)
     q.processAllAvailable()
     q.stop()
     spark.streams.removeListener(listener)

@@ -358,4 +358,40 @@ class CrawlSpec extends SparkSuite {
       graft.Caches.release(spark)
     }
   }
+
+  test("robotsRules: past the broadcast budget the star-group join degrades to shuffle, byte-identical") {
+    // starGroups is ~1 row per distinct host — the frame that outgrows
+    // the broadcast budget at production host counts. Force the budget
+    // below it and require the SAME parsed rules from a shuffled join.
+    val txt = "User-agent: BadBot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /blocked\nAllow: /blocked/ok\n\n" +
+      "User-agent: Other\nDisallow: /p\n"
+    val robots = (1 to 40).map(i => (s"h$i.example.com", txt))
+      .toDF("host", "robots_txt")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // the plans below prove the HINT's decision
+    try {
+      def topPlan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+      val fits = Crawl.robotsRules(robots)
+      assert(topPlan(fits).contains("BroadcastHashJoin"),
+        "star groups fit at test scale — expected broadcast:\n" + topPlan(fits).take(3000))
+      val a = fits.orderBy("host", "allow", "prefix").collect().toSeq
+      assert(a.nonEmpty && a.forall(_.getString(2).startsWith("/blocked")),
+        "only the * group's rules may survive")
+      graft.Caches.release(spark)
+      val degraded = Crawl.robotsRules(robots, broadcastBudget = 1L)
+      val degradedPlan = topPlan(degraded)
+      assert(!degradedPlan.contains("BroadcastHashJoin"),
+        "past the budget the star-group join must degrade:\n" + degradedPlan.take(3000))
+      assert(degradedPlan.contains("SortMergeJoin") || degradedPlan.contains("ShuffledHashJoin"),
+        "expected a shuffled join past the budget:\n" + degradedPlan.take(3000))
+      val b = degraded.orderBy("host", "allow", "prefix").collect().toSeq
+      assert(a === b, "join regime must never change the parsed rules")
+    } finally {
+      spark.conf.set(key, prev)
+      graft.Caches.release(spark)
+    }
+  }
 }

@@ -88,6 +88,48 @@ class WebpSpec extends AnyFunSuite {
     assert(WebpCodec.decode(bomb).isDefined)
   }
 
+  test("simple 2-symbol code assigns bit 0 to the FIRST-TRANSMITTED symbol") {
+    // RFC 9649 maps bit 0 of a 2-symbol simple code to the symbol
+    // transmitted first — NOT the numerically lower one. libwebp's
+    // encoder always sorts the pair, so no golden can pin this; build
+    // the stream by hand with s0=200 > s1=100 and require the greens
+    // in transmission order (canonical construction would swap them).
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def bit(b: Int): Unit = bits += (b & 1)
+    def put(v: Int, n: Int): Unit = {
+      var i = 0; while (i < n) { bit((v >> i) & 1); i += 1 }
+    }
+    put(1, 14); put(0, 14) // w=2, h=1
+    bit(0); put(0, 3)      // no alpha hint, version 0
+    bit(0); bit(0); bit(0) // no transforms, no color cache, no meta
+    // green: simple 2-symbol code, HIGH symbol transmitted first
+    bit(1); bit(1); bit(1); put(200, 8); put(100, 8)
+    // red / blue / alpha: zero-bit single-symbol codes
+    bit(1); bit(0); bit(1); put(10, 8)
+    bit(1); bit(0); bit(1); put(20, 8)
+    bit(1); bit(0); bit(1); put(255, 8)
+    // distance: single symbol 0 (never referenced)
+    bit(1); bit(0); bit(0); put(0, 1)
+    // two pixels: green code bit 0 -> s0=200, bit 1 -> s1=100
+    bit(0); bit(1)
+    val payload = bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+    val vp8l = 0x2f.toByte +: payload
+    val padded = vp8l.length + (vp8l.length & 1)
+    val buf = java.nio.ByteBuffer.allocate(20 + padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(12 + padded)
+    buf.put("WEBP".getBytes("US-ASCII"))
+    buf.put("VP8L".getBytes("US-ASCII")).putInt(vp8l.length)
+    buf.put(vp8l)
+    val got = WebpCodec.decode(buf.array())
+    assert(got.isDefined, "hand-built stream must decode")
+    val (w, h, bgr) = got.get
+    assert((w, h) === (2, 1))
+    assert(bgr.toSeq === Seq(20, 200, 10, 20, 100, 10).map(_.toByte),
+      "greens must decode in transmission order (200 first)")
+  }
+
   test("plane-code table: generated rule matches the spec's documented head") {
     val t = WebpCodec.planeCodes
     assert(t.length === 120)
