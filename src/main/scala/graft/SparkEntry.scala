@@ -270,6 +270,8 @@ object SparkEntry {
       Multimodal.multimodalDedupGif(s, d)),
     "multimodal_dedup_webp" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupWebp(s, d)),
+    "multimodal_dedup_webp_lossy" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupWebpLossy(s, d)),
     "multimodal_dedup_jpeg_progressive" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupJpegProgressive(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -2834,6 +2836,26 @@ object SparkEntry {
     "multimodal_dedup_webp" ->
       """SELECT doc_id AS d1, (doc_id + 10000000)::BIGINT AS d2, 0 AS hamming
         |FROM documents WHERE doc_id < 10 ORDER BY d1, d2""".stripMargin,
+    // LOSSY WebP twin — a DIFFERENTIAL oracle: the expected pairs were
+    // frozen from the REFERENCE libwebp decoder's Y planes
+    // (tools/gen_vp8_fixtures.py), so the row passes only if the
+    // from-scratch VP8 decoder reconstructs every committed fixture
+    // byte-identically to libwebp and the banded Hamming join recalls
+    // each requantized twin (content designed to hold planted pairs at
+    // Hamming 0 through q75→q55; background floor 19 measured and
+    // asserted in Vp8Spec). The documents join anchors the fixture ids
+    // to the corpus (ids < 30 exist at every sf).
+    "multimodal_dedup_webp_lossy" ->
+      """SELECT v.d1, v.d2, v.hamming
+        |FROM (VALUES
+        |  (0::BIGINT, 20::BIGINT, 0::BIGINT), (1::BIGINT, 21::BIGINT, 0::BIGINT),
+        |  (2::BIGINT, 22::BIGINT, 0::BIGINT), (3::BIGINT, 23::BIGINT, 0::BIGINT),
+        |  (4::BIGINT, 24::BIGINT, 0::BIGINT), (5::BIGINT, 25::BIGINT, 0::BIGINT),
+        |  (6::BIGINT, 26::BIGINT, 0::BIGINT), (7::BIGINT, 27::BIGINT, 0::BIGINT),
+        |  (8::BIGINT, 28::BIGINT, 0::BIGINT), (9::BIGINT, 29::BIGINT, 0::BIGINT)
+        |) v(d1, d2, hamming)
+        |JOIN documents doc ON doc.doc_id = v.d1
+        |ORDER BY v.d1, v.d2""".stripMargin,
     // Full-matrix PNG twin: palette lookup, Adam7 deinterlace, 16-bit
     // high-byte and depth-4 gray scaling are all LOSSLESS for this
     // population, so a re-encode in any other variant decodes

@@ -753,7 +753,21 @@ object Multimodal {
       else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
                bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
                bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')
-        WebpCodec.decode(bytes) // lossless VP8L; lossy VP8 rejects inside
+        // lossless VP8L first (true color); lossy VP8 falls back to
+        // the key-frame LUMA decode expanded to gray BGR — every
+        // consumer of this sniff hashes via a grayscale reduction, and
+        // gray(y,y,y) = y for any channel weighting, so the dedup
+        // signatures are exact even though color is not reconstructed
+        WebpCodec.decode(bytes).orElse(
+          Vp8Codec.decodeLuma(bytes).map { case (w, h, y) =>
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < y.length) {
+              px(i * 3) = y(i); px(i * 3 + 1) = y(i); px(i * 3 + 2) = y(i)
+              i += 1
+            }
+            (w, h, px)
+          })
       else None
 
     /** splitmix64 finalizer (public-domain constants) — the avalanche
@@ -1000,6 +1014,74 @@ object Multimodal {
     * of-two rescales (floor(floor(2a)/2) = floor(a): a 2×-upscaled
     * re-encode hits the IDENTICAL 9×8 grid) and approximate for
     * crops/noise — the usual dHash contract. */
+  /** [[dHash64]] over a raw LUMA plane — same 9x8 point-sample grid
+    * and comparison rule (lum = y instead of b+g+r; the comparisons
+    * are identical under any positive channel weighting). The lossy
+    * VP8 tier hashes this directly: its decoder reconstructs luma,
+    * which is all a gradient hash reads. Mirrored bit-for-bit by
+    * tools/gen_vp8_fixtures.py's dhash_luma, which freezes the oracle
+    * from libwebp's own Y planes. */
+  def dHash64Luma(y: Array[Byte], w: Int, h: Int): Long = {
+    val lum = new Array[Int](9 * 8)
+    var yy = 0
+    while (yy < 8) {
+      val sy = yy * h / 8
+      var x = 0
+      while (x < 9) {
+        lum(yy * 9 + x) = y(sy * w + x * w / 9) & 0xff
+        x += 1
+      }
+      yy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (lum((i / 8) * 9 + i % 8 + 1) > lum((i / 8) * 9 + i % 8)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Registered query (HARD oracle, differential): perceptual dedup
+    * over LOSSY WebP — the format most real `.webp` bytes actually
+    * use, decoded by the from-scratch VP8 key-frame decoder
+    * ([[Vp8Codec]]: bool coder, segmentation, token trees, WHT+IDCT,
+    * all ten B_PRED modes, normal+simple loop filters). The repo
+    * cannot ENCODE VP8 (decode-only coverage), so the population is a
+    * committed 30-fixture corpus produced by the reference libwebp
+    * encoder (tools/gen_vp8_fixtures.py): ids 0..19 at q75 and, for
+    * ids 0..9, the SAME content requantized at q55 under id+20 —
+    * genuine lossy near-duplicates. The oracle's expected pairs were
+    * computed from LIBWEBP's decoded Y planes, so this row passes
+    * only if [[Vp8Codec]] reconstructs every fixture byte-identically
+    * to the reference decoder (content designed so each planted pair
+    * sits at Hamming 0 with a measured background floor of 19 —
+    * asserted by Vp8Spec on the row's own population). */
+  def multimodalDedupWebpLossy(spark: SparkSession, dir: String,
+                               maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(webpLossySigs(spark, dir), maxHamming)
+
+  /** The (doc_id, simhash) signatures behind
+    * [[multimodalDedupWebpLossy]]: doc ids < 30 map 1:1 onto the
+    * committed lossy fixtures (loaded from the jar once per executor,
+    * decoded per row — the decode IS the operator under test). */
+  def webpLossySigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 30)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val in = getClass.getResourceAsStream(s"/vp8fixtures/f$id.webp")
+          require(in != null, s"missing fixture vp8fixtures/f$id.webp")
+          val bytes = try in.readAllBytes() finally in.close()
+          val (w, h, y) = Vp8Codec.decodeLuma(bytes)
+            .getOrElse(sys.error(s"fixture f$id.webp must decode"))
+          (id, dHash64Luma(y, w, h))
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
   def dHash64(px: Array[Byte], w: Int, h: Int): Long = {
     val lum = new Array[Int](9 * 8)
     var y = 0

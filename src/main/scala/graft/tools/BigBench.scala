@@ -205,6 +205,7 @@ object BigBenchLlm {
       "dedup_ngram_jaccard_staged",
       "multimodal_dedup_png_palette", "multimodal_dedup_jpeg_progressive",
       "multimodal_dedup_gif", "multimodal_dedup_video_mjpeg",
+      "multimodal_dedup_webp", "multimodal_dedup_webp_lossy",
       "crawl_warc_ingest", "crawl_html_extract", "crawl_robots_filter",
       "crawl_pipeline",
       "text_wordpiece_train", "text_wordpiece_vocab", "text_wordpiece_encode",

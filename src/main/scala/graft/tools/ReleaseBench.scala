@@ -52,6 +52,14 @@ object BigBenchRelease {
     val rows = args.headOption.filterNot(_.startsWith("--")).map(_.toLong)
       .getOrElse(100000000L)
     val keepStages = args.contains("--keep-stages")
+    // The 100M run's first attempt died on this box's disk envelope:
+    // with the 15 GB source corpus retained, stage 2's text shuffle +
+    // stage-1 input + stage-2 output overran the ~60 GB free.
+    // --drop-source deletes the (regenerable, BigBenchLlm-owned)
+    // documents.parquet once the arrival blobs are packed — the
+    // "WARC upstream lives on another store" reading, which is also
+    // the true production shape.
+    val dropSource = args.contains("--drop-source")
     val srcDir = s"target/bigbench/llm_$rows/documents.parquet"
     require(new java.io.File(srcDir).exists(), s"run BigBenchLlm $rows first ($srcDir)")
     val base = s"target/bigbench/release_$rows"
@@ -59,6 +67,9 @@ object BigBenchRelease {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // zstd stage checkpoints (default snappy): ~30% smaller outputs,
+    // and the disk floor is the binding constraint of this measurement
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val basePath = new org.apache.hadoop.fs.Path(base)
@@ -85,6 +96,9 @@ object BigBenchRelease {
     def du(p: String): Long = fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
     val stageStats = new scala.collection.mutable.ArrayBuffer[String]
     def stage(name: String, out: String)(build: => DataFrame): Double = {
+      val freeGb = gb(cwd.getUsableSpace)
+      require(freeGb > 8.0,
+        f"aborting before $name: only $freeGb%.1f GB free — the stage would die mid-shuffle")
       floor.set(cwd.getUsableSpace)
       val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(out)
@@ -125,6 +139,11 @@ object BigBenchRelease {
     val prepS = (System.nanoTime() - tPrep) / 1e9
     val blobGb = gb(du(blobDir))
     println(f"[release] prep (untimed): $prepS%.1f s, $blobGb%.2f GB of .warc.gz arrivals")
+    if (dropSource) {
+      val sz = gb(du(srcDir))
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      println(f"[release] dropped source corpus $srcDir (${sz}%.2f GB — regenerate via BigBenchLlm $rows)")
+    }
 
     // ---- stage 1: WARC framing + gzip walk + HTML extraction ------
     val s1 = s"$base/stage1_extracted"
