@@ -93,5 +93,13 @@ object CrawlIngest {
       ReplaySafeSink.writeBatch(novel, outDir, token, batchId)
       ReplaySafeSink.writeBatch(novel.select("canonical_url"), ledgerDir, token, batchId)
     } finally novel.unpersist()
+    // standing-ledger hygiene on a cadence, not by operator memory:
+    // every batch appends a partition, and at 100M arrivals the probe
+    // read degraded ~15x on file count alone (BIGBENCH.md round 14).
+    // Synchronous in the batch body AFTER this batch's writes, so a
+    // retry can never race the compactor; keeps exactly this (token,
+    // batchId) partition live (see IndexMaintenance.compactIndexLive
+    // for why that preserves the replay contract).
+    IndexMaintenance.autoCompact(spark, ledgerDir, token, batchId)
   }
 }

@@ -157,7 +157,44 @@ object IndexMaintenance {
     * consolidated away (0 ⇔ nothing to do — fewer than two retired
     * partitions is churn, not compaction). */
   def compactIndex(spark: SparkSession, dir: String,
-                   currentToken: Option[String]): Int = {
+                   currentToken: Option[String]): Int =
+    compactWhere(spark, dir,
+      live = { case (run, _) => currentToken.contains(run) })
+
+  /** Compaction for a RUNNING ingest — the auto-cadence form. Keeps
+    * exactly the current `(token, batchId)` partition live and
+    * consolidates everything else, INCLUDING the live run's own
+    * earlier batches. Replay-safe by the sink's own contract:
+    * foreachBatch(b) runs only after batch b−1 committed, so the only
+    * possible retry is of batch b itself — its standing-state probe
+    * excludes only `(token, b)` (set-exclusion, [[ReplaySafeSink
+    * .standingRows]]), which the compactor never reads or deletes, and
+    * its dynamic overwrite replaces only that same partition. Rows
+    * moved into a `compact<gen>` run stay visible to the retry
+    * exactly as their originals were. A crash DURING compaction
+    * leaves duplicates (write-then-delete), which the next
+    * compaction's set semantics absorb and which the ledger-style
+    * anti-join probes tolerate meanwhile. */
+  def compactIndexLive(spark: SparkSession, dir: String,
+                       token: String, batchId: Long): Int =
+    compactWhere(spark, dir,
+      live = { case (run, b) => run == token && b == batchId.toString })
+
+  /** Cadence policy for the foreachBatch sinks: compact every
+    * `everyBatches` batches (default 32 — the 100M crawl-ledger
+    * measurement put payback at ~25 batches: compaction cost ≈ 45 s
+    * vs ~1.8 s/batch standing-probe savings, BIGBENCH.md round 14).
+    * Runs AFTER the batch's own writes, synchronously in the
+    * foreachBatch body, so a retry can never overlap the compactor.
+    * Returns partitions consolidated (0 = off-cadence call). */
+  def autoCompact(spark: SparkSession, dir: String, token: String,
+                  batchId: Long, everyBatches: Int = 32): Int =
+    if (batchId > 0 && batchId % everyBatches == 0)
+      compactIndexLive(spark, dir, token, batchId)
+    else 0
+
+  private def compactWhere(spark: SparkSession, dir: String,
+                           live: ((String, String)) => Boolean): Int = {
     val (fs, root) = fsOf(spark, dir)
     val files = dataFiles(fs, root)
     if (files.isEmpty) return 0
@@ -169,7 +206,7 @@ object IndexMaintenance {
       .split('/').find(_.startsWith("ingest_run=")).get.stripPrefix("ingest_run=")
     def runBatchOf(f: Path): (String, String) = (runOf(f), f.toString
       .split('/').find(_.startsWith("batch_id=")).get.stripPrefix("batch_id="))
-    val retired = files.filterNot(f => currentToken.contains(runOf(f)))
+    val retired = files.filterNot(f => live(runBatchOf(f)))
     val retiredParts = retired.map(runBatchOf).distinct
     if (retiredParts.size < 2) return 0
     val leading = partitionLevels(root, retired.head).takeWhile(_ != "ingest_run")
@@ -186,9 +223,36 @@ object IndexMaintenance {
       .partitionBy(leading ++ Seq("ingest_run", "batch_id"): _*)
       .parquet(dir)
     // delete AFTER the consolidated write lands: a crash between the
-    // two leaves duplicates (absorbed by set semantics), never a gap
-    deleteRunDirs(fs, root, retiredParts.map(_._1).toSet)
+    // two leaves duplicates (absorbed by set semantics), never a gap.
+    // Batch-granular (not whole-run): under live compaction the
+    // current run keeps its newest batch partition.
+    deleteRunBatchDirs(fs, root, retiredParts.toSet)
     retiredParts.size
+  }
+
+  /** Delete exactly the `ingest_run=<run>/batch_id=<b>` partition dirs
+    * in `parts` (at any leading depth), then any run dir left empty.
+    * Returns the number of batch partitions deleted. */
+  private def deleteRunBatchDirs(fs: FileSystem, root: Path,
+                                 parts: Set[(String, String)]): Int = {
+    var n = 0
+    def walk(p: Path): Unit =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath).foreach { d =>
+        val name = d.getName
+        if (name.startsWith("ingest_run=")) {
+          val run = name.stripPrefix("ingest_run=")
+          fs.listStatus(d).filter(_.isDirectory).map(_.getPath).foreach { bd =>
+            val bn = bd.getName
+            if (bn.startsWith("batch_id=") &&
+                parts.contains((run, bn.stripPrefix("batch_id=")))) {
+              fs.delete(bd, true); n += 1
+            }
+          }
+          if (fs.listStatus(d).isEmpty) fs.delete(d, true)
+        } else if (!name.startsWith(".") && !name.startsWith("_")) walk(d)
+      }
+    walk(root)
+    n
   }
 
   /** [[compactIndex]] with the live token read from the ingest's

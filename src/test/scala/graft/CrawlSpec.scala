@@ -359,6 +359,49 @@ class CrawlSpec extends SparkSuite {
     }
   }
 
+  test("live auto-compaction: a retried batch never races the compactor; probe row-set invariant") {
+    import graft.streaming.{IndexMaintenance, ReplaySafeSink}
+    val base = new java.io.File("target/crawl-compact-spec")
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(base)
+    }
+    val dir = s"${base.getPath}/ledger"
+    val token = "tok0123abcd0"
+    for (b <- 0L to 4L)
+      ReplaySafeSink.writeBatch(Seq(s"u$b").toDF("canonical_url"), dir, token, b)
+    def probe(b: Long): Seq[String] =
+      ReplaySafeSink.standingRows(spark, dir, token, b).get
+        .select("canonical_url").as[String].collect().sorted.toSeq
+    val pre = probe(4L)
+    assert(pre === Seq("u0", "u1", "u2", "u3"))
+    // the cadence hook, as CrawlIngest fires it inside foreachBatch(4)
+    // AFTER batch 4's own write: batches 0..3 consolidate, the live
+    // (token, 4) partition must stay exactly where a retry overwrites
+    val n = IndexMaintenance.autoCompact(spark, dir, token, 4L, everyBatches = 2)
+    assert(n === 4, "batches 0..3 must consolidate away")
+    assert(probe(4L) === pre,
+      "compaction must not change what a retry of the live batch sees")
+    assert(new java.io.File(s"$dir/ingest_run=$token/batch_id=4").exists(),
+      "the live batch's partition must be untouched")
+    assert(!new java.io.File(s"$dir/ingest_run=$token/batch_id=3").exists(),
+      "retired batch partitions must be gone")
+    // the retry itself: deterministic rewrite of (token, 4) — final
+    // row set identical, nothing duplicated or lost
+    ReplaySafeSink.writeBatch(Seq("u4").toDF("canonical_url"), dir, token, 4L)
+    assert(spark.read.parquet(dir).select("canonical_url")
+      .as[String].collect().sorted.toSeq === Seq("u0", "u1", "u2", "u3", "u4"))
+    // next cadence point consolidates the prior compact generation and
+    // the now-retired batch 4; rows still invariant
+    assert(IndexMaintenance.autoCompact(spark, dir, token, 6L, everyBatches = 2) === 2)
+    assert(spark.read.parquet(dir).select("canonical_url")
+      .as[String].collect().sorted.toSeq === Seq("u0", "u1", "u2", "u3", "u4"))
+    // off-cadence calls are free no-ops
+    assert(IndexMaintenance.autoCompact(spark, dir, token, 7L, everyBatches = 2) === 0)
+  }
+
   test("robotsRules: past the broadcast budget the star-group join degrades to shuffle, byte-identical") {
     // starGroups is ~1 row per distinct host — the frame that outgrows
     // the broadcast budget at production host counts. Force the budget
