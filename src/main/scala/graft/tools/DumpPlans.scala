@@ -145,7 +145,34 @@ object DumpPlans {
       "layout_zorder" -> "the Morton key is a codegen'd projection; the rewrite range-partitions on it so 2-D windows prune files",
       "group_pivot" -> "pivot lowers to ONE hash aggregate over (key × pivot-value) conditional sums — no per-value scans",
       "doc_pack_sequences" -> "greedy bin packing via a running-token-sum window over one ordered exchange",
-      "text_gopher_rules" -> "every Gopher rule feature folds into one codegen'd projection; the verdict is a single filter pass")
+      "text_gopher_rules" -> "every Gopher rule feature folds into one codegen'd projection; the verdict is a single filter pass",
+      "multimodal_dedup_webp_lossy" -> "from-scratch VP8 key-frame luma decode (bool coder, token trees, WHT+IDCT, intra, loop filter) in the partition-batched map over jar fixtures; same banded Hamming pair join as every signature tier",
+      "dedup_embed_cosine_exact" -> "the bounded exact twin: a doc_id-capped slice cross-compares via codegen'd dot — bounded by construction, anchors the LSH funnel's recall",
+      "dedup_source_matrix" -> "pair frame joined twice to the slim (doc, source) map; the matrix aggregate is source-pair-sized — rides the one cached pair pass",
+      "dedup_substr_strip" -> "passage-level strip: passage shingles bucket-join (df-capped), matched spans removed by a per-doc reduce — no doc self-join",
+      "doc_decontaminate" -> "eval hashes broadcast by measured size; the corpus anti-joins map-side — decontamination never shuffles the corpus",
+      "doc_fingerprint" -> "rolling-hash fingerprints are a pure codegen projection; one output sort is the only exchange",
+      "corpus_shard_manifest" -> "hash-routed shard ids + bit_xor content checksum fold in ONE hash aggregate with map-side partials — the cheapest full-corpus integrity sweep",
+      "corpus_histogram" -> "width_bucket histogram: one aggregate keyed by bucket id, bucket-count-sized output",
+      "corpus_stats" -> "per-language report in one grouped aggregate; exact percentile is the one memory-heavy member (documented swap to approx at scale)",
+      "corpus_shuffle" -> "deterministic shuffle = sort by md5(doc_id) — one range exchange, stable under input partitioning",
+      "corpus_upsample" -> "weight-driven floor-or-floor+1 replication via a narrow Generate — rows multiply map-side, no extra exchange",
+      "corpus_length_buckets" -> "log2-length buckets partition one row_number window; batch ids derive arithmetically — one bucket exchange",
+      "corpus_epoch_schedule" -> "per-source epoch multipliers from a source-sized aggregate, broadcast back over one corpus pass",
+      "corpus_dsir_select" -> "DSIR importance weights from two broadcast 1024-bucket models; top-k selection via one window — the corpus shuffles once",
+      "corpus_trim" -> "percentile pair is ONE tiny aggregate broadcast back; the corpus itself stays a map-side filter",
+      "window_rank" -> "rank over a clustered window: one hash exchange + in-partition sort, no join",
+      "window_running" -> "running sum over a rows frame: one exchange shared with the ordering sort",
+      "window_range_frame" -> "RANGE frame over event time: the frame bound evaluates inside the window operator — no self-join for neighbors",
+      "group_rollup" -> "rollup lowers to Expand + ONE hash aggregate — grouping-set multiplicity is map-side row replication, not rescans",
+      "group_cube" -> "cube's 2^k grouping sets ride the same single Expand + aggregate",
+      "group_grouping_sets" -> "explicit grouping sets: Expand emits only the requested sets; one aggregate",
+      "set_union" -> "UNION dedups via one hash aggregate over the unioned children — no join",
+      "set_except" -> "EXCEPT plans as a left anti join on all columns",
+      "join_theta" -> "non-equi predicate forces BroadcastNestedLoopJoin — correct and explicit; the row documents the deliberate cost",
+      "join_full_outer" -> "full outer keeps a shuffled sort-merge join — both sides stream, neither builds",
+      "embed_knn" -> "brute-force top-k: codegen'd cosine in one projection, TakeOrderedAndProject — the baseline the ANN tiers are judged against",
+      "multimodal_thumbnail" -> "decode + area-average resize per record in the partition-batched map; output is slim (id, thumb) rows — media bytes never shuffle at full size")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
