@@ -150,7 +150,17 @@ object BigBenchLlm {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+    // embed-tier queries read only embeddings.parquet; an embed-only
+    // subset must not pay (or re-create — the 100M release run
+    // reclaims it) the 15 GB document corpus
+    val embedOnlyNames = Set("dedup_embed_cosine", "dedup_semantic",
+      "dedup_embed_cosine_exact")
+    def needsDocs(n: String): Boolean =
+      !n.startsWith("embed_") && !embedOnlyNames.contains(n)
+    val requestedNames = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("ALL"))
+    val docsNeeded = requestedNames.contains("ALL") || requestedNames.exists(needsDocs)
+    if (docsNeeded &&
+        !new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
       // 40-token docs over a 5k-word vocab; ~0.5% of docs get a planted
       // near-dup (2 tokens changed) so the dedup outputs are non-empty.
       val base = spark.range(0, rows, 1, 32).select(col("id").as("doc_id"),
