@@ -301,7 +301,14 @@ object Embeddings {
         shiftright(col("sig").getItem(i / perWord), (i % perWord) * b)
           .bitwiseAND(lit(mask)).as("v"))
     }
-    val banded = sigs.select(col("vec_id"), col("sig"),
+    // The band self-join is the one corpus×bands shuffle — keep its
+    // rows SLIM: (band-value, vec_id) only, ~20 B/row. Carrying the
+    // 2-word signature through the explode doubled the shuffle bytes,
+    // and at 100M vectors the two sides' shuffle files alone measured
+    // past this box's free disk (round 15, the embed-tier 100M run).
+    // The signatures re-attach to the CANDIDATE stream below — band-
+    // collision volume, orders below corpus×bands.
+    val banded = sigs.select(col("vec_id"),
       explode(array(bandCols: _*)).as("bv"))
     // Full-signature Hamming gate between the band match and the exact
     // verify: at 16-bit bands a random far pair clears a band at
@@ -315,17 +322,36 @@ object Embeddings {
     val p = theta / math.Pi
     val maxHam = math.ceil(nBits * p + 3 * math.sqrt(nBits * p * (1 - p))).toInt
     val ham = (0 until words)
-      .map(w => bit_count(col("a.sig").getItem(w).bitwiseXOR(col("b.sig").getItem(w))))
+      .map(w => bit_count(col("s1.sig").getItem(w).bitwiseXOR(col("s2.sig").getItem(w))))
       .reduce(_ + _)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
-      .filter(ham <= maxHam)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .join(sigs.select(col("vec_id").as("d1"), col("sig")).as("s1"), "d1")
+      .join(sigs.select(col("vec_id").as("d2"), col("sig")).as("s2"), "d2")
+      .filter(ham <= maxHam)
+      .select(col("d1"), col("d2"))
       .distinct()
-    val e1 = corpus.select(col("vec_id").as("d1"), col("embedding").as("emb1"))
-    val e2 = corpus.select(col("vec_id").as("d2"), col("embedding").as("emb2"))
-    cands.join(e1, "d1").join(e2, "d2")
+    // persisted: the pair frame feeds the id-set measurement AND the
+    // verify join — without the barrier the band self-join runs twice
+    val candsP = graft.Caches.persist(cands)
+    // Exact verify fetches vectors for CANDIDATE ids only, through the
+    // measured-broadcast semi-join: candidate ids are near-dup volume
+    // (tiny 8-byte rows), so while they fit the budget the corpus is
+    // gated map-side and NEVER shuffles — the round-15 100M run died
+    // on exactly the two full-corpus vec_id exchanges this replaces.
+    // Past the budget (a boilerplate corpus where near-dup volume is
+    // itself corpus-scale) it degrades to the shuffled join, which is
+    // then the honest cost.
+    val candIds = candsP.select(col("d1").as("vec_id"))
+      .union(candsP.select(col("d2").as("vec_id"))).distinct()
+    val gated = Ops.joinBroadcastIfFits(
+      corpus.select(col("vec_id"), col("embedding")), candIds, "vec_id",
+      joinType = "left_semi")
+    val e1 = gated.select(col("vec_id").as("d1"), col("embedding").as("emb1"))
+    val e2 = gated.select(col("vec_id").as("d2"), col("embedding").as("emb2"))
+    candsP.join(e1, "d1").join(e2, "d2")
       .select(col("d1"), col("d2"),
         round(dotCol("emb1", "emb2") / (normCol("emb1") * normCol("emb2")), 6)
           .as("cos_sim"))
