@@ -322,9 +322,21 @@ object BenchIsolate {
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    // stdout goes to a temp file, not a pipe: we wait with a TIMEOUT (a
+    // hung TimeQuery — e.g. a plan regression that also hangs — must not
+    // block the whole bench sweep), and a timed wait can't also be the
+    // pipe drain without a reader thread. On expiry the fork is killed
+    // and the breach stays unclassified (None) rather than silently
+    // passing or wedging.
+    val outFile = java.io.File.createTempFile("graft-isolate-", ".out")
+    outFile.deleteOnExit()
+    pb.redirectOutput(outFile)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    val ok = p.waitFor() == 0
+    val finished = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) { p.destroyForcibly(); p.waitFor(); outFile.delete(); return None }
+    val ok = p.exitValue() == 0
+    val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+    outFile.delete()
     val times = "run \\d+: ([0-9.]+) s".r
       .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
     if (ok && times.size >= 4) {

@@ -1925,17 +1925,36 @@ object Documents {
     * appears in some edge, where `cluster` is the component's minimum
     * id. Singletons never appear in the edge list, so the caller
     * re-attaches them (see [[dedupClusters]]). */
-  // Process-unique ids for non-UnsafeRow LocalRelation payloads: an
-  // IdentityHashMap assigns each distinct Seq object a fresh id, so the
-  // memo key can never alias two different objects (identityHashCode
-  // alone is 32-bit and CAN collide). Bounded: only in-memory test/edge
-  // frames ever take this path.
-  private val localRelIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]
+  // Process-unique ids for non-UnsafeRow LocalRelation payloads: each
+  // distinct Seq OBJECT gets a fresh id, so the memo key can never alias
+  // two different objects (identityHashCode alone is 32-bit and CAN
+  // collide). Keys are held WEAKLY — an IdentityHashMap would pin every
+  // row Seq that ever flowed through connectedComponents for the driver's
+  // lifetime. A WeakReference subclass carries the identity hash and
+  // compares referents by `eq`, so lookups keep identity semantics
+  // (java.util.WeakHashMap compares by equals(), which for row Seqs is a
+  // content scan — wrong cost AND wrong semantics here); cleared refs are
+  // expunged from a ReferenceQueue on every access.
+  private final class LocalRelKey(ref: AnyRef, q: java.lang.ref.ReferenceQueue[AnyRef])
+      extends java.lang.ref.WeakReference[AnyRef](ref, q) {
+    private val h = System.identityHashCode(ref)
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case k: LocalRelKey =>
+        (k eq this) || { val a = get; a != null && (a eq k.get) }
+      case _ => false
+    }
+  }
+  private val localRelQueue = new java.lang.ref.ReferenceQueue[AnyRef]
+  private val localRelIds = new java.util.HashMap[LocalRelKey, java.lang.Long]
   private val localRelNext = new java.util.concurrent.atomic.AtomicLong(0L)
   private def localRelationId(data: AnyRef): Long = localRelIds.synchronized {
-    val existing = localRelIds.get(data)
+    var stale = localRelQueue.poll()
+    while (stale != null) { localRelIds.remove(stale); stale = localRelQueue.poll() }
+    val probe = new LocalRelKey(data, localRelQueue)
+    val existing = localRelIds.get(probe)
     if (existing != null) existing.longValue()
-    else { val id = localRelNext.getAndIncrement(); localRelIds.put(data, id); id }
+    else { val id = localRelNext.getAndIncrement(); localRelIds.put(probe, id); id }
   }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {

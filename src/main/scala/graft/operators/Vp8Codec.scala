@@ -334,14 +334,20 @@ private[graft] object Vp8Codec {
     val dcBuf = new Array[Int](16) // WHT output
     val subModes = new Array[Int](16)
 
-    /** Decode one token block; returns true iff any nonzero coeff.
+    /** Decode one token block. Returns a 2-bit status: bit 0 set iff any
+      * token was consumed past the start index (the reference decoders'
+      * `nz > first` — this, NOT the decoded values, feeds the neighbor
+      * nonzero CONTEXT, because a spec-legal block of all zero tokens
+      * still advances the entropy context); bit 1 set iff any decoded
+      * coefficient VALUE is nonzero (feeds the idct/filter decisions).
       * `acOnly`: coefficients start at index 1 (luma when Y2 present).
       * Dequantized values land in `coeffs` (natural order); when
       * `dequantDc`/`dequantAc` are 0 the block is parse-only. */
     def decodeBlock(part: BoolDecoder, typ: Int, ctx0: Int, acOnly: Boolean,
-                    dequantDc: Int, dequantAc: Int): Boolean = {
+                    dequantDc: Int, dequantAc: Int): Int = {
       java.util.Arrays.fill(coeffs, 0)
       var n = if (acOnly) 1 else 0
+      val nFirst = n
       var ctx = ctx0
       var nz = false
       var startIdx = 0 // first token may be EOB
@@ -376,7 +382,7 @@ private[graft] object Vp8Codec {
           n += 1
         }
       }
-      nz
+      (if (n > nFirst) 1 else 0) | (if (nz) 2 else 0)
     }
 
     /** 4x4 inverse DCT + add into luma at (bx, by) pixel coords. */
@@ -696,10 +702,11 @@ private[graft] object Vp8Codec {
             // Y2 (WHT) block: token type 1
             hasY2 = true
             val ctx = (if (topNzY2(mbX)) 1 else 0) + (if (leftNzY2) 1 else 0)
-            val nzDc = decodeBlock(part, 1, ctx, acOnly = false, qY2Dc(sg), qY2Ac(sg))
-            topNzY2(mbX) = nzDc
-            leftNzY2 = nzDc
-            anyNz ||= nzDc
+            val st = decodeBlock(part, 1, ctx, acOnly = false, qY2Dc(sg), qY2Ac(sg))
+            val consumed = (st & 1) != 0
+            topNzY2(mbX) = consumed
+            leftNzY2 = consumed
+            anyNz ||= (st & 2) != 0
             iwht()
             predict16(mbX, mbY, yMode)
           }
@@ -713,13 +720,15 @@ private[graft] object Vp8Codec {
             val by = y0 + (sy << 2)
             val ctx = (if (topNzY(mbX * 4 + sx)) 1 else 0) + (if (leftNzY(sy)) 1 else 0)
             if (isB) predict4(bx, by, subModes(sb), y0, x0 + 16)
-            val nz = decodeBlock(part, typ, ctx, acOnly = hasY2, qY1Dc(sg), qY1Ac(sg))
+            val st = decodeBlock(part, typ, ctx, acOnly = hasY2, qY1Dc(sg), qY1Ac(sg))
+            val nzVal = (st & 2) != 0
             if (hasY2) coeffs(0) = dcBuf(sb)
             // a DC-only block from the WHT still needs the transform
-            if (nz || (hasY2 && coeffs(0) != 0)) idctAdd(bx, by)
-            topNzY(mbX * 4 + sx) = nz
-            leftNzY(sy) = nz
-            anyNz ||= nz
+            if (nzVal || (hasY2 && coeffs(0) != 0)) idctAdd(bx, by)
+            val consumed = (st & 1) != 0
+            topNzY(mbX * 4 + sx) = consumed
+            leftNzY(sy) = consumed
+            anyNz ||= nzVal
             sb += 1
           }
           // chroma blocks: parse-only (type 2), context maintained
@@ -732,10 +741,11 @@ private[graft] object Vp8Codec {
               val cx = cb & 1
               val cy = cb >> 1
               val ctx = (if (topNz(mbX * 2 + cx)) 1 else 0) + (if (leftNz(cy)) 1 else 0)
-              val nz = decodeBlock(part, 2, ctx, acOnly = false, 0, 0)
-              topNz(mbX * 2 + cx) = nz
-              leftNz(cy) = nz
-              anyNz ||= nz
+              val st = decodeBlock(part, 2, ctx, acOnly = false, 0, 0)
+              val consumed = (st & 1) != 0
+              topNz(mbX * 2 + cx) = consumed
+              leftNz(cy) = consumed
+              anyNz ||= (st & 2) != 0
               cb += 1
             }
             pl += 1

@@ -368,11 +368,16 @@ object WebpCodec {
         if (idx > maxIdx) maxIdx = idx
       }
       numGroups = maxIdx + 1
-      // The 16-bit meta index legally allows up to 65536 entropy groups;
-      // the per-group cost is bounded anyway (5 prefix codes each, all
-      // read from the same bounded stream), so cap at the spec maximum
-      // rather than an arbitrary 1024 that quarantined valid large images.
-      if (numGroups > 65536) return null // hostile meta image
+      // The 16-bit meta index legally allows up to 65536 entropy groups,
+      // but a group is only reachable if some meta TILE references it, so
+      // the tile count ceil(w/2^bits)*ceil(h/2^bits) bounds the groups any
+      // real encoder emits. A flat 65536 cap let a crafted ~1 MB stream
+      // force 65k×5 PrefixCode allocations off a tiny declared image;
+      // capping proportionally to the declared extent keeps every
+      // encoder-producible stream decodable (reject-never-mis-decode:
+      // sparse hostile indexes are REJECTED, not mis-read).
+      val tiles = subSample(w, metaBits).toLong * subSample(h, metaBits)
+      if (numGroups > 65536 || numGroups > tiles) return null // hostile meta image
     }
     val groups = new Array[Group](numGroups)
     var g = 0
