@@ -421,6 +421,65 @@ object Embeddings {
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 
+  /** Build-once names of cid-bucketed posting-list TABLES, keyed like
+    * [[quantizers]] (corpus plan's semantic hash + index params). The
+    * posting lists ARE the index, and an index at lake scale is a
+    * persisted bucketed TABLE, not a session cache: the old
+    * `persist(rows.repartition(col("cid")))` build needed the full
+    * shuffle's files AND the cache blocks on disk CONCURRENTLY
+    * (~45 GB transient at 50M×64-dim — measured to overrun a single
+    * box), where the bucketed write streams the assignment pass
+    * straight into per-bucket parquet with NO shuffle at all (each
+    * task writes one file per bucket it sees; `coalesce` bounds the
+    * file count at tasks×buckets). Probes then prune: the probed
+    * cells arrive as an `IN` literal list on the bucket column, so
+    * the scan reads only matching buckets (`SelectedBucketsCount` in
+    * the plan) instead of streaming the whole corpus through a
+    * broadcast-join filter. Same staleness caveat as the quantizer
+    * memo: data rewritten under an identical plan needs a new session. */
+  private val postingTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, String), String]()
+
+  /** Cid-bucketed posting table for `rows` (must carry an int `cid`
+    * column), built at most once per (session, corpus-plan, tag).
+    * `nRows` sizes the bucket count: ~2M posting rows per bucket,
+    * clamped to [8, 256] — at 100M vectors that is 50 buckets × 50
+    * write tasks ≈ 2.5k files, and a 5-probe query over 4k lists
+    * reads ≤5 buckets (~10% of the bytes) instead of 100%. */
+  private def postingTable(sp: SparkSession, planKey: Int, tag: String,
+                           nRows: Long)(rows: => DataFrame): DataFrame = {
+    graft.Caches.sweepStopped(postingTables)(_._1)
+    val name = postingTables.computeIfAbsent((sp, planKey, tag), _ => {
+      val buckets = math.min(256L, math.max(8L, nRows / 2000000L)).toInt
+      val tbl = f"graft_posting_${tag}_${planKey & 0xffffffffL}%08x"
+      graft.sources.Layout.writeBucketed(rows.coalesce(buckets), tbl, "cid", buckets)
+      tbl
+    })
+    sp.table(name)
+  }
+
+  /** Drop this session's posting tables (index rebuild after a data
+    * rewrite under an identical plan). */
+  def clearPostingTables(spark: SparkSession): Unit = {
+    graft.Caches.sweepStopped(postingTables)(_._1)
+    val it = postingTables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        try spark.sql(s"DROP TABLE IF EXISTS `${e.getValue}`")
+        catch { case scala.util.control.NonFatal(_) => }
+        it.remove()
+      }
+    }
+  }
+
+  /** Literal probed-cell ids for bucket pruning: the probe side is
+    * query-sized (q × nProbe rows, ≤ nLists distinct), so collecting
+    * it is a bounded driver round-trip — the price that turns the
+    * posting scan from full-corpus into probed-buckets-only. */
+  private def probedCells(queries: DataFrame): Array[Any] =
+    queries.select("cid").distinct().collect().map(_.get(0))
+
   /** Seeded Lloyd k-means over (vec_id, embedding) — deterministic:
     * init from nCentroids hash-ordered rows, each iteration one assign
     * (codegen argmax projection) + recompute (posexplode → per-dim
@@ -490,31 +549,33 @@ object Embeddings {
              iters: Int = 4): DataFrame = {
     val sp = corpus.sparkSession
     val emb = corpus.select(col("vec_id"), col("embedding"))
+    val n = emb.count()
     val nLists =
       if (nCentroids > 0) nCentroids
       else math.min(4096L, math.max(10L,
-        4L * math.round(math.sqrt(emb.count().toDouble)))).toInt
+        4L * math.round(math.sqrt(n.toDouble)))).toInt
     val probes = if (nProbe > 0) nProbe else math.max(3, nLists / 16)
     val planKey = emb.queryExecution.analyzed.semanticHash()
     sweepQuantizers()
     val cents = quantizers.computeIfAbsent(
       (sp, planKey, nLists, iters),
       _ => fitKmeans(emb, nLists, iters))
-    // The posting lists ARE the index — persist them (registry-scoped,
-    // deduplicated by the plan's semantic hash like the quantizer memo)
-    // so repeated probe calls against the same corpus/params reuse the
-    // materialized cid-partitioned lists instead of re-running the
-    // assignment explode + shuffle per query. On a lake deployment the
-    // equivalent is a one-time `Layout.writeBucketed(posting, ..,
-    // "cid", ..)`; in-session the cache plays that role.
-    val posting = graft.Caches.persist(emb
-      .select(col("vec_id"), col("embedding"),
+    // The posting lists ARE the index — a one-time cid-bucketed TABLE
+    // (see [[postingTable]]): the build streams the assignment pass
+    // into bucketed parquet with no shuffle and no standing cache, and
+    // every probe prunes to its probed buckets instead of scanning the
+    // corpus. This is the same physical build a 1000-executor lake
+    // deployment would run; in-session the memo supplies build-once.
+    val posting = postingTable(sp, planKey,
+      s"ivf_${nLists}_${nAssign}_$iters", n * nAssign) {
+      emb.select(col("vec_id"), col("embedding"),
         explode(nearestCids(cents, nAssign)).as("cid"))
-      .repartition(col("cid")))
+    }
     val queries = emb.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(nearestCids(cents, probes)).as("cid"))
-    val scored = posting.join(broadcast(queries), "cid")
+    val scored = posting.filter(col("cid").isin(probedCells(queries): _*))
+      .join(broadcast(queries), "cid")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         round(dotCol("q_emb", "embedding") / (normCol("q_emb") * normCol("embedding")), 6)
@@ -1032,19 +1093,19 @@ object Embeddings {
     *
     * Both learned stages reuse the session memos (coarse quantizer ←
     * [[quantizers]], codebooks ← [[codebooks]], keyed by the corpus
-    * plan), and the posting list persists registry-scoped like
-    * [[annIvf]]'s — on a lake the equivalent is a one-time bucketed
-    * index write. */
+    * plan), and the posting list is a one-time cid-bucketed TABLE like
+    * [[annIvf]]'s (see [[postingTable]]) that probes bucket-prune. */
   def annIvfPq(corpus: DataFrame, queryIds: Column, k: Int,
                nCentroids: Int = 0, nProbe: Int = 0, nAssign: Int = 1,
                m: Int = 8, codebookSize: Int = 16, candFactor: Int = 15,
                iters: Int = 4): DataFrame = {
     val sp = corpus.sparkSession
     val emb = corpus.select(col("vec_id"), col("embedding"))
+    val n = emb.count()
     val nLists =
       if (nCentroids > 0) nCentroids
       else math.min(4096L, math.max(10L,
-        4L * math.round(math.sqrt(emb.count().toDouble)))).toInt
+        4L * math.round(math.sqrt(n.toDouble)))).toInt
     val probes = if (nProbe > 0) nProbe else math.max(3, nLists / 16)
     val planKey = emb.queryExecution.analyzed.semanticHash()
     sweepQuantizers()
@@ -1063,12 +1124,16 @@ object Embeddings {
     val codesCol = array((0 until m).map(s => nearestL2Code(
       expr(s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> CAST(x AS DOUBLE))"),
       books(s))): _*)
-    val posting = graft.Caches.persist(emb
-      .select(col("vec_id"), codesCol.as("codes"),
+    // Bucketed-table build like [[annIvf]]'s, but the posting row is
+    // the PQ-compressed (cid, vec_id, codes, rnorm) — ~15× fewer bytes
+    // at rest than raw vectors, which is the IVF-PQ contract.
+    val posting = postingTable(sp, planKey,
+      s"ivfpq_${nLists}_${nAssign}_${m}_${codebookSize}_$iters", n * nAssign) {
+      emb.select(col("vec_id"), codesCol.as("codes"),
         explode(nearestCids(cents, nAssign)).as("cid"))
-      .withColumn("rnorm",
-        sqrt(VectorExpressions.pqAdc(col("codes"), typedlit(normLut), codebookSize)))
-      .repartition(col("cid")))
+        .withColumn("rnorm",
+          sqrt(VectorExpressions.pqAdc(col("codes"), typedlit(normLut), codebookSize)))
+    }
     val booksLit = typedlit(books)
     // per-query ADC table: lut[s·k + c] = ⟨q_s, codeword_{s,c}⟩ —
     // interpreted HOFs are fine here, it runs once per QUERY row
@@ -1083,7 +1148,8 @@ object Embeddings {
       .withColumn("lut", lutCol)
       .withColumn("qnorm",
         sqrt(VectorExpressions.vecDot(col("q_emb"), col("q_emb"))))
-    val pqScored = posting.join(broadcast(queries), "cid")
+    val pqScored = posting.filter(col("cid").isin(probedCells(queries): _*))
+      .join(broadcast(queries), "cid")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorExpressions.pqAdc(col("codes"), col("lut"), codebookSize) /

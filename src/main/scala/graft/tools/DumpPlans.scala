@@ -72,7 +72,7 @@ object DumpPlans {
       "embed_bitext_mine" -> "queries broadcast vs the target side, candidates broadcast back for reverse neighborhoods — two corpus scans, no self-join",
       "tpch_q21_waiting" -> "EXISTS/NOT EXISTS chain as multiplicity-preserving semi + anti joins; nation broadcast",
       "tpch_q9_profit" -> "derived partsupp joins the fact on the (partkey, suppkey) pair; part/nation broadcast; per-line cents summed as BIGINT",
-      "embed_ann_auto_clustered" -> "clustered-twin corpus routes to the IVF branch: posting lists persisted cid-partitioned, queries broadcast into probed cells",
+      "embed_ann_auto_clustered" -> "clustered-twin corpus routes to the IVF branch: posting lists in a cid-bucketed table, probe scan bucket-pruned to the probed cells",
       "dedup_containment" -> "same one-pass tagged bucket counting as the jaccard row (shared bucketCounts); only the normalization differs, so candidate volume — the scale term — is identical",
       "dedup_containment_capped" -> "BINDING df cap: hot buckets emit one marker row per member instead of (bucket choose 2) pairs; survivor sizes corrected by broadcast hot-hits",
       "dedup_clusters" -> "alternating large/small-star CC over the cached pair frame; per-round localCheckpoint truncates lineage so round k never replans rounds 1..k-1",
@@ -127,8 +127,8 @@ object DumpPlans {
       "tpch_q17_small_qty" -> "per-part average quantity aggregated once and joined back to the same scan; brand/container filters pushed",
       "tpch_q20_promotion" -> "nested EXISTS chain as semi joins; the part-prefix filter prunes before any join",
       "tpch_q22_opportunity" -> "country-code substring predicate at the scan; NOT EXISTS as anti join; the balance cutoff is a scalar broadcast",
-      "embed_ann_ivf" -> "coarse quantizer routes queries to probed cells; posting lists persisted cid-partitioned — only probed cells are scanned, never the whole corpus",
-      "embed_ann_ivfpq" -> "IVF cell probe + codegen'd ADC distance over PQ codes; exact rerank only on ADC survivors",
+      "embed_ann_ivf" -> "coarse quantizer routes queries to probed cells; posting lists are a one-time cid-bucketed TABLE and the probe scan bucket-prunes to probed cells — never the whole corpus",
+      "embed_ann_ivfpq" -> "bucket-pruned IVF cell probe + codegen'd ADC distance over PQ codes in a cid-bucketed posting table; exact rerank only on ADC survivors",
       "embed_knn_filtered" -> "the metadata predicate applies BEFORE any distance work — brute-force cosine only on the filtered slice",
       "embed_outliers" -> "one pass of centroid distances; the outlier threshold is a 1-row quantile aggregate broadcast back",
       "embed_pca" -> "the Gram matrix folds in ONE ungrouped aggregate over outer products (its exchanges carry d×d partials, not vectors); the projection back is a broadcast map — the corpus never shuffles by key",

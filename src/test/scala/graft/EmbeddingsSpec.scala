@@ -425,16 +425,29 @@ class EmbeddingsSpec extends SparkSuite {
       "second annPq on the same corpus must reuse the memoized codebooks")
   }
 
-  test("annIvf persists the posting lists — a repeated probe reads the cached index") {
+  test("annIvf builds the posting lists as a cid-bucketed TABLE once; probes bucket-prune it") {
     Caches.release(spark)
     Embeddings.clearQuantizers(spark)
+    Embeddings.clearPostingTables(spark)
     Embeddings.annIvf(emb, col("vec_id") < 3, k = 5).count()
+    val tables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_posting_ivf_"))
+    assert(tables.size === 1, s"one bucketed posting table expected, got: ${tables.toSeq}")
+    // a second probe with different queries reuses the SAME table (no
+    // rebuild — build-once is the index contract) and its scan carries
+    // bucket pruning: probed cells arrive as an IN literal on the
+    // bucket column, so only matching buckets are read.
     val second = Embeddings.annIvf(emb, col("vec_id") < 5, k = 5)
     second.count()
+    val after = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_posting_ivf_"))
+    assert(after.toSeq === tables.toSeq, "second probe must not rebuild the posting table")
     val p = second.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      "second probe must scan the persisted posting lists, not re-explode the corpus:\n" +
-        p.take(2000))
+    assert(p.contains("graft_posting_ivf_"),
+      "second probe must scan the bucketed posting table:\n" + p.take(2000))
+    assert(p.contains("SelectedBucketsCount"),
+      "posting scan must bucket-prune on the probed cells:\n" + p.take(2000))
+    Embeddings.clearPostingTables(spark)
     Caches.release(spark)
   }
 
