@@ -146,6 +146,7 @@ object SparkEntry {
     "crawl_html_extract" -> (Crawl.crawlHtmlExtract _),
     "crawl_robots_filter" -> (Crawl.crawlRobotsFilter _),
     "crawl_pipeline" -> (Crawl.crawlPipeline _),
+    "crawl_canonical_reduce" -> (Crawl.crawlCanonicalReduce _),
     // LLM-pipeline: deduplication over documents (SURVEY §7.3 M6)
     "dedup_exact" -> (Documents.dedupExact _),
     "dedup_url" -> (Documents.dedupUrl _),
@@ -1366,6 +1367,46 @@ object SparkEntry {
         |       '/p' || p::VARCHAR AS canonical_url,
         |       min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The slim canonical reduce (winner picked on slim rows, text
+    // anti-joined against the broadcast exception set): the oracle
+    // replays the dedup_url canonicalization, carries url+text
+    // through, and states each group's winner as the min (url, text)
+    // row via a window — identical to the classic min_by, which is
+    // exactly the equivalence the slim path must preserve.
+    "crawl_canonical_reduce" ->
+      """WITH u AS (SELECT doc_id, text,
+        |         'example.com/' || lang || '/r' || (doc_id % 500)::VARCHAR AS b,
+        |         doc_id % 7 AS v, lang FROM documents),
+        |raw AS (SELECT doc_id, text, CASE v
+        |    WHEN 0 THEN 'https://' || b
+        |    WHEN 1 THEN 'https://' || b || '?utm_source=x&utm_campaign=y'
+        |    WHEN 2 THEN 'http://www.' || b || '/'
+        |    WHEN 3 THEN 'https://' || b || '#section-2'
+        |    WHEN 4 THEN 'https://' || b || '?b=2&a=1'
+        |    WHEN 5 THEN 'https://' || b || '?a=1&b=2&gclid=tok'
+        |    ELSE 'https://EXAMPLE.com/' || lang || '/r' || (doc_id % 500)::VARCHAR
+        |  END AS url FROM u),
+        |nf AS (SELECT url, text, regexp_replace(url, '#.*', '') AS s FROM raw),
+        |parts AS (SELECT url, text,
+        |    regexp_replace(lower(regexp_extract(s, '^[a-zA-Z]+://([^/?#]*).*', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(s, '^[a-zA-Z]+://[^/?#]*(.*)', 1) AS rest FROM nf),
+        |pq AS (SELECT url, text, host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+        |    regexp_extract(rest, '\?(.*)', 1) AS q FROM parts),
+        |kept AS (SELECT url, text, host, path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS kp
+        |  FROM pq),
+        |c AS (SELECT url, text,
+        |    'https://' || host || path ||
+        |    CASE WHEN length(kp) > 0 THEN '?' || kp ELSE '' END AS canonical_url
+        |  FROM kept)
+        |SELECT canonical_url, url, text FROM (
+        |  SELECT canonical_url, url, text,
+        |         row_number() OVER (PARTITION BY canonical_url
+        |                            ORDER BY url, text) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
     // URL canonicalization replayed step for step: same regexes (all
     // in the Java ∩ RE2 ∩ DuckDB subset; every one anchored or
     // match-to-end, so replace-first ≡ Spark's replace-all), same

@@ -516,6 +516,98 @@ object Crawl {
     * precedence, canonical equivalences, or the dedup key — changes
     * rows and breaks the hash. Shape: partition-batched maps and one
     * broadcast join until the single canonical-key aggregate. */
+  /** Canonical-URL first-fetch winner WITHOUT shuffling document
+    * text — the scale shape for a release pipeline's canonical-dedup
+    * reduce. Input: (canonical_url, url, text). Output: ONE row per
+    * canonical_url, the group's lexicographic-min (url, text) row —
+    * byte-identical to the classic
+    * `groupBy(canonical_url).agg(min_by(struct(url, text), …))`.
+    *
+    * The classic form carries every document's body through its
+    * exchange to pick winners that keep ~99.5% of rows — the measured
+    * disk-floor pinch of the composed 100M release (BIGBENCH.md r15:
+    * free space bottomed at 11.4 GB in exactly this stage vs 23–47 GB
+    * everywhere else). The slim form reduces on (canonical_url, url)
+    * ONLY — one aggregate picks each group's winner url and flags
+    * groups where any url repeats (only a repeated url can need the
+    * text tie-break) — then derives the EXCEPTION set: loser urls,
+    * plus the ambiguous groups, resolved by the classic reduce over
+    * just their rows. The text stream takes two broadcast anti-joins
+    * and never enters an exchange. The measured-broadcast gate
+    * ([[graft.Caches.decideOnce]], the [[Ops.broadcastIfFits]]
+    * machinery) decides per corpus: a boilerplate-heavy crawl where
+    * most fetches are duplicates outgrows the budget, and there the
+    * classic reduce IS the honest cost — the operator degrades to it.
+    * CrawlSpec proves the regimes byte-identical, including the
+    * multi-fetch tie-break rows. */
+  def canonicalReduce(docs: DataFrame,
+                      broadcastBudget: Long = Ops.DefaultBroadcastBudget): DataFrame = {
+    val spark = docs.sparkSession
+    def classic(d: DataFrame): DataFrame = d
+      .groupBy("canonical_url")
+      .agg(min_by(struct(col("url"), col("text")),
+        struct(col("url"), col("text"))).as("w"))
+      .select(col("canonical_url"), col("w.url").as("url"), col("w.text").as("text"))
+    val slim = docs.select(col("canonical_url"), col("url"))
+    // winner url + ambiguity in ONE slim aggregate; a url maps to
+    // exactly one canonical (urlCanonical is a function of the url),
+    // so per-group countDistinct catches every repeated fetch
+    val g = slim.groupBy("canonical_url").agg(
+      min(col("url")).as("url"),
+      (count(lit(1)) > countDistinct(col("url"))).as("ambiguous"))
+    val losers = slim.join(g.select("canonical_url", "url"),
+      Seq("canonical_url", "url"), "left_anti")
+      .select("url").distinct()
+    val ambCanon = g.filter(col("ambiguous")).select("canonical_url")
+    // one persisted frame carries both exception kinds so the fit
+    // decision measures their COMBINED broadcast cost
+    val exceptions = graft.Caches.persist(
+      losers.select(col("url").as("k"), lit(true).as("is_url"))
+        .unionAll(ambCanon.select(col("canonical_url").as("k"), lit(false).as("is_url"))))
+    val fits = graft.Caches.decideOnce(spark,
+      exceptions.queryExecution.analyzed.semanticHash(), broadcastBudget) {
+      exceptions.count()
+      exceptions.select("*").queryExecution.optimizedPlan.stats.sizeInBytes < broadcastBudget
+    }
+    if (!fits) classic(docs)
+    else {
+      val loserUrls = exceptions.filter(col("is_url")).select(col("k").as("url"))
+      val ambC = exceptions.filter(!col("is_url")).select(col("k").as("canonical_url"))
+      // unambiguous winners: the rows that survive both anti-joins are
+      // exactly one per group (every url in such a group is unique,
+      // and all non-winners are in the loser set)
+      val clean = docs
+        .join(broadcast(loserUrls), Seq("url"), "left_anti")
+        .join(broadcast(ambC), Seq("canonical_url"), "left_anti")
+        .select("canonical_url", "url", "text")
+      // ambiguous groups: classic reduce over their rows only — text
+      // shuffles for this (typically empty) sliver, nothing else
+      val resolved = classic(docs.join(broadcast(ambC), Seq("canonical_url"), "left_semi"))
+      clean.unionAll(resolved)
+    }
+  }
+
+  /** Registered query (HARD oracle): [[canonicalReduce]] end-to-end on
+    * the crawl-shaped URL fixture ([[Documents.urlExpr]] — the same
+    * seven-variant surface behind `dedup_url`, here keeping each
+    * resource's full winning row instead of just its id). The fixture
+    * exercises BOTH exactness hazards at real sf: distinct docs whose
+    * ids collide mod lcm(500,7) emit the SAME url with different
+    * texts (the multi-fetch tie-break), and the dominant-loser shape
+    * (~6 of 7 variants lose) sizes the exception set. The oracle
+    * replays the canonicalization and picks each group's min
+    * (url, text) row with a window — so the winner choice, the
+    * anti-join complement, and the ambiguous-group resolution are all
+    * hash-verified at every sf. */
+  def crawlCanonicalReduce(spark: SparkSession, dir: String): DataFrame = {
+    val withUrl = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .select(Documents.urlExpr().as("url"), col("text"))
+      .withColumn("canonical_url", Documents.urlCanonical(col("url")))
+      .select("canonical_url", "url", "text")
+    canonicalReduce(withUrl).orderBy("canonical_url")
+  }
+
   def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")

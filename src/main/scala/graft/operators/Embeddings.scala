@@ -574,17 +574,30 @@ object Embeddings {
     val queries = emb.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(nearestCids(cents, probes)).as("cid"))
-    val scored = posting.filter(col("cid").isin(probedCells(queries): _*))
+    val matched = posting.filter(col("cid").isin(probedCells(queries): _*))
       .join(broadcast(queries), "cid")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         round(dotCol("q_emb", "embedding") / (normCol("q_emb") * normCol("embedding")), 6)
           .as("sim"))
-      // multi-assignment: the same pair can surface via several shared
-      // cells; the score is identical, max is just the dedup.
-      .groupBy("q_id", "vec_id").agg(max("sim").as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    // Multi-assignment makes the same pair surface via up to nAssign
+    // shared cells (identical score — the dedup is just a max). A
+    // groupBy dedup HERE would shuffle every scored row: measured
+    // ~940M rows / ~19 GB at 100M×(16,5,3) — the exact shape that
+    // killed the r15 posting build, one operator later. Instead rank
+    // first with the cutoff widened to k·nAssign: row_number+filter
+    // plans as a PARTIAL WindowGroupLimit, so each map task forwards
+    // at most k·nAssign rows per query and the exchange carries
+    // ~tasks·|q|·k·nAssign rows, not the scored corpus. Every true
+    // top-k pair survives the cut — the pairs ranked above the k-th
+    // distinct pair are < k distinct pairs × ≤ nAssign copies each —
+    // and the tiny survivor set dedups and re-ranks exactly.
+    val preTopK = matched
+      .withColumn("prn", row_number().over(w))
+      .filter(col("prn") <= k * nAssign)
+      .groupBy("q_id", "vec_id").agg(max("sim").as("sim"))
+    preTopK.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "vec_id", "sim", "rnk")
       .orderBy("q_id", "rnk")
@@ -1148,16 +1161,23 @@ object Embeddings {
       .withColumn("lut", lutCol)
       .withColumn("qnorm",
         sqrt(VectorExpressions.vecDot(col("q_emb"), col("q_emb"))))
-    val pqScored = posting.filter(col("cid").isin(probedCells(queries): _*))
+    val pqMatched = posting.filter(col("cid").isin(probedCells(queries): _*))
       .join(broadcast(queries), "cid")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorExpressions.pqAdc(col("codes"), col("lut"), codebookSize) /
           (col("qnorm") * col("rnorm"))).as("sim_pq"))
-      // multi-assignment dedup: identical score via any shared cell
-      .groupBy("q_id", "vec_id").agg(max("sim_pq").as("sim_pq"))
     val pw = Window.partitionBy("q_id").orderBy(col("sim_pq").desc, col("vec_id").asc)
-    val topC = pqScored.withColumn("prnk", row_number().over(pw))
+    // rank-first with the cutoff widened to ·nAssign, THEN dedup the
+    // multi-assignment copies — the same partial-WindowGroupLimit
+    // shape as [[annIvf]]'s probe (a groupBy dedup here would shuffle
+    // every ADC-scored row; the widened cut provably keeps every true
+    // top-(k·candFactor) pair since each pair has ≤ nAssign copies)
+    val topC = pqMatched
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= k * candFactor * nAssign)
+      .groupBy("q_id", "vec_id").agg(max("sim_pq").as("sim_pq"))
+      .withColumn("prnk", row_number().over(pw))
       .filter(col("prnk") <= k * candFactor)
       .select("q_id", "vec_id")
     val scored = emb.join(broadcast(topC), "vec_id")

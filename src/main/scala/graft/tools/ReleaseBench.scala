@@ -161,27 +161,28 @@ object BigBenchRelease {
     drop(blobDir)
 
     // ---- stage 2: robots compliance + canonical-URL dedup ---------
-    // The verdict joins the measured-broadcast rule frame; the ONE
-    // text-carrying exchange of the crawl half is the canonical
-    // reduce (min_by keeps the first-fetch winner's payload — same
-    // shape as CrawlIngest's in-batch reduce).
+    // The verdict joins the measured-broadcast rule frame; the
+    // canonical reduce is the SLIM form (Crawl.canonicalReduce):
+    // winners picked on (canonical_url, url) rows, the text stream
+    // anti-joined against the broadcast exception set — document text
+    // never enters an exchange. The classic text-carrying min_by was
+    // the composed run's measured disk-floor pinch (11.4 GB free here
+    // vs 23–47 GB in every other stage, r15).
     val s2 = s"$base/stage2_canonical"
     val t2 = stage("robots_urldedup", s2) {
       val robots = (0 until 5).map(i => (s"l$i.example.com",
         "User-agent: *\nDisallow: /blocked\n")).toDF("host", "robots_txt")
       val extracted = spark.read.parquet(s1)
-      Crawl.robotsVerdict(extracted, Crawl.robotsRules(robots))
-        .filter(col("allowed"))
-        .select(col("url"), col("text"),
-          Documents.urlCanonical(col("url")).as("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(min_by(struct(col("url"), col("text")),
-          struct(col("url"), col("text"))).as("w"))
+      Crawl.canonicalReduce(
+        Crawl.robotsVerdict(extracted, Crawl.robotsRules(robots))
+          .filter(col("allowed"))
+          .select(col("url"), col("text"),
+            Documents.urlCanonical(col("url")).as("canonical_url")))
         .select(
-          regexp_extract(col("w.url"), "/d/(\\d+)", 1).cast("long").as("doc_id"),
+          regexp_extract(col("url"), "/d/(\\d+)", 1).cast("long").as("doc_id"),
           col("canonical_url"),
           regexp_extract(col("canonical_url"), "^([a-z0-9]+)\\.", 1).as("lang"),
-          col("w.text").as("text"))
+          col("text"))
         .withColumn("source", concat(lit("s"), (col("doc_id") % 50).cast("string")))
     }
     drop(s1)

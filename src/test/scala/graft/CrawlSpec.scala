@@ -437,4 +437,48 @@ class CrawlSpec extends SparkSuite {
       graft.Caches.release(spark)
     }
   }
+
+  test("canonicalReduce: slim and classic regimes byte-identical, incl. multi-fetch tie-breaks") {
+    // every exactness hazard of the slim path in one fixture: a plain
+    // multi-variant group, a singleton, a group whose WINNING url was
+    // fetched twice with different texts (the text tie-break the slim
+    // winner pick alone cannot see), an identical double-fetch (the
+    // anti-join alone would keep both copies), and an ambiguous group
+    // whose repeated url is NOT the winner (the conservative flag
+    // routes it through the classic reduce anyway — correct, just not
+    // minimal)
+    val rows = Seq(
+      ("c1", "u12", "tB"), ("c1", "u11", "tA"), ("c1", "u13", "tC"),
+      ("c2", "u21", "tX"),
+      ("c3", "u31", "tZ"), ("c3", "u31", "tY"), ("c3", "u32", "tA"),
+      ("c4", "u41", "t1"), ("c4", "u41", "t1"),
+      ("c5", "u51", "tQ"), ("c5", "u52", "tR"), ("c5", "u52", "tS")
+    ).toDF("canonical_url", "url", "text")
+    def classic(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("canonical_url")
+      .agg(min_by(struct(col("url"), col("text")),
+        struct(col("url"), col("text"))).as("w"))
+      .select(col("canonical_url"), col("w.url").as("url"), col("w.text").as("text"))
+    val expected = classic(rows).orderBy("canonical_url").collect().toSeq
+    assert(expected.map(r => (r.getString(0), r.getString(1), r.getString(2))) ===
+      Seq(("c1", "u11", "tA"), ("c2", "u21", "tX"), ("c3", "u31", "tY"),
+        ("c4", "u41", "t1"), ("c5", "u51", "tQ")))
+    try {
+      val slim = Crawl.canonicalReduce(rows)
+      val got = slim.orderBy("canonical_url").collect().toSeq
+      assert(got === expected, "slim regime must be byte-identical to the classic reduce")
+      // regime proof: the text stream's joins are broadcast anti/semi
+      // (the exception set fits at test scale), never a shuffled join
+      val p = slim.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        "slim regime must anti-join the broadcast exception set:\n" + p.take(3000))
+      graft.Caches.release(spark)
+      // past the budget the operator degrades to the classic reduce
+      val degraded = Crawl.canonicalReduce(rows, broadcastBudget = 1L)
+      assert(degraded.orderBy("canonical_url").collect().toSeq === expected,
+        "degraded regime must be byte-identical")
+      assert(!degraded.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "past the budget the classic reduce runs — no anti-join")
+    } finally graft.Caches.release(spark)
+  }
 }
