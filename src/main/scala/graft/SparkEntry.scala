@@ -273,6 +273,8 @@ object SparkEntry {
       Multimodal.multimodalDedupWebp(s, d)),
     "multimodal_dedup_webp_lossy" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupWebpLossy(s, d)),
+    "multimodal_dedup_webm" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Multimodal.multimodalDedupWebm(s, d)),
     "multimodal_dedup_jpeg_progressive" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       Multimodal.multimodalDedupJpegProgressive(s, d)),
     "multimodal_dedup_ahash" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -2894,6 +2896,30 @@ object SparkEntry {
         |  (4::BIGINT, 24::BIGINT, 0::BIGINT), (5::BIGINT, 25::BIGINT, 0::BIGINT),
         |  (6::BIGINT, 26::BIGINT, 0::BIGINT), (7::BIGINT, 27::BIGINT, 0::BIGINT),
         |  (8::BIGINT, 28::BIGINT, 0::BIGINT), (9::BIGINT, 29::BIGINT, 0::BIGINT)
+        |) v(d1, d2, hamming)
+        |JOIN documents doc ON doc.doc_id = v.d1
+        |ORDER BY v.d1, v.d2""".stripMargin,
+    // WebM twin, same differential epistemics as webp_lossy: the
+    // expected pairs were frozen from libwebp's decoded Y planes
+    // (tools/gen_webm_fixtures.py), so the row passes only if the
+    // EBML container walk yields exactly the muxed key frames and the
+    // from-scratch VP8 decode matches the reference decoder. Planted
+    // structure: ids 10..19 = q55 requants of clips 0..9; ids 20..24
+    // = 2x-fps duplications of clips 0..4 (also pairing with their
+    // q55 twins) — all at tHash Hamming 0, background floor 23.
+    "multimodal_dedup_webm" ->
+      """SELECT v.d1, v.d2, v.hamming
+        |FROM (VALUES
+        |  (0::BIGINT, 10::BIGINT, 0::BIGINT), (0::BIGINT, 20::BIGINT, 0::BIGINT),
+        |  (1::BIGINT, 11::BIGINT, 0::BIGINT), (1::BIGINT, 21::BIGINT, 0::BIGINT),
+        |  (2::BIGINT, 12::BIGINT, 0::BIGINT), (2::BIGINT, 22::BIGINT, 0::BIGINT),
+        |  (3::BIGINT, 13::BIGINT, 0::BIGINT), (3::BIGINT, 23::BIGINT, 0::BIGINT),
+        |  (4::BIGINT, 14::BIGINT, 0::BIGINT), (4::BIGINT, 24::BIGINT, 0::BIGINT),
+        |  (5::BIGINT, 15::BIGINT, 0::BIGINT), (6::BIGINT, 16::BIGINT, 0::BIGINT),
+        |  (7::BIGINT, 17::BIGINT, 0::BIGINT), (8::BIGINT, 18::BIGINT, 0::BIGINT),
+        |  (9::BIGINT, 19::BIGINT, 0::BIGINT), (10::BIGINT, 20::BIGINT, 0::BIGINT),
+        |  (11::BIGINT, 21::BIGINT, 0::BIGINT), (12::BIGINT, 22::BIGINT, 0::BIGINT),
+        |  (13::BIGINT, 23::BIGINT, 0::BIGINT), (14::BIGINT, 24::BIGINT, 0::BIGINT)
         |) v(d1, d2, hamming)
         |JOIN documents doc ON doc.doc_id = v.d1
         |ORDER BY v.d1, v.d2""".stripMargin,

@@ -1082,6 +1082,59 @@ object Multimodal {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Registered query (HARD oracle, differential): perceptual dedup
+    * over WEBM VIDEO — VP8's native container, the lossy-web video
+    * format the AVI tier doesn't cover, riding the round-15 VP8
+    * key-frame decoder. [[WebmCodec]] walks the EBML framing (Segment
+    * → V_VP8 TrackEntry → Cluster SimpleBlocks) and [[Vp8Codec]]
+    * reconstructs each key frame's luma; the clip signature is
+    * [[tHash64]] over the decoded frames — the same temporal hash as
+    * the AVI rows, so the video tier's banded Hamming join machinery
+    * is inherited unchanged. The repo cannot ENCODE VP8, so the
+    * population is a committed 25-clip corpus muxed by
+    * tools/gen_webm_fixtures.py from libwebp-encoded frames: 10 base
+    * clips of 65 flat-gray frames on a ±≥36-luma random walk (the
+    * tHash analogue of the webp_lossy grid trick — requant noise can
+    * never flip an adjacent-sum comparison), ids 10..19 the SAME
+    * frames requantized at q55, ids 20..24 a genuine 2×-fps
+    * frame-duplication re-encode of clips 0..4. The oracle pairs were
+    * frozen from LIBWEBP's decoded Y planes, so this row passes only
+    * if the container walk yields exactly the muxed frames AND the
+    * from-scratch VP8 decode is byte-identical to the reference
+    * (all 20 planted pairs at Hamming 0; measured background floor
+    * 23, asserted by MultimodalSpec on the row's own population). */
+  def multimodalDedupWebm(spark: SparkSession, dir: String,
+                          maxHamming: Int = 4): DataFrame =
+    Documents.simhashPairs(webmSigs(spark, dir), maxHamming)
+
+  /** The (doc_id, simhash=tHash64) signatures behind
+    * [[multimodalDedupWebm]]: doc ids < 25 map 1:1 onto the committed
+    * WebM fixtures (loaded from the jar once per executor, container
+    * walk + per-frame VP8 decode per row — the decode IS the operator
+    * under test). */
+  def webmSigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 25)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val in = getClass.getResourceAsStream(s"/webmfixtures/c$id.webm")
+          require(in != null, s"missing fixture webmfixtures/c$id.webm")
+          val bytes = try in.readAllBytes() finally in.close()
+          val (w, h, frames) = WebmCodec.keyFrames(bytes)
+            .getOrElse(sys.error(s"fixture c$id.webm must parse"))
+          val lumas = frames.map { f =>
+            val (fw, fh, y) = Vp8Codec.decodeFrameLuma(f)
+              .getOrElse(sys.error(s"fixture c$id.webm: frame must decode"))
+            require(fw == w && fh == h, "frame dims must match the track's")
+            y
+          }
+          (id, tHash64(lumas))
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
   def dHash64(px: Array[Byte], w: Int, h: Int): Long = {
     val lum = new Array[Int](9 * 8)
     var y = 0

@@ -179,7 +179,7 @@ private[graft] object Vp8Codec {
   }
 
   /** Decode one VP8 key frame to its luma plane. */
-  private[operators] def decodeFrameLuma(d: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+  private[graft] def decodeFrameLuma(d: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
     if (d.length < 10) return None
     val tag0 = (d(0) & 0xff) | ((d(1) & 0xff) << 8) | ((d(2) & 0xff) << 16)
     val keyFrame = (tag0 & 1) == 0

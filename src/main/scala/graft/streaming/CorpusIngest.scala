@@ -197,6 +197,14 @@ object CorpusIngest {
           writeCapacity(fs, capPath, effCapacity)
           novel.select("h").write.mode(SaveMode.Append).parquet(ledgerDir)
         } finally toRelease.foreach(_.unpersist())
+        // ledger hygiene on the standing-index cadence: every batch
+        // appends part files, and file count alone degraded the probe
+        // ~15× at 100M arrivals (BIGBENCH.md r14). Synchronous AFTER
+        // this batch's append; a retry reads the same hash SET
+        // whatever the file layout, and the Bloom sidecar lives under
+        // _bloom where the compactor never looks.
+        IndexMaintenance.autoCompactPlain(spark, ledgerDir, batchId)
+        ()
       }
       .start()
 

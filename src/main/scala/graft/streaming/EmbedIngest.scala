@@ -130,6 +130,11 @@ object EmbedIngest {
           indexDir, runToken, batchId, leading = Seq("d"))
       } finally survivors.unpersist()
     } finally sims.unpersist()
+    // standing-index hygiene on the crawl ledger's cadence — same
+    // replay-safety argument as [[CrawlIngest]] (only this batch can
+    // retry; its partition stays live), same `d`-leading preservation
+    // as the probe's partition pruning requires.
+    IndexMaintenance.autoCompact(spark, indexDir, runToken, batchId)
   }
 
   /** Signature width for a band layout: 4 bands of `bandBits`, packed

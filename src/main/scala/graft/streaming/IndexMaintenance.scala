@@ -193,6 +193,39 @@ object IndexMaintenance {
       compactIndexLive(spark, dir, token, batchId)
     else 0
 
+  /** Plain-append ledger compaction — [[CorpusIngest]]'s exact-hash
+    * ledger is an append-only hash column with SET semantics (every
+    * reader is an anti-join or a Bloom rebuild), not a RunToken
+    * store, so its hygiene pass is file consolidation: read the
+    * current data files, rewrite the set as a bounded file count,
+    * delete exactly the consumed originals. Write-forward-then-delete
+    * like [[compactIndexLive]]: a crash between the two leaves
+    * duplicate hashes, which set semantics absorb (and the next
+    * pass's dropDuplicates converges). Safe inside a batch body: it
+    * runs synchronously AFTER the batch's ledger append, and a retry
+    * of that batch reads the same hash SET whatever the file layout.
+    * Returns files consumed (0 below `minFiles` — consolidating a
+    * small ledger is churn, not compaction). */
+  def compactPlainLedger(spark: SparkSession, dir: String,
+                         minFiles: Int = 64): Int = {
+    val (fs, root) = fsOf(spark, dir)
+    val files = dataFiles(fs, root)
+    if (files.size < minFiles) return 0
+    spark.read.parquet(files.map(_.toString): _*)
+      .dropDuplicates()
+      .coalesce(8)
+      .write.mode(SaveMode.Append).parquet(dir)
+    files.foreach(f => fs.delete(f, false))
+    files.size
+  }
+
+  /** [[autoCompact]]'s cadence, plain-append-ledger form. */
+  def autoCompactPlain(spark: SparkSession, dir: String, batchId: Long,
+                       everyBatches: Int = 32, minFiles: Int = 64): Int =
+    if (batchId > 0 && batchId % everyBatches == 0)
+      compactPlainLedger(spark, dir, minFiles)
+    else 0
+
   private def compactWhere(spark: SparkSession, dir: String,
                            live: ((String, String)) => Boolean): Int = {
     val (fs, root) = fsOf(spark, dir)

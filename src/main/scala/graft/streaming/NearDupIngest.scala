@@ -111,6 +111,15 @@ object NearDupIngest {
               indexDir, runToken, batchId, leading = Seq("d"))
           } finally survivors.unpersist()
         } finally sims.unpersist()
+    // standing-index hygiene on the crawl ledger's cadence (r14
+    // measured the manual-only curve degrading ~15× on file count at
+    // 100M arrivals). Synchronous AFTER this batch's writes; keeps
+    // exactly this (token, batchId) partition live, so the only
+    // possible retry stays replay-safe (IndexMaintenance
+    // .compactIndexLive). The `d` leading level survives compaction,
+    // so expireIndex's directory retention and the probe's partition
+    // pruning are unchanged.
+    IndexMaintenance.autoCompact(spark, indexDir, runToken, batchId)
   }
 
   /** Drop index date-partitions entirely BEFORE `cutoff` — the

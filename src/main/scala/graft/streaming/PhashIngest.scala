@@ -166,5 +166,10 @@ object PhashIngest {
             to_date(col("ts")).as("d")),
         indexDir, runToken, batchId, leading = Seq("d"))
     } finally sigs.unpersist()
+    // standing-index hygiene on the crawl ledger's cadence — same
+    // replay-safety argument as [[CrawlIngest]] (only this batch can
+    // retry; its partition stays live), same `d`-leading preservation
+    // as the probe's partition pruning requires.
+    IndexMaintenance.autoCompact(spark, indexDir, runToken, batchId)
   }
 }

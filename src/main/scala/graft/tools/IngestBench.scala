@@ -10,7 +10,7 @@ import graft.streaming.{CorpusIngest, CrawlIngest, EmbedIngest, NearDupIngest}
   * and report docs/sec end to end — checkpointing, ledger/index reads,
   * Bloom maintenance and all sink writes included. Usage:
   *
-  *   runMain graft.tools.IngestBench <rows> <exact|near|embed|crawl|crawlledger> [filesPerTrigger]
+  *   runMain graft.tools.IngestBench <rows> <exact|near|embed|crawl|crawlledger> [filesPerTrigger] [sourceFiles]
   *
   * `crawl` packs the corpus into multi-record WARC blobs FIRST (an
   * untimed batch prep), then streams the blobs through the full
@@ -97,8 +97,20 @@ object IngestBench {
         }.toDF("blob")
         .write.mode("overwrite").parquet(crawlBlobDir)
     }
+    // optional 4th arg: reshard the source into N part files (untimed
+    // prep) — the corpus generator writes 32, which at filesPerTrigger=1
+    // is only 32 micro-batches, too few to cross the ingests' 32-batch
+    // auto-compaction cadence even once; the standing-index growth
+    // curve needs ~100+ batches to show the cadence holding the line
+    val sourceFiles = args.lift(3).map(_.toInt).getOrElse(0)
+    val reshardDir = s"$base/src"
+    if (sourceFiles > 0 && mode != "crawl" && mode != "crawlledger")
+      spark.read.parquet(srcDir).repartition(sourceFiles)
+        .write.mode("overwrite").parquet(reshardDir)
     val streamSrc =
-      if (mode == "crawl" || mode == "crawlledger") crawlBlobDir else srcDir
+      if (mode == "crawl" || mode == "crawlledger") crawlBlobDir
+      else if (sourceFiles > 0) reshardDir
+      else srcDir
     val schema = spark.read.parquet(streamSrc).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
@@ -191,7 +203,14 @@ object IngestBench {
         val files2 = fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$base/ledger")).getFileCount
         f""","ledger_rows":$n,"ledger_files_pre":$files,"ledger_files_post":$files2,"probe_pre_s":$preS%.2f,"probe_post_s":$postS%.2f,"compact_s":$compactS%.1f"""
       } else ""
-    println(f"""{"mode":"$mode","rows":$total,"kept":$kept,"secs":$secs%.1f,"docs_per_sec":${total / secs}%.0f,"files_per_trigger":$filesPerTrigger$curve$compaction}""")
+    // in-stream auto-compaction evidence for the standing indexes:
+    // end-of-run file count stays bounded with ZERO manual calls
+    val indexFiles =
+      if (mode == "near" || mode == "embed")
+        s""","index_files":${fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$base/index")).getFileCount}"""
+      else ""
+    println(f"""{"mode":"$mode","rows":$total,"kept":$kept,"secs":$secs%.1f,"docs_per_sec":${total / secs}%.0f,"files_per_trigger":$filesPerTrigger$curve$indexFiles$compaction}""")
     spark.stop()
   }
 }

@@ -845,4 +845,88 @@ class CorpusIngestSpec extends SparkSuite {
     assert(ReleaseDiffIngest.shardTriage(mCur, mCur).count() === 0)
     assert(ReleaseDiffIngest.shardTriage(mCur, Documents.shardManifest(prev)).count() > 0)
   }
+
+  test("d-leading index auto-compaction: probe invariant for the live batch, date dirs survive") {
+    // the near-dup / embed / phash standing indexes all write with a
+    // `d` DATE leading level (expiry = directory delete); their new
+    // in-batch autoCompact call rides the same compactIndexLive as the
+    // crawl ledger, but the d-leading layout is the variant the crawl
+    // spec never exercised — pin that the retry contract AND the
+    // retention layout both survive consolidation
+    import graft.streaming.{IndexMaintenance, ReplaySafeSink}
+    val base = new java.io.File("target/dleading-compact-spec")
+    if (base.exists()) rm(base)
+    val dir = s"${base.getPath}/index"
+    val token = "tok0123abcd1"
+    for (b <- 0L to 4L)
+      ReplaySafeSink.writeBatch(
+        Seq((b, s"2024-0${b % 2 + 1}-01")).toDF("doc_id", "d")
+          .select(col("doc_id"), col("d").cast("date")),
+        dir, token, b, leading = Seq("d"))
+    def probe(b: Long): Seq[Long] =
+      ReplaySafeSink.standingRows(spark, dir, token, b).get
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val pre = probe(4L)
+    assert(pre === Seq(0L, 1L, 2L, 3L))
+    val n = IndexMaintenance.autoCompact(spark, dir, token, 4L, everyBatches = 2)
+    assert(n === 4, "batches 0..3 must consolidate away")
+    assert(probe(4L) === pre,
+      "compaction must not change what a retry of the live batch sees")
+    // the date level stays LEADING so expiry remains a directory
+    // delete and the probe's cutoff filter still partition-prunes
+    val dDirs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("d=")).map(_.getName).sorted
+    assert(dDirs.toSeq === Seq("d=2024-01-01", "d=2024-02-01"),
+      s"compaction must preserve the d-leading layout, got ${dDirs.toSeq}")
+    assert(new java.io.File(s"$dir/d=2024-01-01/ingest_run=$token/batch_id=4").exists(),
+      "the live batch's partition must be untouched")
+    // retry of the live batch: deterministic overwrite, rows invariant
+    ReplaySafeSink.writeBatch(
+      Seq((4L, "2024-01-01")).toDF("doc_id", "d")
+        .select(col("doc_id"), col("d").cast("date")),
+      dir, token, 4L, leading = Seq("d"))
+    assert(spark.read.parquet(dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("plain-ledger auto-compaction: hash set invariant, file count bounded, Bloom sidecar untouched") {
+    import graft.streaming.IndexMaintenance
+    val base = new java.io.File("target/plainledger-compact-spec")
+    if (base.exists()) rm(base)
+    val dir = s"${base.getPath}/ledger"
+    // many small appends — the shape a foreachBatch ledger produces —
+    // plus a duplicated append standing in for a crashed write-forward
+    // (set semantics must absorb it)
+    for (b <- 0 until 6)
+      Seq(s"h$b", s"h${b + 100}").toDF("h")
+        .coalesce(1).write.mode("append").parquet(dir)
+    Seq("h0", "h100").toDF("h").coalesce(1).write.mode("append").parquet(dir)
+    val bloomDir = new java.io.File(s"$dir/_bloom")
+    bloomDir.mkdirs()
+    val marker = new java.io.File(bloomDir, "filter.bf")
+    java.nio.file.Files.write(marker.toPath, Array[Byte](1, 2, 3))
+    def ledgerSet(): Seq[String] =
+      spark.read.parquet(dir).select("h").as[String].collect().sorted.toSeq
+    def dataFileCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val pre = ledgerSet()
+    val preFiles = dataFileCount()
+    assert(preFiles >= 7)
+    // below minFiles: churn guard, no-op
+    assert(IndexMaintenance.compactPlainLedger(spark, dir, minFiles = 1000) === 0)
+    assert(dataFileCount() === preFiles)
+    val consumed = IndexMaintenance.compactPlainLedger(spark, dir, minFiles = 4)
+    assert(consumed === preFiles, "every pre-existing data file must be consumed")
+    assert(ledgerSet() === pre.distinct.sorted,
+      "compaction must preserve the hash SET (and converge the crash duplicates)")
+    assert(dataFileCount() <= 8, "consolidated ledger must be a bounded file set")
+    assert(marker.exists() && java.nio.file.Files.readAllBytes(marker.toPath).length === 3,
+      "the Bloom sidecar under _bloom must be untouched")
+    // cadence wrapper: off-cadence is a free no-op
+    assert(IndexMaintenance.autoCompactPlain(spark, dir, batchId = 33L) === 0)
+  }
 }

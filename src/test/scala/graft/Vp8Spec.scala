@@ -72,6 +72,84 @@ class Vp8Spec extends AnyFunSuite {
       s"background floor collapsed: min Hamming ${background.min}")
   }
 
+  test("webm fixture population: EBML walk + VP8 decode, planted twins at Hamming 0, floor wide") {
+    import graft.operators.{Multimodal, WebmCodec}
+    // the committed corpus behind multimodal_dedup_webm: 10 bases,
+    // 10 q55 requants, 5 fps-2x duplications; the oracle's frozen
+    // pairs assume tHash Hamming 0 and a background floor (measured
+    // 23 at generation) far above the <=4 gate
+    def fixture(i: Int): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/webmfixtures/c$i.webm")
+      assert(in != null, s"missing fixture c$i.webm")
+      try in.readAllBytes() finally in.close()
+    }
+    val hashes = (0 until 25).map { i =>
+      val (w, h, frames) = WebmCodec.keyFrames(fixture(i)).get
+      assert(w === 64 && h === 64)
+      assert(frames.length === (if (i >= 20) 130 else 65),
+        s"clip $i frame count")
+      val lumas = frames.map { f =>
+        val (fw, fh, y) = Vp8Codec.decodeFrameLuma(f).get
+        assert(fw === w && fh === h)
+        y
+      }
+      i -> Multimodal.tHash64(lumas)
+    }.toMap
+    val planted = (0 until 10).map(i => (i, i + 10)) ++
+      (0 until 5).flatMap(i => Seq((i, i + 20), (i + 10, i + 20)))
+    planted.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) === 0,
+        s"planted twin $a/$b must survive at Hamming 0")
+    }
+    val plantedSet = planted.map { case (a, b) => (a.min(b), a.max(b)) }.toSet
+    val background = for {
+      a <- 0 until 25; b <- (a + 1) until 25 if !plantedSet((a, b))
+    } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(background.min >= 15,
+      s"background floor collapsed: min Hamming ${background.min}")
+  }
+
+  test("webm hostile input: truncation, lacing, bad sizes, garbage — reject, never throw") {
+    import graft.operators.WebmCodec
+    def fixture(i: Int): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/webmfixtures/c$i.webm")
+      try in.readAllBytes() finally in.close()
+    }
+    val good = fixture(0)
+    assert(WebmCodec.keyFrames(good).isDefined)
+    // truncation at every 97th byte: parse must reject, never throw
+    var cut = 4
+    while (cut < good.length - 1) {
+      assert(WebmCodec.keyFrames(java.util.Arrays.copyOf(good, cut)).isEmpty,
+        s"truncation at $cut must reject")
+      cut += 97
+    }
+    // garbage and non-EBML magic
+    assert(WebmCodec.keyFrames(Array[Byte]()).isEmpty)
+    assert(WebmCodec.keyFrames(Array.fill[Byte](64)(0x5A)).isEmpty)
+    // flip the lacing bits on the first SimpleBlock: laced video must
+    // reject rather than hash a subset of frames. The first block's
+    // flags byte follows the block header: find the first SimpleBlock
+    // id byte 0xA3 whose frame payload parses today, then set 0x06.
+    val laced = good.clone()
+    var i = 4 // the EBML magic itself ends in 0xA3 — scan past it
+    var done = false
+    while (i < laced.length && !done) {
+      if ((laced(i) & 0xff) == 0xA3) {
+        // id(1) + size varint; flags sits 3 bytes into the payload
+        val sizeLen = Integer.numberOfLeadingZeros(laced(i + 1) & 0xff) - 23
+        val flagsAt = i + 1 + sizeLen + 3
+        if (flagsAt < laced.length) {
+          laced(flagsAt) = (laced(flagsAt) | 0x06).toByte
+          done = true
+        }
+      }
+      i += 1
+    }
+    assert(done, "fixture must contain a SimpleBlock")
+    assert(WebmCodec.keyFrames(laced).isEmpty, "laced video must reject")
+  }
+
   test("hostile input: truncation, corruption, lossless files, garbage — reject, never throw") {
     val good = resource("vp8_blobs.webp")
     assert(Vp8Codec.decodeLuma(good).isDefined)
