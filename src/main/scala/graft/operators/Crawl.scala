@@ -528,11 +528,20 @@ object Crawl {
     * disk-floor pinch of the composed 100M release (BIGBENCH.md r15:
     * free space bottomed at 11.4 GB in exactly this stage vs 23–47 GB
     * everywhere else). The slim form reduces on (canonical_url, url)
-    * ONLY — one aggregate picks each group's winner url and flags
-    * groups where any url repeats (only a repeated url can need the
-    * text tie-break) — then derives the EXCEPTION set: loser urls,
-    * plus the ambiguous groups, resolved by the classic reduce over
-    * just their rows. The text stream takes two broadcast anti-joins
+    * ONLY, in ONE exchange: a `canonical_url`-partitioned window
+    * computes each row's group winner (`min(url)`), and a second
+    * window keyed on (canonical_url, url) — satisfied by the SAME
+    * hash partitioning, so it costs a re-sort, not a shuffle — flags
+    * rows whose url repeats (only a repeated url can need the text
+    * tie-break). The EXCEPTION set — loser urls, plus the ambiguous
+    * groups resolved by the classic reduce over just their rows —
+    * then falls out by per-row filter, no anti-join. (The first cut
+    * of this slim form aggregated with `countDistinct` and derived
+    * losers via a corpus×corpus left-anti join: four slim exchanges
+    * including a distinct-expand — measured to out-spill the classic
+    * text shuffle it replaced and kill the composed 100M run on
+    * disk. One window exchange is the whole point.) The text stream
+    * takes two broadcast anti-joins
     * and never enters an exchange. The measured-broadcast gate
     * ([[graft.Caches.decideOnce]], the [[Ops.broadcastIfFits]]
     * machinery) decides per corpus: a boilerplate-heavy crawl where
@@ -549,21 +558,31 @@ object Crawl {
         struct(col("url"), col("text"))).as("w"))
       .select(col("canonical_url"), col("w.url").as("url"), col("w.text").as("text"))
     val slim = docs.select(col("canonical_url"), col("url"))
-    // winner url + ambiguity in ONE slim aggregate; a url maps to
-    // exactly one canonical (urlCanonical is a function of the url),
-    // so per-group countDistinct catches every repeated fetch
-    val g = slim.groupBy("canonical_url").agg(
-      min(col("url")).as("url"),
-      (count(lit(1)) > countDistinct(col("url"))).as("ambiguous"))
-    val losers = slim.join(g.select("canonical_url", "url"),
-      Seq("canonical_url", "url"), "left_anti")
-      .select("url").distinct()
-    val ambCanon = g.filter(col("ambiguous")).select("canonical_url")
+    // winner + ambiguity in ONE slim exchange: the group window
+    // shuffles on canonical_url; the per-url count window's
+    // (canonical_url, url) clustering is satisfied by that same
+    // partitioning, so it adds a sort, never a second shuffle. A url
+    // maps to exactly one canonical (urlCanonical is a function of
+    // the url), so a repeated (canonical_url, url) pair is exactly a
+    // repeated fetch.
+    val marked = slim
+      .withColumn("win", min(col("url")).over(Window.partitionBy("canonical_url")))
+      .withColumn("amb",
+        count(lit(1)).over(Window.partitionBy("canonical_url", "url")) > 1)
     // one persisted frame carries both exception kinds so the fit
-    // decision measures their COMBINED broadcast cost
+    // decision measures their COMBINED broadcast cost; rows enter it
+    // by per-row filter (exception-volume, not corpus-volume), and
+    // the distinct runs over that small set only
     val exceptions = graft.Caches.persist(
-      losers.select(col("url").as("k"), lit(true).as("is_url"))
-        .unionAll(ambCanon.select(col("canonical_url").as("k"), lit(false).as("is_url"))))
+      marked.filter(col("url") =!= col("win") || col("amb"))
+        .select(explode(array(
+          when(col("url") =!= col("win"),
+            struct(col("url").as("k"), lit(true).as("is_url"))),
+          when(col("amb"),
+            struct(col("canonical_url").as("k"), lit(false).as("is_url"))))).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("e.k").as("k"), col("e.is_url").as("is_url"))
+        .distinct())
     val fits = graft.Caches.decideOnce(spark,
       exceptions.queryExecution.analyzed.semanticHash(), broadcastBudget) {
       exceptions.count()
