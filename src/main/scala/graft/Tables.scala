@@ -109,13 +109,35 @@ object Tables {
     sweepStopped()
     all.filterNot(except).foreach { n =>
       try {
-        val df = load(spark, dir, n).cache()
+        // Parquet split planning gives a compact file a handful of
+        // scan partitions (measured: lineitem at sf0.1 cached as 3),
+        // and the InMemoryRelation inherits them — so every partial
+        // aggregate over a preloaded table ran at ≤3-way parallelism
+        // regardless of session width (agg_approx_distinct's partial
+        // stage: one 826 ms task, two idle cores ×29). Spread files
+        // big enough to matter round-robin across the session's
+        // parallelism AT LOAD TIME (the one-time cost the bench's
+        // load_s line already charges); the cutoff derives from the
+        // file's size, not a fixed table list, so it scales with the
+        // data and the dims stay single-partition.
+        val raw = load(spark, dir, n)
+        val big = new java.io.File(s"$dir/$n.parquet").length() > (1L << 20)
+        val df = (if (big) raw.repartition(spark.sparkContext.defaultParallelism)
+                  else raw).cache()
         df.count() // force materialization
         cached.put((spark, dir, n), df)
       } catch { case NonFatal(e) =>
         System.err.println(s"[tables] preload skipped $n: ${e.getMessage}")
       }
     }
+    // Deliberately NOT spread: the `except` tables (documents /
+    // embeddings). Measured (r16): a round-robin spread of the corpus
+    // moved the single-task shingle stage to 32 tasks but total wall
+    // was flat-to-worse — the interpreted HOF shingle work is
+    // allocation-bound, so 32 concurrent tasks contended on the
+    // allocator for no net gain, while every query paid an extra
+    // corpus exchange. The per-row cost is attacked in the expression
+    // layer instead (codegen shingle hashing).
   }
 
   /** Drop this session's preloaded entries (returns [[load]] to its

@@ -866,6 +866,48 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `shingle_hash64(tokens, k, distinct)` — the hashed word-k-gram
+    * stream in ONE codegen'd pass: per row, every window of k
+    * consecutive tokens joined by a single space and xxhash64-hashed
+    * (seed 42 — identical values to `xxhash64(concat(tᵢ,' ',tᵢ₊₁,…))`),
+    * optionally de-duplicated on the GRAM STRING first
+    * (array_distinct's first-occurrence semantics). Replaces the
+    * interpreted `zip_with(slice(...),...concat)` + `array_distinct` +
+    * `explode` + `xxhash64` chain that built every gram as a Java
+    * string through per-element lambda dispatch — the measured hot
+    * path of the whole shingle family (one 860 ms single-core pass
+    * over the 5k-doc corpus). Null-token windows mirror the chain
+    * exactly: `concat` nulls the gram, and Spark's hash expressions
+    * map a null input to the seed, so the element comes out 42L (one
+    * such element under distinct, like array_distinct's single null).
+    * Fewer than k tokens → empty array (the CASE WHEN arm). */
+  case class ShingleHash64(child: Expression, k: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "shingle_hash64"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      ShingleHashHelper.grams(a.asInstanceOf[ArrayData], k, distinct)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = graft.functions.ShingleHashHelper$$.MODULE$$
+           |  .grams($a, $k, $distinct);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API entry points ----
 
   def vecDot(a: Column, b: Column): Column =
@@ -905,6 +947,58 @@ object VectorExpressions {
 
   def modeCount(arr: Column): Column =
     ColumnBridge.column(ModeCount(ColumnBridge.expression(arr)))
+
+  def shingleHash64(tokens: Column, k: Int, distinct: Boolean): Column =
+    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), k, distinct))
+}
+
+/** Shared shingle-hash kernel — top-level for clean codegen
+  * references. One UTF8String.concatWs allocation per gram and one
+  * xxhash64 over its bytes; the distinct path keeps array_distinct's
+  * first-occurrence order via an insertion-ordered set keyed on the
+  * gram STRING (so two distinct grams that collide in the 64-bit hash
+  * still emit two stream rows, exactly like the chain it replaces). */
+object ShingleHashHelper {
+  private val space = UTF8String.fromString(" ")
+
+  def grams(ad: ArrayData, k: Int, distinct: Boolean): GenericArrayData = {
+    val n = ad.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = if (ad.isNullAt(i)) null else ad.getUTF8String(i); i += 1 }
+    val m = n - k + 1
+    val out = new Array[Long](m)
+    var seen: java.util.HashSet[UTF8String] = null
+    if (distinct) seen = new java.util.HashSet[UTF8String](m * 2)
+    var sawNullGram = false
+    var w = 0
+    var o = 0
+    val parts = new Array[UTF8String](k)
+    while (w < m) {
+      var nullGram = false
+      var j = 0
+      while (j < k) {
+        val t = toks(w + j)
+        if (t == null) nullGram = true
+        parts(j) = t
+        j += 1
+      }
+      if (nullGram) {
+        // concat() nulls the gram; xxhash64(null) = the seed. Under
+        // distinct, array_distinct keeps a single null.
+        if (!distinct || !sawNullGram) { out(o) = 42L; o += 1; sawNullGram = true }
+      } else {
+        val gram = UTF8String.concatWs(space, parts: _*)
+        if (!distinct || seen.add(gram)) {
+          out(o) = XxHash64Function.hash(gram, StringType, 42L)
+          o += 1
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(if (o == m) out else java.util.Arrays.copyOf(out, o))
+  }
 }
 
 /** Shared md5-simhash kernel — a TOP-LEVEL object so generated Java

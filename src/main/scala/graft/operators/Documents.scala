@@ -84,9 +84,17 @@ object Documents {
     * caps and pair counts are exact, not approximations. */
   def shingles(docs: DataFrame, k: Int = 3, numPartitions: Int = 0,
                wave: Int = 0, waves: Int = 1): DataFrame = {
-    val hashed0 = shingleArray(docs, k)
-      .select(col("doc_id"), explode(col("sh")).as("s_raw"))
-      .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
+    // One codegen'd pass builds, de-duplicates and hashes the grams
+    // (VectorExpressions.ShingleHash64) — value-identical to the
+    // interpreted shingleArray → explode → xxhash64 chain it replaces
+    // (same gram bytes, same seed-42 xxhash64, same array_distinct
+    // first-occurrence semantics), without materializing a gram
+    // STRING per stream row through per-element lambda dispatch.
+    val hashed0 = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(
+        graft.functions.VectorExpressions.shingleHash64(
+          col("t"), k, distinct = true)).as("s"))
     val hashed =
       if (waves > 1) hashed0.filter(pmod(col("s"), lit(waves.toLong)) === wave)
       else hashed0
@@ -244,8 +252,10 @@ object Documents {
     // frame is sized by boilerplate volume — empty on a clean corpus,
     // where a full recount shuffle measured +14% at 1M docs for
     // nothing — and joins by measured-size broadcast).
-    val base = shingleArray(docs)
-      .select(col("doc_id"), size(col("sh")).as("n"))
+    val base = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), size(graft.functions.VectorExpressions
+        .shingleHash64(col("t"), 3, distinct = true)).as("n"))
       .filter(col("n") > 0)
     val n = Ops.joinBroadcastIfFits(base, hotHitsOf(counts), "doc_id", joinType = "left")
       .select(col("doc_id"),
@@ -514,8 +524,10 @@ object Documents {
     val nDocs = docs.count()
     val cap = maxDocFreq.getOrElse(autoDocFreqCap(nDocs))
     val counts = bucketCounts(docs, nDocs, cap, waves)
-    val base = shingleArray(docs)
-      .select(col("doc_id"), size(col("sh")).as("n"))
+    val base = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), size(graft.functions.VectorExpressions
+        .shingleHash64(col("t"), 3, distinct = true)).as("n"))
       .filter(col("n") > 0)
     // survivor sizes = map-side totals MINUS per-doc hot-shingle
     // hits, not a recount of the kept stream: the hit frame is
@@ -571,7 +583,9 @@ object Documents {
   def dedupIncremental(corpus: DataFrame, newDocs: DataFrame,
                        threshold: Double): DataFrame = {
     def sizes(d: DataFrame, side: String, n: String): DataFrame =
-      shingleArray(d).select(col("doc_id").as(side), size(col("sh")).as(n))
+      d.withColumn("t", split(col("text"), " "))
+        .select(col("doc_id").as(side), size(graft.functions.VectorExpressions
+          .shingleHash64(col("t"), 3, distinct = true)).as(n))
         .filter(col(n) > 0)
     // both sides through the shared hashed-inverted-index helper (the
     // 8-byte-key rule lives in one place); its repartition makes the
@@ -2864,8 +2878,12 @@ object Documents {
   private def gramWindows(docs: DataFrame, k: Int): DataFrame =
     docs.withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= k)
-      .select(col("doc_id"), posexplode(expr(kgramSql(k))).as(Seq("pos", "gm")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("gm")).as("g"))
+      // positional (non-distinct) codegen shingle hashing — the same
+      // (pos, xxhash64(gram)) rows the posexplode + string-gram chain
+      // produced, without per-window gram strings in the row stream
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorExpressions.shingleHash64(
+          col("t"), k, distinct = false)).as(Seq("pos", "g")))
       .repartition(col("g"))
 
   /** Per-document duplicated-passage profile: of a document's k-token

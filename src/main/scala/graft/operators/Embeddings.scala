@@ -1382,14 +1382,25 @@ object Embeddings {
     * brute force is O(slice²) by construction and is NOT the scale
     * path; [[dedupEmbedCosine]]'s banded join is. */
   def dedupEmbedCosineExact(spark: SparkSession, dir: String): DataFrame = {
+    // Norms are per-ROW quantities: computed here, once per vector,
+    // instead of twice per PAIR inside the O(n²/2) join below — the
+    // same doubles in the same IEEE ops (sqrt(dot(x,x)) either way),
+    // so the rounded sims are bit-identical, at a third of the
+    // per-pair FLOPs. The stream side is spread round-robin before
+    // the nested-loop join: the selective vec_id filter leaves every
+    // surviving row in one scan task, which serialized the whole
+    // 500k-pair compare on one core (guide §2.5 input skew).
     val e = Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        normCol("embedding").as("norm_a"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      normCol("embedding").as("norm_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dotCol("emb_a", "emb_b") / (normCol("emb_a") * normCol("emb_b")), 6)
+        round(dotCol("emb_a", "emb_b") / (col("norm_a") * col("norm_b")), 6)
           .as("sim"))
       .filter(col("sim") >= 0.45)
       .orderBy("id_a", "id_b")

@@ -27,6 +27,38 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, media: Array[Byte], mime: String,
                          lang: String, n_bytes: Long)
 
+  /** Doc ids below `limit`, spread ROUND-ROBIN across the session's
+    * parallelism before the per-id codec work that follows. The
+    * generator tier's whole cost is the mapPartitions decode; a
+    * selective filter on the (sorted) doc_id column leaves every
+    * surviving row in the one or two scan tasks that hold the low ids,
+    * serializing the decode on one core no matter how wide the session
+    * is (measured: multimodal_dedup_video_mjpeg ran its ~12k-frame
+    * JPEG decode as ONE 1.8 s task — twice, once per side of the band
+    * self-join). The explicit partition count pins the shuffle as
+    * REPARTITION_BY_NUM, which AQE never coalesces away; it tracks
+    * defaultParallelism, so the spread is scale-adaptive, not a
+    * local[32] constant. The shuffled bytes are 8 per id — noise. */
+  private def mediaIds(spark: SparkSession, dir: String, limit: Long): Dataset[Long] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < limit)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+  }
+
+  /** Banded Hamming pairs over a PERSISTED signature frame. Every
+    * media sig generator feeds both sides of
+    * [[Documents.simhashPairs]]' band self-join, and an unpersisted
+    * frame is recomputed once per side — the full container+codec
+    * decode ran twice per query. Same doctrine (and the same
+    * releasable [[graft.Caches]] registry) as the text tier's
+    * [[Documents.simhashPortableSigs]], whose comment carries the
+    * measured justification; the cached rows are 16 bytes per clip at
+    * any scale. */
+  private def sigPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    Documents.simhashPairs(graft.Caches.persist(sigs), maxHamming)
+
   case class DecodedFeatures(doc_id: Long, width: Int, height: Int,
                              n_frames: Int, content_hash: Long)
 
@@ -248,6 +280,10 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .filter(col("doc_id") < limit)
+      // same spread as [[mediaIds]]: the per-id encode below is the
+      // whole cost, and the selective filter's survivors sit in one
+      // scan task
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, lang) =>
         val (blob, mime) = MediaEncoder.forId(id)
@@ -929,9 +965,7 @@ object Multimodal {
   def multimodalAudioSample(spark: SparkSession, dir: String,
                             limit: Long = 500L, k: Int = 4): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.map { id =>
           val rate = 8000 + (id % 8).toInt * 1000
@@ -964,9 +998,7 @@ object Multimodal {
   def multimodalThumbnail(spark: SparkSession, dir: String,
                           limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 32).toInt
@@ -1059,7 +1091,7 @@ object Multimodal {
     * asserted by Vp8Spec on the row's own population). */
   def multimodalDedupWebpLossy(spark: SparkSession, dir: String,
                                maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(webpLossySigs(spark, dir), maxHamming)
+    sigPairs(webpLossySigs(spark, dir), maxHamming)
 
   /** The (doc_id, simhash) signatures behind
     * [[multimodalDedupWebpLossy]]: doc ids < 30 map 1:1 onto the
@@ -1067,9 +1099,7 @@ object Multimodal {
     * decoded per row — the decode IS the operator under test). */
   def webpLossySigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < 30)
-      .as[Long]
+    mediaIds(spark, dir, 30)
       .mapPartitions { it =>
         it.map { id =>
           val in = getClass.getResourceAsStream(s"/vp8fixtures/f$id.webp")
@@ -1105,7 +1135,7 @@ object Multimodal {
     * 23, asserted by MultimodalSpec on the row's own population). */
   def multimodalDedupWebm(spark: SparkSession, dir: String,
                           maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(webmSigs(spark, dir), maxHamming)
+    sigPairs(webmSigs(spark, dir), maxHamming)
 
   /** The (doc_id, simhash=tHash64) signatures behind
     * [[multimodalDedupWebm]]: doc ids < 25 map 1:1 onto the committed
@@ -1114,9 +1144,7 @@ object Multimodal {
     * under test). */
   def webmSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < 25)
-      .as[Long]
+    mediaIds(spark, dir, 25)
       .mapPartitions { it =>
         it.map { id =>
           val in = getClass.getResourceAsStream(s"/webmfixtures/c$id.webm")
@@ -1181,7 +1209,7 @@ object Multimodal {
     * the text SimHash economics at 8 bytes/image. */
   def multimodalDedupPhash(spark: SparkSession, dir: String,
                            limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(phashSigs(spark, dir, limit), maxHamming)
+    sigPairs(phashSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signature frame behind
     * [[multimodalDedupPhash]]: generate → decode → hash, with the 2×
@@ -1190,9 +1218,7 @@ object Multimodal {
     * registered query joins. */
   def phashSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = 8 + (id % 32).toInt
@@ -1227,16 +1253,14 @@ object Multimodal {
     * admits exactly the planted pairs. */
   def multimodalDedupPhashPng(spark: SparkSession, dir: String,
                               limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(pngSigs(spark, dir, limit), maxHamming)
+    sigPairs(pngSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupPhashPng]]: PNG-encode → sniff-decode → hash,
     * clones planted for doc_id < 10. */
   def pngSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = 8 + (id % 32).toInt
@@ -1273,7 +1297,7 @@ object Multimodal {
     * sf), so the ≤ 4 gate admits exactly the planted pairs. */
   def multimodalDedupPhashJpeg(spark: SparkSession, dir: String,
                                limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(jpegSigs(spark, dir, limit), maxHamming)
+    sigPairs(jpegSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupPhashJpeg]]: JPEG-encode → sniff-decode → hash,
@@ -1283,9 +1307,7 @@ object Multimodal {
     * the oracle-verified path, not just in unit specs. */
   def jpegSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = 8 + (id % 32).toInt
@@ -1323,7 +1345,7 @@ object Multimodal {
     * the pairwise floor on this row's own population. */
   def multimodalDedupPngPalette(spark: SparkSession, dir: String,
                                 limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(pngPaletteSigs(spark, dir, limit), maxHamming)
+    sigPairs(pngPaletteSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupPngPalette]]: gray textures (B channel of
@@ -1333,9 +1355,7 @@ object Multimodal {
     * clones planted for doc_id < 10. */
   def pngPaletteSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         def hashOf(bytes: Array[Byte]): Long = {
           val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
@@ -1379,7 +1399,7 @@ object Multimodal {
     * own population. */
   def multimodalDedupGif(spark: SparkSession, dir: String,
                          limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(gifSigs(spark, dir, limit), maxHamming)
+    sigPairs(gifSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupGif]]: gray textures GIF-encoded (interlaced for
@@ -1388,9 +1408,7 @@ object Multimodal {
     * the 4-pass path sit on the oracle). */
   def gifSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         def hashOf(bytes: Array[Byte]): Long = {
           val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
@@ -1428,7 +1446,7 @@ object Multimodal {
     * by WebpSpec's golden corpus. */
   def multimodalDedupWebp(spark: SparkSession, dir: String,
                           limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(webpSigs(spark, dir, limit), maxHamming)
+    sigPairs(webpSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupWebp]]: hash textures VP8L-encoded
@@ -1437,9 +1455,7 @@ object Multimodal {
     * subtract-green decode paths sit on the oracle). */
   def webpSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         def hashOf(bytes: Array[Byte]): Long = {
           val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
@@ -1476,7 +1492,7 @@ object Multimodal {
     * tools.JpegProbe) keeps false pairs out of the ≤ 4 gate. */
   def multimodalDedupJpegProgressive(spark: SparkSession, dir: String,
                                      limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(jpegProgSigs(spark, dir, limit), maxHamming)
+    sigPairs(jpegProgSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=dHash64) signatures behind
     * [[multimodalDedupJpegProgressive]]: even ids encode progressive,
@@ -1485,9 +1501,7 @@ object Multimodal {
     * the cross-format identity), every third id 4:2:0. */
   def jpegProgSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         def hashOf(bytes: Array[Byte]): Long = {
           val (dw, dh, dpx) = MediaTransform.pixelsOf(bytes).get
@@ -1592,9 +1606,7 @@ object Multimodal {
   def multimodalAudioFeatures(spark: SparkSession, dir: String,
                               limit: Long = 500L, n: Int = 256): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.map { id =>
           val k1 = 3 + (id % 100).toInt
@@ -1674,7 +1686,7 @@ object Multimodal {
     * inheritance as [[multimodalDedupPhash]]. */
   def multimodalDedupAhash(spark: SparkSession, dir: String,
                            limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(ahashSigs(spark, dir, limit), maxHamming)
+    sigPairs(ahashSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=aHash64) signature frame behind
     * [[multimodalDedupAhash]]: generate → decode → hash, with 2×
@@ -1683,9 +1695,7 @@ object Multimodal {
     * registered query joins. */
   def ahashSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val rate = 8000 + (id % 8).toInt * 1000
@@ -1767,16 +1777,14 @@ object Multimodal {
     * and audio rows. */
   def multimodalDedupVhash(spark: SparkSession, dir: String,
                            limit: Long = 500L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(vhashSigs(spark, dir, limit), maxHamming)
+    sigPairs(vhashSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=tHash64) signatures behind
     * [[multimodalDedupVhash]]: generate → container decode → hash,
     * 2× frame-duplication clones planted for doc_id < 10. */
   def vhashSigs(spark: SparkSession, dir: String, limit: Long = 500L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = 8 + (id % 8).toInt
@@ -1816,7 +1824,7 @@ object Multimodal {
     * population. */
   def multimodalDedupVideoMjpeg(spark: SparkSession, dir: String,
                                 limit: Long = 150L, maxHamming: Int = 4): DataFrame =
-    Documents.simhashPairs(mjpegSigs(spark, dir, limit), maxHamming)
+    sigPairs(mjpegSigs(spark, dir, limit), maxHamming)
 
   /** The (doc_id, simhash=tHash64) signatures behind
     * [[multimodalDedupVideoMjpeg]]: texture frames → MJPEG encode →
@@ -1824,9 +1832,7 @@ object Multimodal {
     * decoded frames planted for doc_id < 10. */
   def mjpegSigs(spark: SparkSession, dir: String, limit: Long = 150L): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = 8 + (id % 8).toInt
@@ -1870,9 +1876,7 @@ object Multimodal {
                                   limit: Long = 300L, maxHamming: Int = 4,
                                   nSample: Int = 8, minVotes: Int = 6): DataFrame = {
     import spark.implicits._
-    val sigs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    val sigs = mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = 8 + (id % 8).toInt
@@ -1897,7 +1901,7 @@ object Multimodal {
     // frame-level banded Hamming join — the text-tier machinery
     // verbatim, with (vid, pos) packed into the numeric key (pos < 16)
     // so the pair machinery's Long contract holds; then the vote
-    val framePairs = Documents.simhashPairs(
+    val framePairs = sigPairs(
       sigs.select((col("vid") * 16 + col("pos")).as("doc_id"), col("simhash")),
       maxHamming)
     framePairs
@@ -1924,9 +1928,7 @@ object Multimodal {
   def multimodalVideoSample(spark: SparkSession, dir: String,
                             limit: Long = 200L, k: Int = 3): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") < limit)
-      .as[Long]
+    mediaIds(spark, dir, limit)
       .mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 8).toInt
