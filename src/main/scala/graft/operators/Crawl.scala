@@ -640,6 +640,13 @@ object Crawl {
     val parsed = docs
       .select(uriE.as("uri"), htmlWrapExpr(col("doc_id"), col("text")).as("payload"),
         (col("doc_id") % 97 === 0).as("corrupt"))
+      // generator seam: the test corpus is one scan split, so the
+      // gzip-encode + WARC-parse below ran on one core however wide
+      // the session; spread it like the media tier's mediaIds. At
+      // cluster scale the arrival format is many .warc.gz files and
+      // the scan parallelizes by itself — this exchange exists only
+      // where the corpus is being SYNTHESIZED into blobs.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(String, String, Boolean)]
       // bounded blobs (~1000 records), not one per partition: a 10M-doc
       // corpus puts ~300k docs in a partition, and 32 concurrent
@@ -695,6 +702,8 @@ object Crawl {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+      // same generator-seam spread as crawlPipeline
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       // the same bounded-blob discipline as crawlPipeline: memory per
       // task stays ~1 MB at ANY corpus size

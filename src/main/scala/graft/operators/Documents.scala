@@ -1245,9 +1245,22 @@ object Documents {
     val steps = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
     for (i <- 1 to k if !exhausted) {
+      // Both scoring inputs are VOCAB-sized — the token inventory is
+      // characters-plus-merges (≤ alphabet + k rows at any corpus
+      // scale) and the pair table is bounded by its square — so they
+      // collect, and the likelihood argmax runs on the driver: two
+      // jobs per round instead of the former four (token-count
+      // aggregate built TWICE as two independent broadcasts, plus the
+      // orderBy/limit job), and two fewer join subtrees for the
+      // optimizer to replan each round. Ordering and arithmetic are
+      // replicated exactly: the same one IEEE double division both
+      // engines compute, ties by (lhs, rhs) ascending — binary string
+      // order, which coincides with Java's here because the token
+      // alphabet is ASCII ([a-z] words plus the '##' mark).
       val tokCnt = seg.select(explode(toks).as("tok"), col("c"))
         .groupBy("tok").agg(sum("c").as("tc"))
-      val best = seg
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pairCnt = seg
         .select(toks.as("t"), col("c"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr(
@@ -1256,20 +1269,18 @@ object Documents {
           .as("p"), col("c"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("c").as("cnt"))
-        .join(broadcast(tokCnt.withColumnRenamed("tok", "lhs")
-          .withColumnRenamed("tc", "ca")), Seq("lhs"))
-        .join(broadcast(tokCnt.withColumnRenamed("tok", "rhs")
-          .withColumnRenamed("tc", "cb")), Seq("rhs"))
-        .orderBy((col("cnt").cast("double") /
-          (col("ca").cast("double") * col("cb").cast("double"))).desc,
-          col("lhs").asc, col("rhs").asc)
-        .limit(1)
-        .select("lhs", "rhs", "cnt")
         .collect()
+      val best = pairCnt
+        .map { r =>
+          val (lhs, rhs, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          (cnt.toDouble / (tokCnt(lhs).toDouble * tokCnt(rhs).toDouble),
+            lhs, rhs, cnt)
+        }
+        .sortBy { case (score, lhs, rhs, _) => (-score, lhs, rhs) }
+        .take(1)
       if (best.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val (_, a, b, cnt) = best(0)
         val m = a + b.stripPrefix("##") // left marking survives the merge
         steps += ((i, a, b, m, cnt))
         seg = graft.Caches.persist(
