@@ -908,6 +908,44 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `shingle_grams(tokens, k, distinct)` — the gram-STRING sibling of
+    * [[ShingleHash64]] for consumers that need the grams themselves
+    * (boilerplate top-k shows them; the MinHash signatures digest
+    * their md5): every window of k consecutive tokens joined by a
+    * single space in ONE codegen'd pass, optionally de-duplicated
+    * first-occurrence — value-identical to the interpreted
+    * `CASE WHEN size(t) >= k THEN array_distinct(zip_with(slice…))
+    * ELSE array() END` chain it replaces (null-token windows null the
+    * gram exactly like `concat`; fewer than k tokens → empty array;
+    * null input → null, so callers that relied on the CASE's
+    * `size(null)` → else-arm wrap it in coalesce(…, array())). */
+  case class ShingleGrams(child: Expression, k: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def nullable: Boolean = true
+    override def prettyName: String = "shingle_grams"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need array<string>, got $other")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      ShingleHashHelper.gramStrings(a.asInstanceOf[ArrayData], k, distinct)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = graft.functions.ShingleHashHelper$$.MODULE$$
+           |  .gramStrings($a, $k, $distinct);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API entry points ----
 
   def vecDot(a: Column, b: Column): Column =
@@ -950,6 +988,9 @@ object VectorExpressions {
 
   def shingleHash64(tokens: Column, k: Int, distinct: Boolean): Column =
     ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), k, distinct))
+
+  def shingleGrams(tokens: Column, k: Int, distinct: Boolean): Column =
+    ColumnBridge.column(ShingleGrams(ColumnBridge.expression(tokens), k, distinct))
 }
 
 /** Shared shingle-hash kernel — top-level for clean codegen
@@ -994,6 +1035,45 @@ object ShingleHashHelper {
           out(o) = XxHash64Function.hash(gram, StringType, 42L)
           o += 1
         }
+      }
+      w += 1
+    }
+    new GenericArrayData(if (o == m) out else java.util.Arrays.copyOf(out, o))
+  }
+
+  /** Gram-string sibling of [[grams]] — same window walk, same
+    * null-gram and first-occurrence-distinct semantics, but emits the
+    * UTF8String grams instead of their hashes (see
+    * [[VectorExpressions.ShingleGrams]]). */
+  def gramStrings(ad: ArrayData, k: Int, distinct: Boolean): GenericArrayData = {
+    val n = ad.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = if (ad.isNullAt(i)) null else ad.getUTF8String(i); i += 1 }
+    val m = n - k + 1
+    val out = new Array[AnyRef](m)
+    var seen: java.util.HashSet[UTF8String] = null
+    if (distinct) seen = new java.util.HashSet[UTF8String](m * 2)
+    var sawNullGram = false
+    var w = 0
+    var o = 0
+    val parts = new Array[UTF8String](k)
+    while (w < m) {
+      var nullGram = false
+      var j = 0
+      while (j < k) {
+        val t = toks(w + j)
+        if (t == null) nullGram = true
+        parts(j) = t
+        j += 1
+      }
+      if (nullGram) {
+        // concat() nulls the gram; array_distinct keeps a single null
+        if (!distinct || !sawNullGram) { out(o) = null; o += 1; sawNullGram = true }
+      } else {
+        val gram = UTF8String.concatWs(space, parts: _*)
+        if (!distinct || seen.add(gram)) { out(o) = gram; o += 1 }
       }
       w += 1
     }

@@ -55,8 +55,15 @@ object Documents {
   def shingleArray(docs: DataFrame, k: Int = 3): DataFrame =
     docs
       .withColumn("t", split(col("text"), " "))
-      .withColumn("sh", expr(
-        s"CASE WHEN size(t) >= $k THEN array_distinct(${kgramSql(k)}) ELSE array() END"))
+      // ONE codegen'd window walk (r16, VectorExpressions.ShingleGrams)
+      // instead of the interpreted zip_with/slice/concat chain +
+      // array_distinct — value-identical (same gram bytes, same
+      // first-occurrence distinct, null windows null the gram like
+      // concat, <k tokens → empty). coalesce reproduces the old CASE's
+      // else-arm for a null token array (size(null) never ≥ k).
+      .withColumn("sh", coalesce(
+        graft.functions.VectorExpressions.shingleGrams(col("t"), k, distinct = true),
+        typedLit(Array.empty[String])))
       .drop("t")
 
   /** Same, exploded to `(doc_id, s)` rows — HASHED to an 8-byte key
@@ -1235,7 +1242,12 @@ object Documents {
     * argmax collect, and a literal-replace rewrite. */
   private def wordpieceFit(spark: SparkSession, dir: String, k: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    val words = unigramWords(spark, dir)
+    // Persisted (r16): seg round 1 materializes FROM this frame, and
+    // [[wordpieceEncode]] re-derives its distinct-word universe from
+    // the same plan — the semantic-hash dedup in Caches.persist makes
+    // both read one cached vocab-sized histogram instead of each
+    // paying another corpus explode pass.
+    val words = graft.Caches.persist(unigramWords(spark, dir))
     val toks = expr("filter(split(seg, ' +'), x -> x <> '')")
     val marked = expr(
       "transform(sequence(1, length(w)), i -> CASE WHEN i = 1 " +
@@ -1257,19 +1269,27 @@ object Documents {
       // engines compute, ties by (lhs, rhs) ascending — binary string
       // order, which coincides with Java's here because the token
       // alphabet is ASCII ([a-z] words plus the '##' mark).
-      val tokCnt = seg.select(explode(toks).as("tok"), col("c"))
-        .groupBy("tok").agg(sum("c").as("tc"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val pairCnt = seg
+      // ONE vocab-sized collect per round instead of two (r16): single
+      // tokens count under (tok, NULL) keys and adjacent pairs under
+      // (lhs, rhs) in the SAME aggregate, so each round scans the
+      // persisted segmentation once and pays one job's planning +
+      // driver latency, not two. The driver splits the rows back into
+      // the two maps; each key's cnt is the identical sum the two
+      // separate aggregates produced.
+      val scored = seg
         .select(toks.as("t"), col("c"))
-        .filter(size(col("t")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(t) - 1), " +
-            "j -> struct(element_at(t, j) AS lhs, element_at(t, j + 1) AS rhs))"))
-          .as("p"), col("c"))
+          """concat(
+            |  transform(t, x -> struct(x AS lhs, CAST(NULL AS STRING) AS rhs)),
+            |  transform(slice(t, 1, greatest(size(t) - 1, 0)),
+            |            (x, j) -> struct(x AS lhs, element_at(t, j + 2) AS rhs)))"""
+            .stripMargin)).as("p"), col("c"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("c").as("cnt"))
         .collect()
+      val tokCnt = scored.iterator.filter(_.isNullAt(1))
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val pairCnt = scored.filter(r => !r.isNullAt(1))
       val best = pairCnt
         .map { r =>
           val (lhs, rhs, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
@@ -1364,22 +1384,28 @@ object Documents {
       .select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(col("w") =!= "")
-    val distinctW = docWords.select("w").distinct()
-    // the alphabet tier of the vocabulary: every character of every
-    // corpus word, marked by position class
-    val singles = distinctW
-      .select(explode(expr(
-        "transform(sequence(1, length(w)), i -> CASE WHEN i = 1 " +
-          "THEN substring(w, 1, 1) ELSE concat('##', substring(w, i, 1)) END)"))
-        .as("tok"))
-      .distinct()
-      .as[String].collect().toSet
-    val vocab = singles ++ merges.map(_._4)
+    // The alphabet tier of the vocabulary is the CONSTANT 52-piece set
+    // {a..z, ##a..##z} (r16): docWords splits on [^a-z]+, so every
+    // marked single the old corpus-wide distinct+collect produced is
+    // in it, and a single ABSENT from the corpus can never match
+    // during the greedy walk over corpus words — the DP output is
+    // bit-identical while the extra corpus pass, distinct exchange and
+    // driver collect disappear. The distinct-word universe for the DP
+    // is the fit's own persisted ≥2-letter histogram (one shared
+    // corpus pass, Caches.persist plan-dedup) plus the 26 one-letter
+    // rows, whose WordPiece length is 1 by construction (the unmarked
+    // single is always in vocabulary); the inner join drops whichever
+    // of the 26 the corpus never uses — exactly the rows the old
+    // distinct would not have produced.
+    val letters = ('a' to 'z').map(_.toString)
+    val vocab = (letters ++ letters.map("##" + _)).toSet ++ merges.map(_._4)
     val maxLen = vocab.iterator.map(t => t.stripPrefix("##").length).max
     val vocabB = spark.sparkContext.broadcast(vocab)
-    val wordTokens = distinctW.as[String]
+    val wordTokens = graft.Caches.persist(unigramWords(spark, dir))
+      .select("w").as[String]
       .map(w => (w, wordpieceCount(w, vocabB.value, maxLen)))
       .toDF("w", "w_toks")
+      .unionByName(letters.map(l => (l, 1L)).toDF("w", "w_toks"))
     docWords
       .join(Ops.broadcastIfFits(wordTokens), Seq("w"))
       .groupBy("doc_id")
@@ -1905,10 +1931,15 @@ object Documents {
                     budgetBytes: Long = Ops.DefaultBroadcastBudget): DataFrame = {
     // NOT the repartitioned `shingles` form: the corpus side feeds a
     // broadcast semi join, so a shuffle on the shingle would be pure
-    // waste — the corpus stream stays map-side end to end.
-    def sh(d: DataFrame): DataFrame = shingleArray(d)
-      .select(col("doc_id"), explode(col("sh")).as("s_raw"))
-      .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
+    // waste — the corpus stream stays map-side end to end. Gram
+    // construction+hashing is the same ONE codegen'd pass as
+    // [[shingles]] (r16) — value-identical to the interpreted
+    // shingleArray → explode → xxhash64 chain it replaces.
+    def sh(d: DataFrame): DataFrame = d
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(
+        graft.functions.VectorExpressions.shingleHash64(
+          col("t"), 3, distinct = true)).as("s"))
     val evalSh = sh(evalDocs).select("s").distinct()
     Ops.joinBroadcastIfFits(sh(docs), evalSh, "s", budgetBytes, "left_semi")
       .select("doc_id").distinct()
@@ -3319,9 +3350,15 @@ object Documents {
     * would scan and shingle the 100-TB side twice). */
   def overlapReport(docs: DataFrame, evalDocs: DataFrame,
                     budgetBytes: Long = Ops.DefaultBroadcastBudget): DataFrame = {
-    def sh(d: DataFrame): DataFrame = shingleArray(d)
-      .select(col("doc_id"), explode(col("sh")).as("s_raw"))
-      .select(col("doc_id"), xxhash64(col("s_raw")).as("s"))
+    // Same ONE codegen'd gram+hash pass as [[decontaminate]] (r16) —
+    // value-identical to the interpreted shingleArray → explode →
+    // xxhash64 chain it replaces; n_shingles still counts the
+    // first-occurrence-distinct grams per document.
+    def sh(d: DataFrame): DataFrame = d
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(
+        graft.functions.VectorExpressions.shingleHash64(
+          col("t"), 3, distinct = true)).as("s"))
     val evalSh = sh(evalDocs).select("s").distinct().withColumn("hit", lit(true))
     Ops.joinBroadcastIfFits(sh(docs), evalSh, "s", budgetBytes, "left_outer")
       .groupBy("doc_id")

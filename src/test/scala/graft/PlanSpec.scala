@@ -238,11 +238,17 @@ class PlanSpec extends SparkSuite {
     graft.Caches.release(spark)
   }
 
-  test("tpch_q21's EXISTS/NOT EXISTS chain plans as semi + anti joins, no cartesian") {
+  test("tpch_q21's EXISTS/NOT EXISTS chain folds into ONE lineitem pass + order window") {
+    // r16 rewrite: the semi/anti self-joins became order-level window
+    // counts over the per-(order, supplier) aggregate — lineitem must
+    // be scanned exactly once and no self-join may reappear.
     val p = plan(Relational.tpchQ21Waiting(spark, SparkSpec.sfTiny))
-    assert(p.contains("LeftSemi"), p.take(3000))
-    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "the one-pass rewrite must not re-grow the semi/anti self-joins:\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scanned $scans times, want 1:\n" + p.take(3000))
   }
 
   test("tpch_q17 broadcasts the filtered part slice into the lineitem scan side") {
@@ -250,10 +256,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
-  test("tpch_q2's correlated min decorrelates to a per-part agg join, no cartesian") {
+  test("tpch_q2's correlated min is a per-part window over ONE partsupp pass, no cartesian") {
+    // r16 rewrite: min-cost-per-part is a window MIN, not an agg +
+    // join-back — partsupp must be scanned exactly once.
     val p = plan(Relational.tpchQ2MinCost(spark, SparkSpec.sfTiny))
     assert(p.contains("BroadcastHashJoin"), p.take(3000)) // part slice + dims
+    assert(p.contains("Window"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // partsupp is reconstructed from lineitem, so the old agg +
+    // join-back scanned lineitem twice; the window form scans it once
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scanned $scans times, want 1:\n" + p.take(3000))
   }
 
   test("tpch_q9 broadcasts part/nation dims; the pair join to partsupp is hash, not NL") {
