@@ -908,6 +908,44 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `md5_prefix60(s)` — the house engine-portable 60-bit hash of one
+    * STRING as a positive BIGINT, in one codegen'd pass over the UTF-8
+    * bytes: the first 8 md5 digest bytes big-endian, shifted right 4 —
+    * value-identical to the SQL chain
+    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)` (and to
+    * DuckDB's `('0x' || substr(md5(s), 1, 15))::BIGINT`), which
+    * materializes a 32-char hex STRING, copies a 15-char substring,
+    * parses it base-16 into a DECIMAL STRING and re-parses that to a
+    * long — four string round-trips per evaluation. Per-token callers
+    * (the DSIR bucketing, the bucketed quality model) pay this once
+    * per token INSTANCE, which made the string round-trips ~60% of
+    * corpus_dsir's CPU. Same digest kernel as [[SimHashMd5]] /
+    * [[MinHashSigMd5]] ([[Md5SimHashHelper.tokenHash60]]), so the hash
+    * family stays the single oracle-replayable recipe. */
+  case class Md5Prefix60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "md5_prefix60"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"need string, got $other")
+    }
+
+    override def nullSafeEval(s: Any): Any =
+      Md5SimHashHelper.tokenHash60(s.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        s"""
+           |${ev.value} = graft.functions.Md5SimHashHelper$$.MODULE$$.tokenHash60($s);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `shingle_grams(tokens, k, distinct)` — the gram-STRING sibling of
     * [[ShingleHash64]] for consumers that need the grams themselves
     * (boilerplate top-k shows them; the MinHash signatures digest
@@ -991,6 +1029,9 @@ object VectorExpressions {
 
   def shingleGrams(tokens: Column, k: Int, distinct: Boolean): Column =
     ColumnBridge.column(ShingleGrams(ColumnBridge.expression(tokens), k, distinct))
+
+  def md5Prefix60(s: Column): Column =
+    ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(s)))
 }
 
 /** Shared shingle-hash kernel — top-level for clean codegen

@@ -1402,7 +1402,16 @@ object Documents {
     val maxLen = vocab.iterator.map(t => t.stripPrefix("##").length).max
     val vocabB = spark.sparkContext.broadcast(vocab)
     val wordTokens = graft.Caches.persist(unigramWords(spark, dir))
-      .select("w").as[String]
+      .select("w")
+      // GUARD (r16 advice): the 26 letter rows below assume the
+      // histogram carries no 1-letter words (unigramWords filters
+      // length ≥ 2). If that filter ever changed, a 1-letter histogram
+      // row would duplicate its join key against the letter tier and
+      // silently inflate n_words/n_wp_tokens — this filter makes the
+      // coupling hold by construction instead of by convention (the
+      // dropped word's WordPiece length is 1, exactly the letter row).
+      .filter(length(col("w")) >= 2)
+      .as[String]
       .map(w => (w, wordpieceCount(w, vocabB.value, maxLen)))
       .toDF("w", "w_toks")
       .unionByName(letters.map(l => (l, 1L)).toDF("w", "w_toks"))
@@ -1818,8 +1827,10 @@ object Documents {
       .select(col("id").as("bucket"), ((col("id") * 37 + 11) % 101 - 50).as("wt")))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long") % nBuckets).as("bucket"))
+        // codegen'd 60-bit md5 prefix — value-identical to the
+        // conv/substring/md5 string chain (see dsirWeights)
+        (graft.functions.VectorExpressions.md5Prefix60(col("tok"))
+          % nBuckets).as("bucket"))
       .join(weights, "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score_sum"))
@@ -2505,11 +2516,15 @@ object Documents {
     // (≤ n_docs × B rows — far under the token stream), so the md5 per
     // token instance is paid once, not once per model. lang rides in
     // the grouping key at zero cardinality cost (one lang per doc).
+    // md5Prefix60: one codegen'd digest pass per token instance —
+    // value-identical to the conv(substring(md5(tok),1,15),16,10)
+    // string chain (FunctionsSpec pins it), whose four string
+    // round-trips per token were ~60% of this row's CPU.
     val db = graft.Caches.persist(docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
-        (expr("conv(substring(md5(tok), 1, 15), 16, 10)").cast("long")
+        (graft.functions.VectorExpressions.md5Prefix60(col("tok"))
           % buckets).as("bkt"))
       .groupBy("doc_id", "lang", "bkt").agg(count(lit(1)).as("c")))
     val model = db.groupBy("bkt").agg(

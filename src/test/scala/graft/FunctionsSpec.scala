@@ -359,4 +359,70 @@ class FunctionsSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty, "tiny synthetic corpus should have >1% tokens")
   }
+
+  test("md5Prefix60 matches the conv(substring(md5)) string chain") {
+    val vals: Seq[String] = Seq("", "a", "hello world", "αβγ δ", " x",
+      "££", "a b", null) ++ (1 to 200).map(i => s"tok$i")
+    val df = vals.map(Tuple1(_)).toDF("s")
+    val out = df.select(
+      VectorExpressions.md5Prefix60(col("s")).as("fast"),
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("slow"))
+      .collect()
+    assert(out.length === vals.length)
+    out.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) {
+        assert(r.getLong(0) === r.getLong(1))
+        assert(r.getLong(0) >= 0L, "60-bit prefix must stay positive")
+      }
+    }
+  }
+
+  test("shingleHash64/shingleGrams match the interpreted chain across edge shapes") {
+    // ADVICE r16: the two expressions share a hand-rolled window walk;
+    // pin BOTH against an independent SQL formulation AND against each
+    // other (grams == hash64 elementwise through xxhash64) over null
+    // tokens, sub-k inputs, duplicate grams, non-ASCII, empty and null
+    // arrays.
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "c", "d", "a", "b", "c", "d"), // duplicate grams
+      Seq("a", "b"), // below k for k=3
+      Seq("x", "y", "z"), // exactly k=3
+      Seq("α", "β", "γ", "δ"), // non-ASCII multi-byte
+      Seq("a", null, "c", "d", null, "f"), // null tokens → null grams
+      Seq(null, null, null), // all-null (single null under distinct)
+      Seq("t", "t", "t", "t"), // one repeated token
+      Seq.empty[String],
+      null)
+    val df = rows.map(Tuple1(_)).toDF("t")
+    for (k <- Seq(1, 2, 3); d <- Seq(true, false)) {
+      val gramExpr = (0 until k)
+        .map(j => if (j == 0) "element_at(t, i)" else s"element_at(t, i + $j)")
+        .mkString("concat(", ", ' ', ", ")")
+      val core = s"transform(sequence(1, size(t) - ${k - 1}), i -> $gramExpr)"
+      val slowGrams = s"CASE WHEN t IS NULL THEN NULL WHEN size(t) >= $k THEN " +
+        (if (d) s"array_distinct($core)" else core) + " ELSE array() END"
+      val out = df.select(
+        VectorExpressions.shingleHash64(col("t"), k, d).as("fh"),
+        VectorExpressions.shingleGrams(col("t"), k, d).as("fg"),
+        expr(s"transform($slowGrams, g -> xxhash64(g))").as("sh"),
+        expr(slowGrams).as("sg")).collect()
+      out.zip(rows).foreach { case (r, in) =>
+        val tag = s"k=$k distinct=$d input=$in"
+        assert(r.isNullAt(0) === r.isNullAt(2), tag)
+        assert(r.isNullAt(1) === r.isNullAt(3), tag)
+        if (!r.isNullAt(0))
+          assert(r.getSeq[Long](0) === r.getSeq[Long](2), tag)
+        if (!r.isNullAt(1))
+          assert(r.getSeq[String](1) === r.getSeq[String](3), tag)
+        // the two walks agree with each other: hash64 = xxhash64(gram),
+        // null gram = seed 42
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val hs = r.getSeq[Long](0)
+          val gs = r.getSeq[String](1)
+          assert(hs.length === gs.length, tag)
+        }
+      }
+    }
+  }
 }

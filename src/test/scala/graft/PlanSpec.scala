@@ -11,6 +11,25 @@ class PlanSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Structural scan count (r16 advice): count relation LEAVES whose
+    * file location matches `<table>.parquet` in the optimized logical
+    * plan, instead of regex-counting the path in the formatted
+    * physical string — the path can appear in Location/PushedFilters/
+    * reused-exchange annotations depending on the plan formatter, so
+    * the substring count could drift on a formatter change rather
+    * than a real plan change. The logical-leaf count is exactly "how
+    * many times does the query reference the table". */
+  private def scanCount(df: org.apache.spark.sql.DataFrame, table: String): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().count {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains(s"$table.parquet"))
+          case _ => false
+        }
+      case _ => false
+    }
+
   test("runtime bloom-filter join pruning engages once scan thresholds allow") {
     // Spark's row-level runtime filtering is ON in GraftSession but
     // gated by a 10 GiB application-side scan threshold — invisible at
@@ -247,8 +266,8 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
       "the one-pass rewrite must not re-grow the semi/anti self-joins:\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    val scans = "lineitem\\.parquet".r.findAllIn(p).size
-    assert(scans == 1, s"lineitem scanned $scans times, want 1:\n" + p.take(3000))
+    val scans = scanCount(Relational.tpchQ21Waiting(spark, SparkSpec.sfTiny), "lineitem")
+    assert(scans == 1, s"lineitem referenced $scans times, want 1:\n" + p.take(3000))
   }
 
   test("tpch_q17 broadcasts the filtered part slice into the lineitem scan side") {
@@ -265,8 +284,8 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     // partsupp is reconstructed from lineitem, so the old agg +
     // join-back scanned lineitem twice; the window form scans it once
-    val scans = "lineitem\\.parquet".r.findAllIn(p).size
-    assert(scans == 1, s"lineitem scanned $scans times, want 1:\n" + p.take(3000))
+    val scans = scanCount(Relational.tpchQ2MinCost(spark, SparkSpec.sfTiny), "lineitem")
+    assert(scans == 1, s"lineitem referenced $scans times, want 1:\n" + p.take(3000))
   }
 
   test("tpch_q9 broadcasts part/nation dims; the pair join to partsupp is hash, not NL") {

@@ -119,6 +119,64 @@ class RelationalSpec extends SparkSuite {
     assert(row.getDouble(2) === p.getDouble(1))
   }
 
+  test("agg_percentile (bracketed) is bit-identical to the percentile aggregate") {
+    val row = Relational.aggPercentile(spark, dir).head()
+    val p = Tables.load(spark, dir, "lineitem").agg(
+      round(expr("percentile(l_quantity, 0.25)"), 4),
+      round(expr("percentile(l_quantity, 0.5)"), 4),
+      round(expr("percentile(l_quantity, 0.75)"), 4),
+      round(expr("percentile(l_extendedprice, 0.9)"), 4)).head()
+    for (i <- 0 until 4)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(i)) ===
+        java.lang.Double.doubleToLongBits(p.getDouble(i)), s"column $i")
+  }
+
+  test("group_percentile (repartitioned, array form) matches per-p aggregates") {
+    val got = Relational.groupPercentile(spark, dir).collect().toSeq
+    val want = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_value"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(got === want)
+  }
+
+  test("exactPercentilesBracketed: bit-identical to percentile across shapes") {
+    import spark.implicits._
+    // duplicates (forces the higherKey == lowerKey branch), a hot value,
+    // negatives, a null, and fractional/integral positions via many ps
+    val vals: Seq[java.lang.Double] =
+      (1 to 997).map(i => java.lang.Double.valueOf((i % 61) * 0.37 - 7.0)) ++
+        Seq(null, java.lang.Double.valueOf(42.0), java.lang.Double.valueOf(42.0))
+    val df = vals.toDF("v").repartition(7)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    // few buckets: brackets are WIDE relative to n, and targets span
+    // bucket boundaries, exercising the multi-bucket rank walk
+    val got = Relational.exactPercentilesBracketed(df, Seq("v" -> ps), 64)
+    val want = df.agg(
+      expr(s"percentile(v, array(${ps.mkString(", ")}))")).head()
+      .getSeq[Double](0)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      assert(java.lang.Double.doubleToLongBits(got(("v", p))) ===
+        java.lang.Double.doubleToLongBits(want(i)), s"p=$p")
+    }
+  }
+
+  test("exactPercentilesBracketed: coverage miss falls back to the exact aggregate") {
+    import spark.implicits._
+    val df = (1 to 500).map(_.toDouble).toDF("v")
+    // a single bucket degenerates the histogram to [all rows]; the
+    // bracket then covers every rank and the walk still lands the
+    // exact value — and if it ever missed, the fallback aggregate
+    // keeps the answer exact either way.
+    val got = Relational.exactPercentilesBracketed(df, Seq("v" -> Seq(0.5)), 1)
+    val want = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(got(("v", 0.5))) ===
+      java.lang.Double.doubleToLongBits(want))
+  }
+
   test("tpch_q18 matches SQL formulation") {
     val df = Relational.tpchQ18BigOrders(spark, dir)
     val sql = sqlOf(
