@@ -627,6 +627,27 @@ object Crawl {
     canonicalReduce(withUrl).orderBy("canonical_url")
   }
 
+  /** Size-gated round-robin spread for the WARC generator seam. The
+    * blob encode+parse runs at ~6 MB/s/core (gzip-dominated, measured
+    * ~100 ms for the 0.6 MB sf0.1 corpus), so the spread width targets
+    * ~1 MiB of corpus per task, clamped to the session's parallelism
+    * — scale-adaptive per guide §2, derived from the input file like
+    * Tables.preload's cutoff, never a local[32] constant. Below one
+    * task's worth the repartition is SKIPPED outright: the r16
+    * unconditional `repartition(defaultParallelism)` added an exchange
+    * that cost more than the parallelism bought at the bench SFs
+    * (driver 32c: crawl_pipeline 0.84→1.13 s, crawl_warc_ingest
+    * 0.36→0.57 s), while a synthesized multi-GB corpus still fans out
+    * to every core. Partitioning never changes the output — records
+    * are self-contained and blobs are bounded per chunk. */
+  private def seamSpread(spark: SparkSession, dir: String)(
+      df: DataFrame): DataFrame = {
+    val bytes = new java.io.File(s"$dir/documents.parquet").length()
+    val width = math.min(spark.sparkContext.defaultParallelism.toLong,
+      bytes >> 20).toInt
+    if (width > 1) df.repartition(width) else df
+  }
+
   def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
@@ -645,8 +666,12 @@ object Crawl {
       // the session; spread it like the media tier's mediaIds. At
       // cluster scale the arrival format is many .warc.gz files and
       // the scan parallelizes by itself — this exchange exists only
-      // where the corpus is being SYNTHESIZED into blobs.
-      .repartition(spark.sparkContext.defaultParallelism)
+      // where the corpus is being SYNTHESIZED into blobs, and it is
+      // GATED on input size (r17): the r16 unconditional spread cost
+      // more than it bought at the bench SFs (driver 32c bench
+      // 0.84→1.13 s), so the width derives from the corpus file size
+      // and the exchange disappears when one task's worth remains.
+      .transform(seamSpread(spark, dir))
       .as[(String, String, Boolean)]
       // bounded blobs (~1000 records), not one per partition: a 10M-doc
       // corpus puts ~300k docs in a partition, and 32 concurrent
@@ -702,8 +727,8 @@ object Crawl {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-      // same generator-seam spread as crawlPipeline
-      .repartition(spark.sparkContext.defaultParallelism)
+      // same size-gated generator-seam spread as crawlPipeline
+      .transform(seamSpread(spark, dir))
       .as[(Long, String, String)]
       // the same bounded-blob discipline as crawlPipeline: memory per
       // task stays ~1 MB at ANY corpus size

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -483,12 +483,17 @@ object Relational {
     * drift.) */
   private[graft] def exactPercentilesBracketed(
       df: DataFrame, specs: Seq[(String, Seq[Double])],
-      buckets: Int = 2048): Map[(String, Double), Double] = {
+      buckets: Int = 2048,
+      extraAggs: Seq[Column] = Nil): (Map[(String, Double), Double], Row) = {
+    // extraAggs ride the stats pass (r17): a caller that also needs
+    // its own aggregates over `df` (aggApproxPercentile's sketch)
+    // folds them into pass 1 instead of paying a fourth full scan;
+    // their values come back on the returned Row by alias.
     val statExprs = specs.flatMap { case (c, _) =>
       Seq(count(col(c)).as(s"n_$c"),
         min(col(c)).cast("double").as(s"mn_$c"),
         max(col(c)).cast("double").as(s"mx_$c"))
-    }
+    } ++ extraAggs
     val row1 = df.agg(statExprs.head, statExprs.tail: _*).head()
     case class ColInfo(c: String, n: Long, mn: Double, mx: Double) {
       def bucketCol: Column =
@@ -504,16 +509,26 @@ object Relational {
       }
       c -> ColInfo(c, row1.getAs[Long](s"n_$c"), d(s"mn_$c"), d(s"mx_$c"))
     }.toMap
-    val histRows = specs.map { case (c, _) =>
-      df.where(col(c).isNotNull)
-        .select(lit(c).as("hc"), infos(c).bucketCol.as("hb"))
-    }.reduce(_ unionAll _)
-      .groupBy("hc", "hb").agg(count(lit(1)).as("hn")).collect()
+    // ONE scan for every column's histogram (r17; was one unionAll
+    // branch — a full re-scan — per column, measured 16.5 s task CPU
+    // of agg_approx_percentile's 24 s at sf0.1): project each column's
+    // bucket into one exploded INT key, offset by column index so a
+    // single narrow hash aggregate carries all histograms. Null inputs
+    // map to a null slot and are filtered after the explode — the same
+    // rows the per-column isNotNull pre-filters kept.
+    val histCols: Seq[Column] = specs.zipWithIndex.map { case ((c, _), i) =>
+      when(col(c).isNotNull, infos(c).bucketCol + lit(i * buckets))
+        .otherwise(lit(null).cast("int"))
+    }
+    val histRows = df.select(explode(array(histCols: _*)).as("hb"))
+      .where(col("hb").isNotNull)
+      .groupBy("hb").agg(count(lit(1)).as("hn")).collect()
     // per column: bucket -> count, plus cumulative count BEFORE bucket
     val hists: Map[String, Array[(Int, Long)]] = histRows
-      .groupBy(_.getString(0))
-      .map { case (c, rows) =>
-        c -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1 / buckets)
+      .map { case (i, rows) =>
+        specs(i)._1 -> rows.map { case (hb, hn) => (hb % buckets, hn) }.sortBy(_._1)
       }
     case class Target(c: String, p: Double, n: Long, position: Double,
                       lower: Long, higher: Long, b1: Int, b2: Int,
@@ -541,23 +556,53 @@ object Relational {
       }
     }
     val nonEmpty = targets.filter(_.n > 0)
+    // Same single-scan discipline for the bracket-values pass (r17;
+    // was one unionAll branch per column, 5.6 s task CPU): each column
+    // emits a (offset bucket, value) struct only when the row's bucket
+    // sits in one of that column's target brackets, one explode, one
+    // aggregate keyed on the narrow (int, double) pair. Grouping by
+    // the offset bucket is the old (pc, pv, pb) key verbatim — the
+    // offset IS (column, bucket) — so the counts are unchanged.
+    val targetsByCol = nonEmpty.groupBy(_.c)
     val groupsByCol: Map[String, Array[(Double, Int, Long)]] =
       if (nonEmpty.isEmpty) Map.empty
-      else nonEmpty.groupBy(_.c).toSeq.sortBy(_._1).map { case (c, ts) =>
-        val b = infos(c).bucketCol
-        val cond = ts.map(t => b >= lit(t.b1) && b <= lit(t.b2)).reduce(_ || _)
-        df.where(col(c).isNotNull && cond)
-          .select(lit(c).as("pc"), col(c).cast("double").as("pv"), b.as("pb"))
-      }.reduce(_ unionAll _)
-        .groupBy("pc", "pv", "pb").agg(count(lit(1)).as("pn")).collect()
-        .groupBy(_.getString(0))
-        .map { case (c, rows) =>
-          c -> rows.map(r => (r.getDouble(1), r.getInt(2), r.getLong(3)))
-            .sortBy(_._1)
+      else {
+        // Emit plain INT slots (null when the row's bucket is outside
+        // every target bracket of that column) and recover the VALUE
+        // from the generator position — a struct-per-row formulation
+        // measured 21.8 s task CPU here (GenericInternalRow allocation
+        // per element); the int array + posexplode + CASE projection
+        // keeps the generate primitive.
+        val valCols: Seq[Column] = specs.zipWithIndex.map { case ((c, _), i) =>
+          targetsByCol.get(c) match {
+            case Some(ts) =>
+              val b = infos(c).bucketCol
+              val cond = ts.map(t => b >= lit(t.b1) && b <= lit(t.b2)).reduce(_ || _)
+              when(col(c).isNotNull && cond, b + lit(i * buckets))
+                .otherwise(lit(null).cast("int"))
+            case None => lit(null).cast("int")
+          }
         }
+        val pvCase = specs.zipWithIndex.tail
+          .foldLeft(when(col("pos") === 0, col(specs.head._1))) {
+            case (acc, ((c, _), i)) => acc.when(col("pos") === i, col(c))
+          }
+        df.select(specs.map(s => col(s._1)) :+
+            posexplode(array(valCols: _*)).as(Seq("pos", "pb")): _*)
+          .where(col("pb").isNotNull)
+          .select(col("pb"), pvCase.cast("double").as("pv"))
+          .groupBy("pb", "pv")
+          .agg(count(lit(1)).as("pn")).collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+          .groupBy(_._1 / buckets)
+          .map { case (i, rows) =>
+            specs(i)._1 -> rows.map { case (pb, pv, pn) => (pv, pb % buckets, pn) }
+              .sortBy(_._1)
+          }
+      }
     def fallbackExact(c: String, p: Double): Double =
       df.agg(expr(s"percentile($c, $p)")).head().getDouble(0)
-    targets.map { t =>
+    val exacts = targets.map { t =>
       val entries = groupsByCol.getOrElse(t.c, Array.empty)
         .filter { case (_, b, _) => b >= t.b1 && b <= t.b2 }
       val cum = entries.scanLeft(t.below) { case (acc, (_, _, cnt)) => acc + cnt }.tail
@@ -577,6 +622,7 @@ object Relational {
         } yield r).getOrElse(fallbackExact(t.c, t.p))
       (t.c, t.p) -> exact
     }.toMap
+    (exacts, row1)
   }
 
   /** Sketch quantiles under the same cross-engine contract as
@@ -593,10 +639,6 @@ object Relational {
     * plan applied. */
   def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    val r = exactPercentilesBracketed(li,
-      Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9)))
-    val xp50 = r(("l_quantity", 0.5))
-    val xp90 = r(("l_extendedprice", 0.9))
     // The sketch side stays a real approx_percentile aggregate — the
     // flag grades THIS engine's own sketch against the exact value.
     // Accuracy 2500 (was 10000): the estimate itself is never emitted,
@@ -605,11 +647,18 @@ object Relational {
     // final merge (32 partials, single task, measured 554 ms at
     // accuracy 10000) shrinks ~4×. Same contract-preserving move as
     // agg_approx_distinct's r16 sketch swap; tri-scale oracle pins the
-    // flags.
-    val sk = li.agg(
-      expr("approx_percentile(l_quantity, 0.5, 2500)"),
-      expr("approx_percentile(l_extendedprice, 0.9, 2500)")).head()
-    val (ap50, ap90) = (sk.getDouble(0), sk.getDouble(1))
+    // flags. The sketch rides the bracketing helper's STATS pass
+    // (extraAggs, r17) — its 2.5 s of QuantileSummaries insert CPU was
+    // a fourth full scan as a standalone job.
+    val (r, row) = exactPercentilesBracketed(li,
+      Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9)),
+      extraAggs = Seq(
+        expr("approx_percentile(l_quantity, 0.5, 2500)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 2500)").as("ap90")))
+    val xp50 = r(("l_quantity", 0.5))
+    val xp90 = r(("l_extendedprice", 0.9))
+    val (ap50, ap90) =
+      (row.getAs[Double]("ap50"), row.getAs[Double]("ap90"))
     import spark.implicits._
     Seq((xp50, ap50, xp90, ap90)).toDF("xp50", "ap50", "xp90", "ap90")
       .select(
@@ -655,7 +704,7 @@ object Relational {
     * bit-identical to the `percentile` aggregate (RelationalSpec pins
     * it); the rounding stays a Catalyst expression. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
-    val r = exactPercentilesBracketed(Tables.load(spark, dir, "lineitem"),
+    val (r, _) = exactPercentilesBracketed(Tables.load(spark, dir, "lineitem"),
       Seq("l_quantity" -> Seq(0.25, 0.5, 0.75), "l_extendedprice" -> Seq(0.9)))
     import spark.implicits._
     Seq((r(("l_quantity", 0.25)), r(("l_quantity", 0.5)),
@@ -1975,17 +2024,29 @@ object Relational {
     * year, profit on 'red%' parts = line revenue minus supply cost.
     * Each LINE's profit is floor-rounded to integer cents and summed
     * as BIGINT (the q15 rule: a sum of revenue-minus-cost doubles is
-    * exactly the accumulation-order ulp trap), presented as /100.0. */
+    * exactly the accumulation-order ulp trap), presented as /100.0.
+    *
+    * The partsupp join-back is GONE (r17, guide §2.4 with problem
+    * knowledge the optimizer lacks): [[partsuppFrom]] is the DISTINCT
+    * of lineitem's own (partkey, suppkey) pairs with columns that are
+    * PURE FUNCTIONS of those keys, so joining lineitem back to it on
+    * the pair key matches every row exactly once and contributes only
+    * a value computable in-row — the identical `(l_partkey·13 +
+    * l_suppkey·17) % 1000 + 100` cents the reconstruction synthesizes
+    * (same BIGINT ops, same /100.0 presentation double, so every
+    * amount is bit-identical; the oracle CTE is untouched). Removes
+    * the pair-distinct exchange AND the pair-keyed shuffle join —
+    * both O(fact) at any scale; lineitem is now scanned once. */
   def tpchQ9Profit(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(spark, dir, "part")
       .filter(col("p_name").like("red%")).select("p_partkey")
     val nation = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+    val costCents = ((col("l_partkey") * 13 + col("l_suppkey") * 17) % 1000 + 100)
+      .cast("long")
     val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-      (col("ps_cost_cents") / lit(100.0)) * col("l_quantity")
+      (costCents / lit(100.0)) * col("l_quantity")
     Tables.load(spark, dir, "lineitem")
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(partsupp(spark, dir),
-        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
       .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
@@ -2060,12 +2121,21 @@ object Relational {
         col("l_shipdate") < ts("1997-01-01 00:00:00"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum("l_quantity").as("qty"))
-    val cand = partsupp(spark, dir)
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
-      .join(shipped,
-        col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
-      .filter(col("ps_availqty") > lit(0.5) * col("qty"))
-      .select("ps_suppkey")
+    // The partsupp side of the old pair join is GONE (r17, same
+    // argument as [[tpchQ9Profit]]): shipped's pairs are a SUBSET of
+    // the reconstruction's (partsupp = distinct pairs of unfiltered
+    // lineitem ⊇ the 1996-filtered pairs), both sides are pair-
+    // distinct, and ps_availqty is a pure function of the pair — so
+    // the inner join matched every shipped row exactly once and only
+    // attached a value computable in-row. The identical `(l_partkey·7
+    // + l_suppkey·11) % 100 + 1` INT arithmetic replaces the
+    // pair-distinct exchange and the pair-keyed shuffle join.
+    val availQty = ((col("l_partkey") * 7 + col("l_suppkey") * 11) % 100 + 1)
+      .cast("int")
+    val cand = shipped
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(availQty > lit(0.5) * col("qty"))
+      .select(col("l_suppkey").as("ps_suppkey"))
     val asia = Tables.load(spark, dir, "region")
       .filter(col("r_name") === "ASIA").select("r_regionkey")
     val asiaNations = Tables.load(spark, dir, "nation")

@@ -21,7 +21,11 @@ class PipelineOpsSpec extends SparkSuite {
     // path 0-1-2-...-63: min-label propagation would need 63 rounds;
     // large-star/small-star must finish well inside maxIter = 30.
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val got = Documents.connectedComponents(pairs).as[(Long, Long)].collect()
+    // force the star loop: the convergence-in-few-rounds property is
+    // exactly what this test exists to pin (the driver fast path
+    // would bypass it at 63 edges)
+    val got = Documents.connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length === 63) // every node but the root
     assert(got.forall(_._2 === 0L), "one component rooted at 0")
   }
@@ -30,7 +34,10 @@ class PipelineOpsSpec extends SparkSuite {
     // one boilerplate doc near-dup to 2,000 others: large-star's worst
     // case (the hub's whole neighborhood flows through one aggregation)
     val pairs = (1L to 2000L).map(i => (0L, i)).toDF("d1", "d2")
-    val got = Documents.connectedComponents(pairs).as[(Long, Long)].collect()
+    // force the star loop — the hub-aggregation blowup being tested
+    // lives in the distributed path
+    val got = Documents.connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length === 2000)
     assert(got.forall(_._2 === 0L), "every spoke labels to the hub")
   }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.{broadcast, col, floor, lit, sum, year}
 
 /** Scale guards: assert the PHYSICAL PLAN shapes that make these
   * queries survive a 100× scale-up — pushed filters, pruned scans,
@@ -288,11 +289,48 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"lineitem referenced $scans times, want 1:\n" + p.take(3000))
   }
 
-  test("tpch_q9 broadcasts part/nation dims; the pair join to partsupp is hash, not NL") {
-    val p = plan(Relational.tpchQ9Profit(spark, SparkSpec.sfTiny))
+  test("tpch_q9 broadcasts part/nation dims; the partsupp join-back is inlined away") {
+    val df = Relational.tpchQ9Profit(spark, SparkSpec.sfTiny)
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // r17: ps_cost_cents is a pure function of (l_partkey, l_suppkey),
+    // so the partsupp reconstruction (distinct exchange + pair-keyed
+    // join of lineitem to itself) must not appear — one lineitem scan
+    val scans = scanCount(df, "lineitem")
+    assert(scans == 1, s"lineitem referenced $scans times, want 1:\n" + p.take(3000))
+  }
+
+  test("tpch_q9 inlined supply cost matches the partsupp join-back formulation") {
+    // value identity of the r17 inlining on the tiny corpus: rebuild
+    // the OLD shape (join back to the reconstruction) and compare rows
+    val li = Tables.load(spark, SparkSpec.sfTiny, "lineitem")
+    val part = Tables.load(spark, SparkSpec.sfTiny, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val nation = Tables.load(spark, SparkSpec.sfTiny, "nation")
+      .select("n_nationkey", "n_name")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      (col("ps_cost_cents") / lit(100.0)) * col("l_quantity")
+    val old = li
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Relational.partsupp(spark, SparkSpec.sfTiny),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.load(spark, SparkSpec.sfTiny, "orders")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, SparkSpec.sfTiny, "supplier")
+        .select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        floor(amount * lit(100.0) + lit(0.5)).cast("long").as("amount_cents"))
+      .groupBy("nation", "o_year")
+      .agg((sum("amount_cents") / lit(100.0)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+      .collect().toSeq
+    val got = Relational.tpchQ9Profit(spark, SparkSpec.sfTiny).collect().toSeq
+    assert(got === old)
   }
 
   test("tpch_q11's scalar threshold joins as a 1-row broadcast, never a cartesian") {
@@ -462,7 +500,10 @@ class PlanSpec extends SparkSuite {
   test("connected components truncates lineage every round") {
     import spark.implicits._
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val out = graft.operators.Documents.connectedComponents(pairs)
+    // driverMaxEdges = 0 forces the distributed star loop — the
+    // default would take the driver union-find fast path at 40 edges
+    // and there would be no round history to assert about
+    val out = graft.operators.Documents.connectedComponents(pairs, driverMaxEdges = 0L)
     // the returned frame must read the LAST round's checkpoint — a
     // scan over a materialized RDD, not a replay of every round's
     // join/aggregate chain (which would grow linearly with rounds and

@@ -138,10 +138,17 @@ class PropertySpec extends SparkSuite {
         val m = members.min
         members.filter(_ != m).map(_ -> m)
       }.toMap
-      val got = graft.operators.Documents
+      // BOTH paths under the property: the default threshold takes the
+      // driver union-find fast path at this edge count; driverMaxEdges
+      // = 0 forces the distributed star loop. Each must equal the
+      // reference (and hence each other).
+      val gotDriver = graft.operators.Documents
         .connectedComponents(es.toDF("d1", "d2"))
         .as[(Long, Long)].collect().toMap
-      got == expect
+      val gotDistributed = graft.operators.Documents
+        .connectedComponents(es.toDF("d1", "d2"), driverMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      gotDriver == expect && gotDistributed == expect
     }, n = 4)
   }
 

@@ -154,7 +154,7 @@ class RelationalSpec extends SparkSuite {
     val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
     // few buckets: brackets are WIDE relative to n, and targets span
     // bucket boundaries, exercising the multi-bucket rank walk
-    val got = Relational.exactPercentilesBracketed(df, Seq("v" -> ps), 64)
+    val (got, _) = Relational.exactPercentilesBracketed(df, Seq("v" -> ps), 64)
     val want = df.agg(
       expr(s"percentile(v, array(${ps.mkString(", ")}))")).head()
       .getSeq[Double](0)
@@ -171,7 +171,7 @@ class RelationalSpec extends SparkSuite {
     // bracket then covers every rank and the walk still lands the
     // exact value — and if it ever missed, the fallback aggregate
     // keeps the answer exact either way.
-    val got = Relational.exactPercentilesBracketed(df, Seq("v" -> Seq(0.5)), 1)
+    val (got, _) = Relational.exactPercentilesBracketed(df, Seq("v" -> Seq(0.5)), 1)
     val want = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
     assert(java.lang.Double.doubleToLongBits(got(("v", 0.5))) ===
       java.lang.Double.doubleToLongBits(want))
