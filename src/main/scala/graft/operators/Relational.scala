@@ -878,11 +878,18 @@ object Relational {
     val W = widthUs
     val wB = Window.partitionBy(expr(s"us div $W"))
       .orderBy(col("us").asc, col("event_id").asc)
-    val e = events
+    // persisted (r17): BOTH sides of the band self-join read the
+    // admitted set, and an unpersisted frame re-runs the whole
+    // window-admission pass per side — ProfileQuery measured the two
+    // evaluations at 20.3 + 13.0 s task CPU, the entire cost of the
+    // row. The cached frame is the ADMITTED set (≤ cap rows per
+    // second, linear in seconds covered — never pair volume), same
+    // doctrine as the media tier's persisted signature frames.
+    val e = graft.Caches.persist(events
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("rn", row_number().over(wB))
       .filter(col("rn") <= cap)
-      .select("event_id", "user_id", "us")
+      .select("event_id", "user_id", "us"))
     val a = e.withColumn("bucket",
       explode(array(expr(s"us div $W"), expr(s"us div $W") + 1)))
     val b = e.withColumn("bucket", expr(s"us div $W"))
@@ -1830,11 +1837,15 @@ object Relational {
   def tpchQ15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val lineCents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
       lit(100.0) + lit(0.5)).cast("long")
-    val rev = Tables.load(spark, dir, "lineitem")
+    // persisted (r17): rev feeds BOTH the max scalar and the equality
+    // join — unpersisted, each consumer re-ran the quarter scan +
+    // supplier aggregate. One row per supplier, dimension-sized at
+    // any scale.
+    val rev = graft.Caches.persist(Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
         col("l_shipdate") < ts("1996-04-01 00:00:00"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(lineCents).as("rev_cents"))
+      .agg(sum(lineCents).as("rev_cents")))
     val maxRev = rev.agg(max("rev_cents").as("mx"))
     Tables.load(spark, dir, "supplier")
       .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -1854,11 +1865,18 @@ object Relational {
     val part = Tables.load(spark, dir, "part")
       .filter(col("p_brand") === "Brand#13" && col("p_size") === 5)
       .select("p_partkey")
-    val lineitem = Tables.load(spark, dir, "lineitem")
-    val avgQty = lineitem.groupBy(col("l_partkey").as("a_partkey"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
-    lineitem
+    // The brand/size slice prunes WHOLE parts, never rows within a
+    // part, so the per-part mean over the pre-filtered stream is the
+    // mean over all of lineitem for every surviving part (r17, the
+    // q2 window argument): filter BEFORE the aggregate, so the mean
+    // aggregate's exchange carries the slice instead of the whole
+    // fact table (the slice stays unpersisted — fact volume; the scan
+    // is repeated, the shuffles shrink ~|parts|/|slice| fold).
+    val sliced = Tables.load(spark, dir, "lineitem")
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val avgQty = sliced.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    sliced
       .join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
@@ -2073,10 +2091,16 @@ object Relational {
     val supp = Tables.load(spark, dir, "supplier")
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
-    val v = partsupp(spark, dir)
+    // persisted (r17): v feeds BOTH the threshold aggregate and the
+    // final filter, and unpersisted each consumer re-ran the partsupp
+    // reconstruction (distinct over lineitem) + join + aggregate —
+    // ProfileQuery measured the double evaluation at 9.5 + 5.1 s task
+    // CPU. The cached frame is one row per partkey — dimension-sized
+    // at any corpus scale.
+    val v = graft.Caches.persist(partsupp(spark, dir)
       .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
       .groupBy("ps_partkey")
-      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("vc"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("vc")))
     val thresh = v.agg(
       (lit(1.5) * (sum("vc").cast("double") / count(lit(1)))).as("cut"))
     v.crossJoin(broadcast(thresh))
