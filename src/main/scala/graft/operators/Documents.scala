@@ -3357,15 +3357,25 @@ object Documents {
   def pmiCollocations(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
     val t = docs.select(split(col("text"), " ").as("t"))
     val toks = t.select(explode(col("t")).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
-    val nUni = toks.agg(count(lit(1)).as("nu"))
+    // persisted (r17): `uni` is consumed THREE times (the w1 join, the
+    // w2 join, and the grand total) and `cbAll` twice (filtered counts
+    // + total) — unpersisted, every consumer re-ran its corpus explode
+    // pass: 5 corpus passes for 2 aggregates. Both frames are
+    // vocab-sized (Heaps' law), and the totals now derive from them
+    // (sum of counts ≡ stream count — the unigramSurprisal precedent)
+    // instead of re-counting the exploded stream.
+    val uni = graft.Caches.persist(
+      toks.groupBy("tok").agg(count(lit(1)).as("cu")))
+    val nUni = uni.agg(sum("cu").cast("long").as("nu"))
     val bi = t.filter(size(col("t")) >= 2)
       .select(explode(expr(kgramSql(2))).as("bigram"))
-    val cb = bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cbAll = graft.Caches.persist(
+      bi.groupBy("bigram").agg(count(lit(1)).as("cb")))
+    val cb = cbAll
       .filter(col("cb") >= minCount)
       .withColumn("w1", split(col("bigram"), " ")(0))
       .withColumn("w2", split(col("bigram"), " ")(1))
-    val nBi = bi.agg(count(lit(1)).as("nb"))
+    val nBi = cbAll.agg(sum("cb").cast("long").as("nb"))
     cb
       .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
@@ -3483,7 +3493,12 @@ object Documents {
     * (doc_id, 2-char prefix) — never the document text. */
   def qualityWeightedSample(docs: DataFrame, keepTails: String = "40",
                             keepMid: String = "zz"): DataFrame = {
-    val s = unigramSurprisal(docs).select(col("doc_id"), col("avg_surprisal"))
+    // persisted (r17): s feeds BOTH the percentile bounds and the tier
+    // join — unpersisted, each consumer re-ran the full surprisal
+    // pipeline (token explode + vocab join + per-doc aggregate). The
+    // cached frame is two columns per document.
+    val s = graft.Caches.persist(
+      unigramSurprisal(docs).select(col("doc_id"), col("avg_surprisal")))
     val bounds = s.agg(
       expr("percentile(avg_surprisal, 0.25)").as("p25"),
       expr("percentile(avg_surprisal, 0.75)").as("p75"))
