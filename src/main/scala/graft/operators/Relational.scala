@@ -1316,37 +1316,202 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Per-GROUP exact percentiles via the same HISTOGRAM-BRACKETED
+    * rank selection as [[exactPercentilesBracketed]], generalized over
+    * a group key. Every pass is a codegen hash aggregate — no
+    * TypedImperativeAggregate value-count maps anywhere:
+    *
+    *  1. per-group count/min/max (G rows collected);
+    *  2. per-(group, bucket) histogram — the group's min/max join back
+    *     as a BROADCAST of the G collected rows, so the bucket-of-row
+    *     expression is the identical IEEE arithmetic the ungrouped
+    *     helper inlines as literals;
+    *  3. distinct (group, value, bucket) counts of ONLY the target
+    *     brackets (an exists() over each group's ≤|ps| bracket ranges,
+    *     broadcast the same way);
+    *  4. the driver replays Percentile.getPercentile per (group, p) —
+    *     the same bit-identical walk RelationalSpec pins.
+    *
+    * Why not the `percentile` aggregate: its per-group partial maps
+    * hold every distinct value — 32 partials × redundant keys merged
+    * in the final tasks measured 12× on a 32-wide driver host (r16),
+    * and the r17 repartition-by-key fix that removed the partials
+    * serialized each group into ONE task, measured 2.88 → 14.4 s at
+    * 10M events (BIGBENCH_WARM diff) — both formulations hold the
+    * value multiset somewhere. This one never does: state is
+    * G×buckets counts, collects are G·buckets + the bracket spans.
+    * A null group key or an all-null group reproduces the aggregate's
+    * semantics (null-safe join; n = 0 → null percentiles). */
+  private[graft] def groupedExactPercentiles(
+      df: DataFrame, key: String, value: String, ps: Seq[Double],
+      buckets: Int = 2048): Seq[(String, Seq[Option[Double]])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.groupBy(col(key).as("k"))
+      .agg(count(col(value)).as("n"),
+        min(col(value)).cast("double").as("mn"),
+        max(col(value)).cast("double").as("mx"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+    val statsDf = broadcast(
+      stats.toSeq.toDF("_k", "_n", "_mn", "_mx"))
+    // identical bucket arithmetic to the ungrouped helper, with the
+    // group's min/max arriving as broadcast columns instead of
+    // literals — same doubles, same IEEE ops, monotone in the value
+    val bucketCol =
+      when(col("_n") > 0 && col("_mx") > col("_mn"),
+        least(floor((col(value) - col("_mn")) / (col("_mx") - col("_mn")) * buckets)
+          .cast("int"), lit(buckets - 1)))
+        .otherwise(lit(0))
+    val joined = df.where(col(value).isNotNull)
+      .join(statsDf, col(key) <=> col("_k"))
+    val hists: Map[String, Array[(Int, Long)]] = joined
+      .groupBy(col("_k"), bucketCol.as("hb"))
+      .agg(count(lit(1)).as("hn")).collect()
+      .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      }
+    case class Target(k: String, p: Double, n: Long, position: Double,
+                      lower: Long, higher: Long, b1: Int, b2: Int,
+                      below: Long)
+    val targets: Seq[Target] = stats.toSeq.flatMap { case (k, n, _, _) =>
+      val hist = hists.getOrElse(k, Array.empty)
+      val cumBefore = hist.scanLeft(0L)(_ + _._2)
+      def bucketOfRank(rank: Long): Int = {
+        val i = cumBefore.indexWhere(_ >= rank)
+        if (i <= 0) 0 else i - 1
+      }
+      ps.map { p =>
+        val position = (n - 1).toDouble * p
+        val lower = math.floor(position).toLong
+        val higher = math.ceil(position).toLong
+        if (n == 0 || hist.isEmpty)
+          Target(k, p, n, position, lower, higher, 0, 0, 0L)
+        else {
+          val i1 = bucketOfRank(lower + 1)
+          val i2 = bucketOfRank(higher + 1)
+          Target(k, p, n, position, lower, higher,
+            hist(i1)._1, hist(i2)._1, cumBefore(i1))
+        }
+      }
+    }
+    val ranges = targets.filter(_.n > 0)
+      .groupBy(_.k)
+      .map { case (k, ts) => (k, ts.map(t => (t.b1, t.b2)).distinct) }
+      .toSeq
+    val groupsByKey: Map[String, Array[(Double, Int, Long)]] =
+      if (ranges.isEmpty) Map.empty
+      else {
+        // ≤ |ps| bracket ranges per group, null-padded into FLAT INT
+        // columns so the row filter below is a codegen'd OR of integer
+        // comparisons — an exists() over an array column runs an
+        // interpreted lambda per row, measured as the dominant cost of
+        // this pass at 10M events. A row inside several overlapping
+        // brackets still counts once (one filter, not a join-expand).
+        val nr = ps.length
+        val padded = ranges.map { case (k, rs) =>
+          org.apache.spark.sql.Row.fromSeq(
+            k +: (0 until nr).flatMap(i => rs.lift(i) match {
+              case Some((b1, b2)) => Seq(b1, b2)
+              case None => Seq(null, null)
+            }))
+        }
+        val rschema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("_rk",
+            org.apache.spark.sql.types.StringType, nullable = true) +:
+          (0 until nr).flatMap(i => Seq(
+            org.apache.spark.sql.types.StructField(s"_b1_$i",
+              org.apache.spark.sql.types.IntegerType, nullable = true),
+            org.apache.spark.sql.types.StructField(s"_b2_$i",
+              org.apache.spark.sql.types.IntegerType, nullable = true))))
+        val rangesDf = broadcast(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(padded).asJava), rschema))
+        val inBracket = (0 until nr)
+          .map(i => col(s"_b1_$i").isNotNull &&
+            col("pb") >= col(s"_b1_$i") && col("pb") <= col(s"_b2_$i"))
+          .reduce(_ || _)
+        joined
+          .join(rangesDf, col(key) <=> col("_rk"))
+          .select(Seq(col("_rk"), col(value).cast("double").as("pv"),
+            bucketCol.as("pb")) ++
+            (0 until nr).flatMap(i => Seq(col(s"_b1_$i"), col(s"_b2_$i"))): _*)
+          .where(inBracket)
+          .groupBy(col("_rk"), col("pv"), col("pb"))
+          .agg(count(lit(1)).as("pn")).collect()
+          .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
+          .map { case (k, rows) =>
+            k -> rows.map(r => (r.getDouble(1), r.getInt(2), r.getLong(3)))
+              .sortBy(_._1)
+          }
+      }
+    def fallbackExact(k: String, p: Double): Double =
+      df.where(col(key) <=> lit(k))
+        .agg(expr(s"percentile($value, $p)")).head().getDouble(0)
+    val byKey = targets.groupBy(_.k)
+    stats.toSeq.map { case (k, _, _, _) =>
+      val vals = byKey(k).sortBy(t => ps.indexOf(t.p)).map { t =>
+        if (t.n == 0) None
+        else {
+          val entries = groupsByKey.getOrElse(t.k, Array.empty)
+            .filter { case (_, b, _) => b >= t.b1 && b <= t.b2 }
+          val cum = entries.scanLeft(t.below) { case (acc, (_, _, cnt)) => acc + cnt }.tail
+          def valueAt(rank: Long): Option[Double] =
+            if (rank <= t.below || cum.isEmpty || rank > cum.last) None
+            else Some(entries(cum.indexWhere(_ >= rank))._1)
+          Some((for {
+            lk <- valueAt(t.lower + 1)
+            r <- if (t.higher == t.lower) Some(lk)
+                 else valueAt(t.higher + 1).map { hk =>
+                   if (java.lang.Double.doubleToLongBits(hk) ==
+                       java.lang.Double.doubleToLongBits(lk)) lk
+                   else (t.higher - t.position) * lk + (t.position - t.lower) * hk
+                 }
+          } yield r).getOrElse(fallbackExact(t.k, t.p)))
+        }
+      }
+      (k, vals)
+    }
+  }
+
   /** Per-group continuous percentiles — the p50/p90/p99-by-dimension
-    * observability staple. Spark's `percentile` is the exact
-    * linear-interpolation quantile (same contract as DuckDB
-    * `quantile_cont`), computed with a per-group sorted-merge inside
-    * ONE hash aggregate: 5 groups here, but the shape holds at a
-    * million groups because state is per-group, not global. For
-    * unbounded-cardinality groups at lake scale the approx twin
-    * (`agg_approx_percentile`'s sketch contract) swaps in per-group. */
-  def groupPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
-      // Repartition by the GROUP KEY first: the exchange then carries
-      // raw (event_type, value) rows and the percentile aggregate's
-      // partial and final run back-to-back in the same stage — its
-      // value-count maps never serialize. Without this, every input
-      // partition ships a per-group partial MAP whose keys are largely
-      // redundant across partitions (measured 12× on a 32-wide
-      // contended host: 32 partials × 3 buffers × 5 groups merged in
-      // the final tasks), and that redundancy grows with cluster
-      // width. Raw rows are no wider than the map entries they
-      // replace, so this shuffles fewer-or-equal bytes at every scale.
-      .repartition(col("event_type"))
-      .groupBy("event_type")
-      // ONE buffer for all three percentiles — the array form computes
-      // p50/p90/p99 from the same sorted counts, value-identical to
-      // three independent aggregates at a third of the map-building.
-      .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("pct"))
+    * observability staple, computed by [[groupedExactPercentiles]]
+    * (bit-identical to `percentile(value, array(...))` per group —
+    * RelationalSpec pins it — with every distributed pass a codegen
+    * hash aggregate instead of a per-group value-count map). The final
+    * rounding stays the identical Catalyst round the aggregate plan
+    * applied. For unbounded-cardinality groups at lake scale the
+    * approx twin (`agg_approx_percentile`'s sketch contract) swaps in
+    * per-group. */
+  def groupPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val r = groupedExactPercentiles(
+      Tables.load(spark, dir, "events"), "event_type", "value",
+      Seq(0.5, 0.9, 0.99))
+    val rows = r.map { case (k, vs) =>
+      org.apache.spark.sql.Row(k, vs(0).map(Double.box).orNull,
+        vs(1).map(Double.box).orNull, vs(2).map(Double.box).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("r1",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("r2",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("r3",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       .select(col("event_type"),
-        round(element_at(col("pct"), 1), 4).as("p50_value"),
-        round(element_at(col("pct"), 2), 4).as("p90_value"),
-        round(element_at(col("pct"), 3), 4).as("p99_value"))
+        round(col("r1"), 4).as("p50_value"),
+        round(col("r2"), 4).as("p90_value"),
+        round(col("r3"), 4).as("p99_value"))
       .orderBy("event_type")
+  }
 
   /** HOPPING (sliding) windows — 1-hour windows every 15 minutes:
     * the smoothed-dashboard twin of the tumbling `events_window`.

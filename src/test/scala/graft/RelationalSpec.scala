@@ -131,7 +131,39 @@ class RelationalSpec extends SparkSuite {
         java.lang.Double.doubleToLongBits(p.getDouble(i)), s"column $i")
   }
 
-  test("group_percentile (repartitioned, array form) matches per-p aggregates") {
+  test("groupedExactPercentiles: bit-identical to percentile across group shapes") {
+    import spark.implicits._
+    // groups: dense dups, a singleton, an all-null group, a NULL key
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 500).map(i => ("a", java.lang.Double.valueOf((i % 37) * 0.31 - 3.0))) ++
+        (1 to 300).map(i => ("b", java.lang.Double.valueOf(i * 1.5))) ++
+        Seq(("c", java.lang.Double.valueOf(7.25)),
+          ("d", null),
+          (null, java.lang.Double.valueOf(2.5)),
+          (null, java.lang.Double.valueOf(9.5)))
+    val df = rows.toDF("k", "v").repartition(5)
+    val ps = Seq(0.5, 0.9, 0.99)
+    val got = Relational.groupedExactPercentiles(df, "k", "v", ps, 32)
+      .map { case (k, vs) => Option(k) -> vs }.toMap
+    val want = df.groupBy("k")
+      .agg(expr(s"percentile(v, array(${ps.mkString(", ")}))").as("p"))
+      .collect()
+      .map(r => Option(if (r.isNullAt(0)) null else r.getString(0)) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    for ((k, vs) <- got) {
+      val w = want(k)
+      if (w == null) assert(vs.forall(_.isEmpty), s"group $k: want all-null")
+      else vs.zipWithIndex.foreach { case (v, i) =>
+        assert(v.isDefined, s"group $k p=${ps(i)}")
+        assert(java.lang.Double.doubleToLongBits(v.get) ===
+          java.lang.Double.doubleToLongBits(w(i)), s"group $k p=${ps(i)}")
+      }
+    }
+  }
+
+  test("group_percentile (bracketed) matches per-p aggregates") {
     val got = Relational.groupPercentile(spark, dir).collect().toSeq
     val want = Tables.load(spark, dir, "events")
       .groupBy("event_type")
